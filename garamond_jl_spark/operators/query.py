@@ -1,0 +1,144 @@
+"""Exact BM25 top-k query engine (SURVEY.md §3.1 Spark mapping).
+
+Reference counterpart: query embedding (src/embedder/dtv.jl:29-59) →
+``NaiveIndex.knn_search`` dot products (src/index/naive.jl:15-32) →
+``score_transform!`` (src/search/index.jl:186-202) → trim
+(src/search/results.jl:34-41).
+
+The central plan (SURVEY.md J4):
+
+    broadcast(query term weights) ⋈ postings ON term
+      → groupBy(query_id, doc_id).sum(qw · wnorm)       # cosine
+      → score = 1 − tanh(α · (1 − cos))
+      → window top-k per query_id (score desc, doc_id asc tiebreak —
+        Julia sortperm stability, naive.jl:30)
+      → hydrate: ⋈ docs ON doc_id (J2, broadcast the tiny hit side)
+
+Queries run **batched**: many queries become one DataFrame and one job —
+the distributed replacement for the reference's request-at-a-time loop
+(src/server/search.jl:34-40).  Per-query work on the driver is only the
+pseudo-document embedding math on the query's own terms (a dict lookup
+against the broadcast-collected stats of those terms — tiny by
+construction: |query terms| ≪ |vocabulary|).
+
+OOV handling: a query with no in-vocab token embeds to nothing and
+yields zero rows (is_embedded gate, dtv.jl:53-58 + index.jl:106-113).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType)
+
+from garamond_jl_spark.config import EngineConfig, bm25_weight, idf_weight, tf_weight
+from garamond_jl_spark.functions.scoring import score_transform_expr
+from garamond_jl_spark.functions.textprep import prepare_and_tokenize
+from garamond_jl_spark.operators.build import InvertedIndex
+
+QTERMS_SCHEMA = StructType([
+    StructField("query_id", LongType(), False),
+    StructField("term", StringType(), False),
+    StructField("qw", DoubleType(), False),
+])
+
+
+def embed_queries(spark: SparkSession, index: InvertedIndex,
+                  queries: list[str]) -> DataFrame:
+    """Queries → (query_id, term, qw) with qw the L2-normalized
+    pseudo-document weight computed from corpus stats (dtv.jl:29-41).
+
+    Stats for the union of query terms are fetched with ONE filtered
+    read of the terms table (Catalyst pushes the isin filter into the
+    scan) — never a full-dictionary collect."""
+    cfg = index.cfg
+    tokenized = [prepare_and_tokenize(q, cfg) for q in queries]
+    all_terms = sorted({t for toks in tokenized for t in toks})
+    if not all_terms:
+        return spark.createDataFrame([], QTERMS_SCHEMA)
+    stats = {r["term"]: r["df"] for r in
+             index.terms.where(F.col("term").isin(all_terms))
+                        .select("term", "df").collect()}
+    n_docs, avgdl = float(index.meta["n_docs"]), index.meta["avgdl"]
+    rows = []
+    for qid, toks in enumerate(tokenized):
+        counts: dict[str, int] = {}
+        for t in toks:
+            if t in stats:
+                counts[t] = counts.get(t, 0) + 1
+        qlen = float(sum(counts.values()))
+        if qlen == 0.0:
+            continue  # OOV-only ⇒ no rows ⇒ no hits
+        ws = {}
+        for t, c in counts.items():
+            if cfg.weighting == "count":
+                ws[t] = float(c)
+            elif cfg.weighting == "tf":
+                ws[t] = tf_weight(c, qlen)
+            elif cfg.weighting == "tfidf":
+                ws[t] = tf_weight(c, qlen) * idf_weight(n_docs, stats[t])
+            else:
+                ws[t] = bm25_weight(c, qlen, avgdl, n_docs, stats[t],
+                                    kappa=cfg.kappa, beta=cfg.beta)
+        nrm = math.sqrt(sum(w * w for w in ws.values()))
+        for t, w in ws.items():
+            rows.append((qid, t, w / nrm if nrm > 0 else 0.0))
+    return spark.createDataFrame(rows, QTERMS_SCHEMA)
+
+
+def topk_plan(index: InvertedIndex, qterms: DataFrame, k: int,
+              tiebreak_round: int | None = None,
+              pad_to_k: bool = True) -> DataFrame:
+    """The scoring DAG on the flat postings table → (query_id, doc_id,
+    score, rank).  ``tiebreak_round`` rounds the score before ranking so
+    cross-engine float noise cannot flip near-ties (used by the DuckDB
+    parity harness; rank identity vs the oracle uses exact floats).
+
+    ``pad_to_k`` replicates the reference's dense-knn fill semantics:
+    ``NaiveIndex`` dots the query against EVERY document
+    (src/index/naive.jl:15-32), so zero-overlap docs score
+    ``1 − tanh(α·1)`` and pad the top-k (tie order: ascending doc_id,
+    sortperm stability).  Since cosine ≥ 0, every matching doc outranks
+    every non-matching doc, so padding needs only the globally lowest
+    ``2k`` doc_ids (≤ k of which can be displaced by matches) — a tiny
+    ``limit`` scan, not a full-corpus score."""
+    cfg = index.cfg
+    hits = (F.broadcast(qterms)
+            .join(index.postings.select("term", "doc_id", "wnorm"), "term")
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum(F.col("qw") * F.col("wnorm")).alias("cos")))
+    if pad_to_k:
+        qids = qterms.select("query_id").distinct()
+        low = index.docs.orderBy("doc_id").limit(2 * k).select("doc_id")
+        pad = (qids.crossJoin(low)
+               .join(hits.select("query_id", "doc_id"),
+                     ["query_id", "doc_id"], "left_anti")
+               .withColumn("cos", F.lit(0.0)))
+        hits = hits.unionByName(pad)
+    score = score_transform_expr(F.lit(1.0) - F.col("cos"), cfg.score_alpha)
+    hits = hits.withColumn("score", score)
+    rank_on = (F.round(F.col("score"), tiebreak_round)
+               if tiebreak_round is not None else F.col("score"))
+    w = Window.partitionBy("query_id").orderBy(rank_on.desc(),
+                                               F.col("doc_id").asc())
+    return (hits.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "doc_id", "score", "rank"))
+
+
+def search(spark: SparkSession, index: InvertedIndex, queries: list[str],
+           k: int = 10, hydrate: bool = True,
+           tiebreak_round: int | None = None,
+           pad_to_k: bool = True) -> DataFrame:
+    """Batched top-k search; optionally hydrates doc metadata (J2)."""
+    qterms = embed_queries(spark, index, queries)
+    hits = topk_plan(index, qterms, k, tiebreak_round, pad_to_k)
+    if not hydrate:
+        return hits
+    # J2 result hydration: hits are ≤ |queries|·k rows — broadcast them
+    return (index.docs.join(F.broadcast(hits), "doc_id")
+            .select("query_id", "doc_id", "score", "rank",
+                    *[c for c in index.docs.columns if c != "doc_id"]))

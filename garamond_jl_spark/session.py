@@ -1,0 +1,34 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Single place where shuffle/AQE/Arrow knobs are set so tests, bench, and
+the entry module run identical configs.  On a real cluster the same
+builder is driven by spark-submit conf; nothing here is local-mode-only.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "garamond-spark", cpus: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    return (
+        SparkSession.builder
+        .appName(app)
+        .master(f"local[{cpus}]")
+        # AQE: runtime coalescing + skew-join splitting (SURVEY.md §4.2)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow everywhere: pandas UDFs are the only Python in the plan
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

@@ -1,0 +1,104 @@
+"""Rank identity: Spark engine vs NumPy reference-semantics oracle
+(BASELINE.md 'rank identity' target; SURVEY.md §5.2.3).
+
+Protocol: identical corpus (per-row deterministic synthesizer), identical
+query set (incl. OOV-only queries ⇒ 0 hits), compare per query:
+* top-k doc_id sequences identical,
+* scores equal within Float32 tolerance (atol 1e-5),
+* every returned document's content_sha256 matches the source row
+  (per-row invariant, BASELINE.json input_hint).
+"""
+
+import hashlib
+
+import pytest
+
+from garamond_jl_spark.config import EngineConfig, TEST_SCORE_ALPHA
+from garamond_jl_spark.corpus import corpus_df, generate_corpus, query_set
+from garamond_jl_spark.operators.build import build_index
+from garamond_jl_spark.operators.query import search
+from garamond_jl_spark.oracle import OracleIndex
+
+N_DOCS = 150
+K = 10
+CFG = EngineConfig(score_alpha=TEST_SCORE_ALPHA)
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    rows = generate_corpus(N_DOCS, seed=42)
+    df = corpus_df(spark, N_DOCS, seed=42, partitions=4)
+    index = build_index(spark, df, CFG, id_col=None)
+    # The reference's linear id IS the table position (db.jl:47-55), and
+    # stable-sort ties break by position (naive.jl:30) — so the oracle
+    # must see documents in engine doc_id order.  Map corpus rows to the
+    # engine's deterministically assigned ids via content_sha256.
+    id_rows = index.docs.select("doc_id", "content_sha256").collect()
+    sha2docid = {r["content_sha256"]: r["doc_id"] for r in id_rows}
+    ordered = sorted(rows, key=lambda r: sha2docid[r["content_sha256"]])
+    oracle = OracleIndex([r["content"] for r in ordered], CFG)
+    sha_by_id = {sha2docid[r["content_sha256"]]: r["content_sha256"] for r in rows}
+    content_by_id = {sha2docid[r["content_sha256"]]: r["content"] for r in rows}
+    return index, oracle, sha_by_id, content_by_id
+
+
+def test_dense_stable_ids(built):
+    index, _, _, _ = built
+    ids = sorted(r["doc_id"] for r in built[0].docs.select("doc_id").collect())
+    assert ids == list(range(N_DOCS))  # dense 0..n-1 (db.jl:47-55 contract)
+
+
+def test_rank_identity_full_query_set(spark, built):
+    index, oracle, sha_by_id, content_by_id = built
+    queries = query_set(seed=42, n=24)
+    got = search(spark, index, queries, k=K, hydrate=True).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    checked_nonempty = 0
+    for qid, q in enumerate(queries):
+        expected = oracle.search(q, K)
+        actual = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in actual] == [d for d, _ in expected], \
+            f"doc-id sequence mismatch for query {qid!r}: {q!r}"
+        for r, (_, s) in zip(actual, expected):
+            assert r["score"] == pytest.approx(s, abs=1e-5)
+            # per-row content_sha256 invariant on every returned doc
+            assert r["content_sha256"] == sha_by_id[r["doc_id"]]
+            assert hashlib.sha256(content_by_id[r["doc_id"]].encode()) \
+                .hexdigest() == r["content_sha256"]
+        if expected:
+            checked_nonempty += 1
+    assert checked_nonempty >= 15  # query set is mostly in-vocab
+
+
+def test_oov_only_queries_empty(spark, built):
+    index, oracle, _, _ = built
+    res = search(spark, index, ["zzz_not_in_vocab", ""], k=K, hydrate=False)
+    assert res.count() == 0
+
+
+def test_weighting_schemes_rank_identity(spark, built):
+    """count/tf/tfidf schemes also rank-identical (embedder cartesian,
+    test/embedder.jl:15-49 analog)."""
+    rows = generate_corpus(60, seed=7)
+    for scheme in ("count", "tf", "tfidf"):
+        cfg = EngineConfig(weighting=scheme, score_alpha=0.5)
+        df = corpus_df(spark, 60, seed=7, partitions=2)
+        index = build_index(spark, df, cfg, id_col=None)
+        id_rows = index.docs.select("doc_id", "content_sha256").collect()
+        sha2id = {r["content_sha256"]: r["doc_id"] for r in id_rows}
+        ordered = sorted(rows, key=lambda r: sha2id[r["content_sha256"]])
+        oracle = OracleIndex([r["content"] for r in ordered], cfg)
+        qs = ["main run data", "parse_0 value"]
+        got = search(spark, index, qs, k=5, hydrate=False).collect()
+        by_q: dict[int, list] = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for qid, q in enumerate(qs):
+            exp = oracle.search(q, 5)
+            act = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+            assert [r["doc_id"] for r in act] == [d for d, _ in exp], \
+                f"{scheme}: mismatch for {q!r}"
+            for r, (_, s) in zip(act, exp):
+                assert r["score"] == pytest.approx(s, abs=1e-5)
