@@ -1,38 +1,52 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship BM25 top-k over sf0.001 documents.
+``queries()`` / ``oracle_sql()`` — operator registry with DuckDB-parity
+oracles, assembled from:
+
+* garamond_jl_spark.plans.testdata_queries  (full-text core, filters,
+  joins, aggregations, sorts/top-k, scalar fns — SURVEY.md §2)
+* garamond_jl_spark.plans.pipeline_queries  (training-data pipeline ops:
+  dedup family, similarity search, text analysis)
+
+Column-naming rule: every computed column is aliased identically in the
+Spark program and the SQL so the driver's sorted-column value hash
+matches; float measures leave as round(x·1e6) BIGINT.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: batched BM25 top-k with
+    hydrated metadata (SURVEY.md §3.1 plan)."""
+    from garamond_jl_spark.operators.query import search
+    from garamond_jl_spark.plans.testdata_queries import FT_CFG, _ft_index
+
+    idx = _ft_index(spark, "/root/testdata/sf0.001")
+    return search(spark, idx, ["spark join data", "window batch merge"],
+                  k=10, hydrate=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from garamond_jl_spark.plans import pipeline_queries, testdata_queries
+    out: dict[str, Callable] = {}
+    out.update(testdata_queries.QUERIES)
+    out.update(pipeline_queries.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from garamond_jl_spark.plans import pipeline_queries, testdata_queries
+    out: dict[str, str] = {}
+    out.update(testdata_queries.ORACLES)
+    out.update(pipeline_queries.ORACLES)
+    return out

@@ -120,19 +120,24 @@ def assign_dense_ids(df: DataFrame, order_cols: list[str],
 
 def tokenize_to_postings(docs: DataFrame, cfg: EngineConfig,
                          id_col: str = "doc_id",
-                         text_col: str = "content") -> DataFrame:
+                         text_col: str = "content",
+                         tokenizer=None) -> DataFrame:
     """Stage 1: doc-local term counting in one Arrow pass (no shuffle).
 
     Equivalent relational plan would be ``explode → groupBy(term,
     doc_id)`` (shuffle); counting inside the document avoids it entirely
     because tf(t, d) only needs d's own tokens.
+
+    ``tokenizer``: optional ``str -> list[str]`` override (default: the
+    canonical prepare+tokenize pipeline under ``cfg``).
     """
+    tok = tokenizer or (lambda s: prepare_and_tokenize(s, cfg))
 
     def count_terms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             out_term, out_doc, out_tf, out_len = [], [], [], []
             for doc_id, text in zip(b[id_col], b[text_col]):
-                toks = prepare_and_tokenize(text, cfg)
+                toks = tok(text)
                 counts: dict[str, int] = {}
                 for t in toks:
                     counts[t] = counts.get(t, 0) + 1
@@ -239,7 +244,7 @@ def build_index(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
                 id_col: str | None = "doc_id", text_col: str = "content",
                 carry_cols: list[str] | None = None,
                 with_blocks: bool = False,
-                tokenizer_postings: DataFrame | None = None) -> InvertedIndex:
+                tokenizer=None) -> InvertedIndex:
     """In-memory (lazy) build — the test/query-dev path.  The persistent,
     checkpoint-resumable variant is :func:`build_persistent`."""
     if id_col is None:
@@ -247,8 +252,7 @@ def build_index(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
         id_col = "doc_id"
     if carry_cols is None:
         carry_cols = [c for c in docs.columns if c not in (id_col, text_col)]
-    postings = tokenizer_postings if tokenizer_postings is not None \
-        else tokenize_to_postings(docs, cfg, id_col, text_col)
+    postings = tokenize_to_postings(docs, cfg, id_col, text_col, tokenizer)
     postings = postings.persist()
     n_docs = docs.count()
     agg = postings.groupBy("doc_id").agg(F.first("doclen").alias("dl")) \

@@ -1,0 +1,597 @@
+"""Driver-contract parity queries (relational + full-text core).
+
+Each entry pairs a Spark DataFrame program with an ANSI-SQL oracle that
+DuckDB runs on the same parquet tables (driver contract in
+``__spark_entry__.py``).  Operator coverage follows SURVEY.md §2; each
+function cites the reference operator it implements.
+
+Cross-engine determinism rules used throughout:
+
+* float outputs leave the query as ``*_e6`` / ``*_c`` BIGINT columns
+  (``round(x·10^6)``) — integer value-hashes are immune to float
+  formatting differences;
+* every ranked output ranks on the ROUNDED score with an id tiebreak, so
+  last-ulp float noise between engines cannot flip near-ties;
+* row_number outputs are cast to BIGINT on the Spark side (Spark emits
+  int, DuckDB bigint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from garamond_jl_spark.config import EngineConfig
+from garamond_jl_spark.operators.build import build_index
+from garamond_jl_spark.operators.query import search
+from garamond_jl_spark.sources.tables import load_testdata
+
+# documents-table full-text config: whitespace tokens (text is already
+# clean, and the DuckDB oracle splits with string_split(text, ' ')),
+# reference test alpha 0.4 (test/configs/configgenerator.jl:46).
+FT_CFG = EngineConfig(score_alpha=0.4)
+FT_QUERY = "spark join data"
+FT_QUERY2 = "window batch merge"
+FT_K = 10
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return reg
+
+
+def e6(col: Column) -> Column:
+    return F.round(col * F.lit(1e6), 0).cast("long")
+
+
+def cents(col: Column) -> Column:
+    return F.round(col * F.lit(100), 0).cast("long")
+
+
+def _ft_index(spark: SparkSession, sf_dir: str):
+    docs = load_testdata(spark, sf_dir, "documents")
+    return build_index(spark, docs, FT_CFG, id_col="doc_id", text_col="text",
+                       tokenizer=lambda s: [t for t in (s or "").split(" ") if t])
+
+
+# SQL fragments shared by the full-text oracles: the same inverted-index
+# statistics pipeline expressed relationally (what the engine computes
+# distributed, DuckDB computes here single-node).
+FT_STATS_CTE = """
+tok AS (
+  SELECT d.doc_id, t.term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS cnt FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(cnt) AS doclen FROM tf GROUP BY 1),
+stat AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(doclen) FROM dl) / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+w AS (
+  SELECT f.doc_id, f.term, f.cnt, l.doclen,
+         (ln(s.n / (d.df + 1)) + 1)
+         * ((2.0 + 1) * sqrt(f.cnt / greatest(l.doclen, 1.0)))
+         / (2.0 * (1 - 0.75 + 0.75 * l.doclen / s.avgdl)
+            + sqrt(f.cnt / greatest(l.doclen, 1.0))) AS w
+  FROM tf f JOIN dl l USING (doc_id) JOIN dfreq d USING (term) CROSS JOIN stat s
+),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1)
+"""
+
+
+def _ft_oracle_sql(query_terms: list[str], k: int) -> str:
+    vals = ", ".join(f"('{t}')" for t in query_terms)
+    return f"""
+WITH {FT_STATS_CTE},
+qraw AS (SELECT term FROM (VALUES {vals}) AS q(term)),
+qtf AS (
+  SELECT q.term, count(*)::DOUBLE AS cnt FROM qraw q
+  JOIN dfreq USING (term) GROUP BY 1
+),
+qst AS (SELECT coalesce(sum(cnt), 0) AS qlen FROM qtf),
+qw AS (
+  SELECT t.term,
+         (ln(s.n / (d.df + 1)) + 1)
+         * ((2.0 + 1) * sqrt(t.cnt / greatest(q.qlen, 1.0)))
+         / (2.0 * (1 - 0.75 + 0.75 * q.qlen / s.avgdl)
+            + sqrt(t.cnt / greatest(q.qlen, 1.0))) AS wq
+  FROM qtf t JOIN dfreq d USING (term) CROSS JOIN stat s CROSS JOIN qst q
+),
+qn AS (SELECT sqrt(sum(wq * wq)) AS qn FROM qw),
+sc AS (
+  SELECT w.doc_id, sum((w.w / n.nrm) * (qw.wq / (SELECT qn FROM qn))) AS cosv
+  FROM w JOIN nrm n USING (doc_id) JOIN qw USING (term) GROUP BY 1
+)
+SELECT doc_id,
+       cast(round((2 / (exp(2 * 0.4 * (1 - cosv)) + 1)) * 1e6) AS BIGINT) AS score_e6,
+       row_number() OVER (ORDER BY round(2 / (exp(2 * 0.4 * (1 - cosv)) + 1), 6) DESC,
+                          doc_id ASC) AS rnk
+FROM sc
+QUALIFY rnk <= {k}
+"""
+
+
+# --------------------------------------------------------------------------
+# Full-text core (flagship + statistics operators)
+# --------------------------------------------------------------------------
+
+@q("fulltext_bm25_topk", _ft_oracle_sql(FT_QUERY.split(), FT_K))
+def fulltext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship: J4 score join + A5 BM25 + F11 transform + T1 top-k."""
+    idx = _ft_index(spark, sf_dir)
+    hits = search(spark, idx, [FT_QUERY], k=FT_K, hydrate=False,
+                  tiebreak_round=6, pad_to_k=False)
+    return hits.select("doc_id", e6(F.col("score")).alias("score_e6"),
+                       F.col("rank").cast("long").alias("rnk"))
+
+
+@q("fulltext_oov_empty", "SELECT CAST(NULL AS BIGINT) AS doc_id, "
+                         "CAST(NULL AS BIGINT) AS score_e6 WHERE FALSE")
+def fulltext_oov_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOV-only query ⇒ zero rows (is_embedded gate, dtv.jl:53-58)."""
+    idx = _ft_index(spark, sf_dir)
+    hits = search(spark, idx, ["zzzz_not_in_vocab qqqq"], k=5, hydrate=False)
+    return hits.select("doc_id", e6(F.col("score")).alias("score_e6"))
+
+
+@q("fulltext_doclen", """
+WITH tok AS (
+  SELECT d.doc_id, t.term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(term)
+  WHERE t.term <> ''
+)
+SELECT doc_id, count(*) AS doclen FROM tok GROUP BY 1
+""")
+def fulltext_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 per-doc length from the postings build (doc-local counting)."""
+    idx = _ft_index(spark, sf_dir)
+    return (idx.postings.groupBy("doc_id")
+            .agg(F.first("doclen").cast("long").alias("doclen")))
+
+
+@q("fulltext_term_df", """
+WITH tok AS (
+  SELECT d.doc_id, t.term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(term)
+  WHERE t.term <> ''
+)
+SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+""")
+def fulltext_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A7 dictionary document frequencies (salted two-stage agg)."""
+    idx = _ft_index(spark, sf_dir)
+    return idx.terms.select("term", F.col("df").cast("long").alias("df"))
+
+
+@q("fulltext_idf", """
+WITH tok AS (
+  SELECT d.doc_id, t.term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1)
+SELECT term,
+       cast(round((ln((SELECT count(*) FROM documents)::DOUBLE / (df + 1)) + 1) * 1e6)
+            AS BIGINT) AS idf_e6
+FROM dfreq
+""")
+def fulltext_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 idf = log(n/(df+1)) + 1 [SA-public]."""
+    idx = _ft_index(spark, sf_dir)
+    return idx.terms.select("term", e6(F.col("idf")).alias("idf_e6"))
+
+
+@q("fulltext_bm25_weights", f"""
+WITH {FT_STATS_CTE}
+SELECT term, doc_id, cast(round(w * 1e6) AS BIGINT) AS w_e6
+FROM w WHERE term IN ('spark', 'join', 'data')
+""")
+def fulltext_bm25_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 per-cell Okapi BM25 weights (κ=2, β=0.75) as JVM expressions."""
+    idx = _ft_index(spark, sf_dir)
+    return (idx.postings.where(F.col("term").isin("spark", "join", "data"))
+            .select("term", "doc_id", e6(F.col("w")).alias("w_e6")))
+
+
+@q("fulltext_tfidf_weights", """
+WITH tok AS (
+  SELECT d.doc_id, t.term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS cnt FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(cnt) AS doclen FROM tf GROUP BY 1),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1)
+SELECT f.term, f.doc_id,
+       cast(round(sqrt(f.cnt / greatest(l.doclen, 1.0))
+                  * (ln((SELECT count(*) FROM documents)::DOUBLE / (d.df + 1)) + 1)
+                  * 1e6) AS BIGINT) AS w_e6
+FROM tf f JOIN dl l USING (doc_id) JOIN dfreq d USING (term)
+WHERE f.term IN ('spark', 'join', 'data')
+""")
+def fulltext_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 tf-idf weighting scheme (same build, tfidf config)."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    cfg = EngineConfig(weighting="tfidf")
+    idx = build_index(spark, docs, cfg, id_col="doc_id", text_col="text",
+                      tokenizer=lambda s: [t for t in (s or "").split(" ") if t])
+    return (idx.postings.where(F.col("term").isin("spark", "join", "data"))
+            .select("term", "doc_id", e6(F.col("w")).alias("w_e6")))
+
+
+@q("fulltext_corpus_stats", """
+WITH tok AS (
+  SELECT d.doc_id, t.term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY 1)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       cast(round((SELECT sum(doclen) FROM tf)
+                  / (SELECT count(*) FROM documents)::DOUBLE * 1e6) AS BIGINT)
+       AS avgdl_e6
+""")
+def fulltext_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 scalar corpus statistics (n_docs, avg doclen)."""
+    idx = _ft_index(spark, sf_dir)
+    return spark.createDataFrame(
+        [(idx.meta["n_docs"], int(round(idx.meta["avgdl"] * 1e6)))],
+        "n_docs BIGINT, avgdl_e6 BIGINT")
+
+
+@q("fulltext_vocab_intersect", """
+WITH vocab AS (
+  SELECT DISTINCT t.term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(term)
+  WHERE t.term <> ''
+)
+SELECT q.term, (v.term IS NOT NULL) AS in_vocab
+FROM (VALUES ('spark'), ('join'), ('zzzz_nope'), ('window')) AS q(term)
+LEFT JOIN vocab v USING (term)
+""")
+def fulltext_vocab_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/U1 missing_needles: query tokens ∩/∖ vocabulary
+    (src/search/index.jl:140-147)."""
+    idx = _ft_index(spark, sf_dir)
+    probe = spark.createDataFrame(
+        [("spark",), ("join",), ("zzzz_nope",), ("window",)], "term STRING")
+    return (probe.join(idx.terms.select("term", F.lit(True).alias("hit")),
+                       "term", "left")
+            .select("term", F.coalesce("hit", F.lit(False)).alias("in_vocab")))
+
+
+# --------------------------------------------------------------------------
+# Filters (P3-P11) on the TPC-H-ish tables
+# --------------------------------------------------------------------------
+
+@q("filter_eq",
+   "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'")
+def filter_eq(spark, sf_dir):
+    """P3 equality filter (filter.jl:15)."""
+    c = load_testdata(spark, sf_dir, "customer")
+    return c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+
+
+@q("filter_in_set",
+   "SELECT o_orderkey FROM orders "
+   "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')")
+def filter_in_set(spark, sf_dir):
+    """P4 set membership (filter.jl:17)."""
+    o = load_testdata(spark, sf_dir, "orders")
+    return o.where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")) \
+            .select("o_orderkey")
+
+
+@q("filter_contains_any",
+   "SELECT p_partkey, p_type FROM part "
+   "WHERE contains(p_type, 'ECO') OR contains(p_type, 'PRO')")
+def filter_contains_any(spark, sf_dir):
+    """P5 any-substring over a string tuple (filter.jl:19-20)."""
+    p = load_testdata(spark, sf_dir, "part")
+    pred = F.col("p_type").contains("ECO") | F.col("p_type").contains("PRO")
+    return p.where(pred).select("p_partkey", "p_type")
+
+
+@q("filter_interval",
+   "SELECT l_orderkey, l_linenumber FROM lineitem "
+   "WHERE l_quantity BETWEEN 10 AND 20")
+def filter_interval(spark, sf_dir):
+    """P6 closed interval from a 2-vector (filter.jl:22-31)."""
+    li = load_testdata(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_quantity").between(10, 20)) \
+             .select("l_orderkey", "l_linenumber")
+
+
+@q("filter_conjunction",
+   "SELECT l_orderkey, l_linenumber FROM lineitem "
+   "WHERE l_returnflag = 'R' AND l_quantity BETWEEN 5 AND 15 "
+   "AND l_discount > 0.05")
+def filter_conjunction(spark, sf_dir):
+    """P7 conjunction of per-key predicates (filter.jl:53-58)."""
+    li = load_testdata(spark, sf_dir, "lineitem")
+    return (li.where((F.col("l_returnflag") == "R")
+                     & F.col("l_quantity").between(5, 15)
+                     & (F.col("l_discount") > 0.05))
+            .select("l_orderkey", "l_linenumber"))
+
+
+@q("filter_exclude_id",
+   "SELECT c_custkey FROM customer "
+   "WHERE c_mktsegment = 'MACHINERY' AND c_custkey <> 42")
+def filter_exclude_id(spark, sf_dir):
+    """P9 seed-id exclusion (filter.jl:61, recommenders/search.jl:11)."""
+    c = load_testdata(spark, sf_dir, "customer")
+    return (c.where((F.col("c_mktsegment") == "MACHINERY")
+                    & (F.col("c_custkey") != 42))
+            .select("c_custkey"))
+
+
+@q("entry_lookup",
+   "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders "
+   "WHERE o_orderkey = 7 LIMIT 1")
+def entry_lookup(spark, sf_dir):
+    """P11 db_select_entry by id (db.jl:60-71)."""
+    o = load_testdata(spark, sf_dir, "orders")
+    return (o.where(F.col("o_orderkey") == 7).limit(1)
+            .select("o_orderkey", "o_custkey", "o_orderstatus"))
+
+
+# --------------------------------------------------------------------------
+# Joins (J1-J2), set ops (U1, U3)
+# --------------------------------------------------------------------------
+
+@q("semi_join_ids",
+   "SELECT c_custkey FROM customer WHERE c_custkey IN "
+   "(SELECT o_custkey FROM orders WHERE o_totalprice > 300000)")
+def semi_join_ids(spark, sf_dir):
+    """J1 db_select_idxs_from_values = semi-join + projection (db.jl:75-77)."""
+    c = load_testdata(spark, sf_dir, "customer")
+    o = load_testdata(spark, sf_dir, "orders")
+    big = o.where(F.col("o_totalprice") > 300000).select("o_custkey")
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi") \
+            .select("c_custkey")
+
+
+@q("hydrate_join", """
+WITH top AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders QUALIFY rnk <= 20
+)
+SELECT t.o_orderkey, c.c_name,
+       cast(round(t.o_totalprice * 100) AS BIGINT) AS price_c, t.rnk
+FROM top t JOIN customer c ON c.c_custkey = t.o_custkey
+""")
+def hydrate_join(spark, sf_dir):
+    """J2 result hydration: top-k hits ⋈ docs, broadcast the hit side
+    (results.jl:219-223)."""
+    c = load_testdata(spark, sf_dir, "customer")
+    o = load_testdata(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    top = (o.withColumn("rnk", F.row_number().over(w).cast("long"))
+           .where(F.col("rnk") <= 20))
+    return (c.join(F.broadcast(top), c.c_custkey == top.o_custkey)
+            .select("o_orderkey", "c_name",
+                    cents(F.col("o_totalprice")).alias("price_c"), "rnk"))
+
+
+@q("anti_join_missing",
+   "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+   "(SELECT o_custkey FROM orders)")
+def anti_join_missing(spark, sf_dir):
+    """U1 setdiff as left_anti (index.jl:145 analog)."""
+    c = load_testdata(spark, sf_dir, "customer")
+    o = load_testdata(spark, sf_dir, "orders")
+    return c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey,
+                  "left_anti").select("c_custkey")
+
+
+@q("union_distinct",
+   "SELECT c_nationkey AS nationkey FROM customer UNION "
+   "SELECT s_nationkey AS nationkey FROM supplier")
+def union_distinct(spark, sf_dir):
+    """U3 union + unique across searchers (results.jl:85,163)."""
+    c = load_testdata(spark, sf_dir, "customer")
+    s = load_testdata(spark, sf_dir, "supplier")
+    return (c.select(F.col("c_nationkey").alias("nationkey"))
+            .union(s.select(F.col("s_nationkey").alias("nationkey")))
+            .distinct())
+
+
+# --------------------------------------------------------------------------
+# Aggregations (A2/A6 analogs), sorts/top-k (T1/T3/T4), windows
+# --------------------------------------------------------------------------
+
+@q("groupby_agg", """
+SELECT l_returnflag, l_linestatus,
+       sum(cast(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+       sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_c,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""")
+def groupby_agg(spark, sf_dir):
+    """A1-shape grouped aggregation with partial (map-side) combine.
+    Measures are rounded to integer cents PER ROW before summing so the
+    accumulation is exact integer math — float sum order across engines
+    can otherwise straddle a rounding boundary."""
+    li = load_testdata(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(cents(F.col("l_quantity"))).alias("sum_qty_c"),
+                 F.sum(cents(F.col("l_extendedprice"))).alias("sum_price_c"),
+                 F.count("*").alias("n_rows")))
+
+
+@q("result_merge_mean", f"""
+WITH {FT_STATS_CTE},
+mkq AS (
+  SELECT 1 AS sid, term FROM (VALUES ('spark'), ('join'), ('data')) AS a(term)
+  UNION ALL
+  SELECT 2 AS sid, term FROM (VALUES ('window'), ('batch'), ('merge')) AS b(term)
+),
+qtf AS (
+  SELECT m.sid, m.term, count(*)::DOUBLE AS cnt FROM mkq m
+  JOIN dfreq USING (term) GROUP BY 1, 2
+),
+qst AS (SELECT sid, sum(cnt) AS qlen FROM qtf GROUP BY 1),
+qw AS (
+  SELECT t.sid, t.term,
+         (ln(s.n / (d.df + 1)) + 1)
+         * ((2.0 + 1) * sqrt(t.cnt / greatest(q.qlen, 1.0)))
+         / (2.0 * (1 - 0.75 + 0.75 * q.qlen / s.avgdl)
+            + sqrt(t.cnt / greatest(q.qlen, 1.0))) AS wq
+  FROM qtf t JOIN dfreq d USING (term) CROSS JOIN stat s
+  JOIN qst q ON q.sid = t.sid
+),
+qn AS (SELECT sid, sqrt(sum(wq * wq)) AS qn FROM qw GROUP BY 1),
+sc AS (
+  SELECT qw.sid, w.doc_id,
+         2 / (exp(2 * 0.4 * (1 - sum((w.w / n.nrm) * (qw.wq / qn.qn)))) + 1) AS score
+  FROM w JOIN nrm n USING (doc_id) JOIN qw USING (term)
+  JOIN qn ON qn.sid = qw.sid
+  GROUP BY 1, 2
+),
+agg AS (SELECT doc_id, avg(0.8 * score) AS s FROM sc GROUP BY 1)
+SELECT doc_id, cast(round(s * 1e6) AS BIGINT) AS agg_score_e6,
+       row_number() OVER (ORDER BY round(s, 6) DESC, doc_id ASC) AS rnk
+FROM agg WHERE s > 0 QUALIFY rnk <= 15
+""")
+def result_merge_mean(spark, sf_dir):
+    """A6 multi-searcher aggregation: two scored result sets unioned,
+    weighted by score_weight=0.8, mean-reduced, zero-dropped, re-sorted,
+    trimmed (results.jl:54-145; default strategy :mean, defaults.jl:29)."""
+    idx = _ft_index(spark, sf_dir)
+    h1 = search(spark, idx, [FT_QUERY], k=1 << 30, hydrate=False,
+                pad_to_k=False).withColumn("sid", F.lit(1))
+    h2 = search(spark, idx, [FT_QUERY2], k=1 << 30, hydrate=False,
+                pad_to_k=False).withColumn("sid", F.lit(2))
+    merged = (h1.unionByName(h2)
+              .groupBy("doc_id")
+              .agg(F.avg(F.lit(0.8) * F.col("score")).alias("s"))
+              .where(F.col("s") > 0))
+    w = Window.orderBy(F.round(F.col("s"), 6).desc(), F.col("doc_id").asc())
+    return (merged.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .where(F.col("rnk") <= 15)
+            .select("doc_id", e6(F.col("s")).alias("agg_score_e6"), "rnk"))
+
+
+@q("topk_orders", """
+SELECT o_orderkey, cast(round(o_totalprice * 100) AS BIGINT) AS price_c
+FROM orders
+QUALIFY row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) <= 20
+""")
+def topk_orders(spark, sf_dir):
+    """T1 exact top-k with stable id tiebreak (naive.jl:21-31)."""
+    o = load_testdata(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (o.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= 20)
+            .select("o_orderkey", cents(F.col("o_totalprice")).alias("price_c")))
+
+
+@q("filter_sort_page", """
+SELECT c_custkey, cast(round(c_acctbal * 100) AS BIGINT) AS bal_c, rnk
+FROM (
+  SELECT c_custkey, c_acctbal,
+         row_number() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+  FROM customer WHERE c_mktsegment = 'HOUSEHOLD'
+) WHERE rnk BETWEEN 11 AND 20
+""")
+def filter_sort_page(spark, sf_dir):
+    """T3 filter-sort + T4 pagination (filter.jl:47-51, results.jl:34-41;
+    response_page offset windowing, parse_and_eval.jl:44-48)."""
+    c = load_testdata(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (c.where(F.col("c_mktsegment") == "HOUSEHOLD")
+            .withColumn("rnk", F.row_number().over(w).cast("long"))
+            .where(F.col("rnk").between(11, 20))
+            .select("c_custkey", cents(F.col("c_acctbal")).alias("bal_c"), "rnk"))
+
+
+@q("window_topk_per_group", """
+SELECT o_custkey, o_orderkey, rnk FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders WHERE o_custkey < 50
+) WHERE rnk <= 3
+""")
+def window_topk_per_group(spark, sf_dir):
+    """§2.5 per-group top-k window — the multi-query top-k primitive."""
+    o = load_testdata(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(),
+                                                F.col("o_orderkey").asc())
+    return (o.where(F.col("o_custkey") < 50)
+            .withColumn("rnk", F.row_number().over(w).cast("long"))
+            .where(F.col("rnk") <= 3)
+            .select("o_custkey", "o_orderkey", "rnk"))
+
+
+# --------------------------------------------------------------------------
+# Scalar functions (F6, F11, F13), streaming-analog batch window
+# --------------------------------------------------------------------------
+
+@q("score_transform",
+   "SELECT event_id, cast(round((2 / (exp(2 * 0.4 * value) + 1)) * 1e6) AS BIGINT) "
+   "AS s_e6 FROM events WHERE event_type = 'click'")
+def score_transform(spark, sf_dir):
+    """F11 score = 1 − tanh(α·dist) (src/search/index.jl:186-202)."""
+    ev = load_testdata(spark, sf_dir, "events")
+    return (ev.where(F.col("event_type") == "click")
+            .select("event_id",
+                    e6(F.lit(1.0) - F.tanh(F.lit(0.4) * F.col("value")))
+                    .alias("s_e6")))
+
+
+@q("chop_to_length",
+   "SELECT c_custkey, CASE WHEN length(c_name) > 12 "
+   "THEN substring(c_name, 1, 12) || '...' ELSE c_name END AS chopped "
+   "FROM customer WHERE c_custkey <= 100")
+def chop_to_length(spark, sf_dir):
+    """F6 chop_to_length display truncation (src/data/text.jl:81-91)."""
+    c = load_testdata(spark, sf_dir, "customer")
+    return (c.where(F.col("c_custkey") <= 100)
+            .select("c_custkey",
+                    F.when(F.length("c_name") > 12,
+                           F.concat(F.substring("c_name", 1, 12), F.lit("...")))
+                    .otherwise(F.col("c_name")).alias("chopped")))
+
+
+@q("make_a_string",
+   "SELECT o_orderkey, cast(cast(round(o_totalprice) AS BIGINT) AS VARCHAR) "
+   "AS price_str FROM orders WHERE o_orderkey <= 200")
+def make_a_string(spark, sf_dir):
+    """F13 make_a_string scalar stringify (db.jl:41-43); integer-cast
+    first since float→string formatting is engine-specific."""
+    o = load_testdata(spark, sf_dir, "orders")
+    return (o.where(F.col("o_orderkey") <= 200)
+            .select("o_orderkey",
+                    F.round(F.col("o_totalprice"), 0).cast("long")
+                    .cast("string").alias("price_str")))
+
+
+@q("events_tumbling_window", """
+SELECT user_id, cast(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
+       count(*) AS n, sum(cast(round(value * 1e6) AS BIGINT)) AS sum_value_e6
+FROM events GROUP BY 1, 2
+""")
+def events_tumbling_window(spark, sf_dir):
+    """§2.9 streaming analog: tumbling-window aggregation expressed in
+    batch (the Structured Streaming job uses the same window expr);
+    per-row integer rounding before the sum (see groupby_agg)."""
+    ev = load_testdata(spark, sf_dir, "events")
+    return (ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("_w"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(e6(F.col("value"))).alias("sum_value_e6"))
+            .select("user_id",
+                    F.unix_timestamp("_w").cast("long").alias("win_start"),
+                    "n", "sum_value_e6"))
