@@ -1,0 +1,113 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline workload at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-phase sec...}, "sf": ...,
+     "derived": {build docs/s, query q/s, ...}}
+
+Workload (mirrors BASELINE.md targets):
+
+* build_docs        — inverted-index build over the sf documents table
+* query_batch       — 100 BM25 top-10 queries, one batched job
+* build_code_50k    — index build over 50k synthesized source files
+                      (the north-rule corpus shape, executor-generated)
+* query_code_batch  — 100 BM25 top-10 queries on the code index
+* dedup_minhash     — MinHash+LSH near-dup pairs on documents
+* ann_cosine        — brute-force cosine top-k over embeddings
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+``bench/scaling.py``, not here (it needs two separate JVMs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from garamond_jl_spark.config import EngineConfig  # noqa: E402
+from garamond_jl_spark.corpus import corpus_df, query_set  # noqa: E402
+from garamond_jl_spark.operators.build import build_index  # noqa: E402
+from garamond_jl_spark.operators.query import search  # noqa: E402
+from garamond_jl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CODE_DOCS = int(os.environ.get("BENCH_CODE_DOCS", "50000"))
+N_QUERIES = int(os.environ.get("BENCH_QUERIES", "100"))
+K = 10
+
+
+def timed(fn):
+    t0 = time.time()
+    out = fn()
+    return time.time() - t0, out
+
+
+def main() -> None:
+    spark = get_spark("garamond-bench", cpus=CPUS,
+                      shuffle_partitions=max(CPUS, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+    times: dict[str, float] = {}
+    derived: dict[str, float] = {}
+
+    # --- documents-table index build + query batch -----------------------
+    from garamond_jl_spark.plans.testdata_queries import _ft_index
+    t, idx = timed(lambda: _ft_index(spark, SF_DIR))
+    n_docs = idx.meta["n_docs"]
+    # materialize postings (count forces the build job)
+    t2, n_postings = timed(lambda: idx.postings.count())
+    times["build_docs"] = round(t + t2, 3)
+    derived["build_docs_per_sec"] = round(n_docs / (t + t2), 1)
+
+    doc_queries = ["spark join data", "window batch merge", "query filter",
+                   "table scan fast", "agg hash value"] * (N_QUERIES // 5)
+    t, n_hits = timed(lambda: search(
+        spark, idx, doc_queries, k=K, hydrate=False, pad_to_k=False).count())
+    times["query_batch"] = round(t, 3)
+    derived["query_batch_qps"] = round(len(doc_queries) / t, 1)
+
+    # --- synthesized code corpus (north-rule input shape) ----------------
+    cfg = EngineConfig()
+    code = corpus_df(spark, N_CODE_DOCS, seed=42, partitions=CPUS * 2)
+    t, cidx = timed(lambda: build_index(spark, code, cfg, id_col=None))
+    t2, n_cpost = timed(lambda: cidx.postings.count())
+    times["build_code_50k"] = round(t + t2, 3)
+    derived["build_code_docs_per_sec"] = round(N_CODE_DOCS / (t + t2), 1)
+    derived["code_postings"] = n_cpost
+
+    code_queries = query_set(seed=42, n=N_QUERIES)
+    t, _ = timed(lambda: search(
+        spark, cidx, code_queries, k=K, hydrate=False, pad_to_k=False).count())
+    times["query_code_batch"] = round(t, 3)
+    derived["query_code_qps"] = round(len(code_queries) / t, 1)
+
+    # --- pipeline operators ----------------------------------------------
+    from garamond_jl_spark.plans.pipeline_queries import (ann_cosine_topk,
+                                                          dedup_minhash_lsh)
+    t, _ = timed(lambda: dedup_minhash_lsh(spark, SF_DIR).count())
+    times["dedup_minhash"] = round(t, 3)
+    t, _ = timed(lambda: ann_cosine_topk(spark, SF_DIR).count())
+    times["ann_cosine"] = round(t, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "garamond-spark headline suite (index build + batched "
+                  "BM25 top-k + dedup/ANN) wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR,
+        "derived": derived,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
