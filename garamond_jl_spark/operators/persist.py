@@ -1,0 +1,164 @@
+"""Persistent, checkpoint-resumable index build (SURVEY.md §7.1 M2).
+
+North-rule requirements covered here:
+
+* index state + posting segments live as Iceberg/parquet tables
+  (sources/tables.py abstraction — parquet in this sandbox),
+* the build is **checkpoint-resumable with per-partition lineage and
+  metrics** (docs tokenized, postings emitted, bytes packed).
+
+Design: the expensive stage (tokenize → postings) is sharded into
+``n_buckets`` deterministic document buckets
+(``pmod(xxhash64(id), n_buckets)``).  Each bucket is one Spark job
+writing ``postings_raw/bucket=K/`` plus a lineage row; a killed build
+re-run with ``resume=True`` skips buckets whose lineage row exists and
+recomputes only the missing ones.  Bucket content is a pure function of
+the input, so a resumed build is byte-identical to an uninterrupted one
+(verified in tests).  Downstream stages (terms/weights/blocks/docs/meta)
+are cheap relative to tokenization and re-run as single jobs gated by
+their _SUCCESS markers.
+
+The reference's analog is whole-environment serialize/deserialize
+(S4, /root/reference/src/searchable/env.jl:31-39) — all-or-nothing and
+in-memory; bucket-level lineage is the distributed upgrade.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from garamond_jl_spark.config import EngineConfig
+from garamond_jl_spark.operators.build import (InvertedIndex, doc_table,
+                                               pack_blocks, term_stats,
+                                               tokenize_to_postings,
+                                               weighted_postings)
+
+LINEAGE_COLS = ("bucket BIGINT, docs_tokenized BIGINT, postings_emitted "
+                "BIGINT, sum_doclen BIGINT, wall_sec DOUBLE, finished_at "
+                "STRING")
+
+
+def _done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def build_persistent(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
+                     out_dir: str, id_col: str = "doc_id",
+                     text_col: str = "content",
+                     carry_cols: list[str] | None = None,
+                     n_buckets: int = 8, resume: bool = False,
+                     tokenizer=None) -> InvertedIndex:
+    """Build the index into ``out_dir/{postings_raw,terms,postings,docs,
+    blocks,meta,lineage}``.  ``resume=True`` skips completed buckets and
+    completed downstream stages."""
+    os.makedirs(out_dir, exist_ok=True)
+    if carry_cols is None:
+        carry_cols = [c for c in docs.columns if c not in (id_col, text_col)]
+    lineage_dir = os.path.join(out_dir, "lineage")
+    praw_dir = os.path.join(out_dir, "postings_raw")
+
+    # ---- stage 1: tokenize → postings, bucket-sharded, resumable --------
+    done_buckets: set[int] = set()
+    if resume and os.path.exists(lineage_dir):
+        try:
+            done_buckets = {r["bucket"] for r in
+                            spark.read.parquet(lineage_dir).collect()}
+        except Exception:
+            done_buckets = set()
+    bucketed = docs.withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)))
+    for b in range(n_buckets):
+        if b in done_buckets:
+            continue
+        t0 = time.time()
+        part = bucketed.where(F.col("_bucket") == b).drop("_bucket")
+        postings_b = tokenize_to_postings(part, cfg, id_col, text_col,
+                                          tokenizer)
+        postings_b.write.mode("overwrite").parquet(
+            os.path.join(praw_dir, f"bucket={b}"))
+        stats = spark.read.parquet(os.path.join(praw_dir, f"bucket={b}")) \
+            .agg(F.countDistinct("doc_id").alias("d"),
+                 F.count("*").alias("p"),
+                 F.sum("tf").alias("s")).collect()[0]
+        lineage_row = spark.createDataFrame(
+            [(b, stats["d"] or 0, stats["p"] or 0, int(stats["s"] or 0),
+              time.time() - t0, time.strftime("%Y-%m-%dT%H:%M:%S"))],
+            LINEAGE_COLS)
+        lineage_row.write.mode("append").parquet(lineage_dir)
+
+    postings = spark.read.option("basePath", praw_dir).parquet(praw_dir) \
+        .select("term", "doc_id", "tf", "doclen")
+
+    # ---- downstream stages (single jobs, _SUCCESS-gated) -----------------
+    n_docs = docs.count()
+    total_len = postings.groupBy("doc_id").agg(F.first("doclen").alias("dl")) \
+        .agg(F.sum("dl").alias("s")).collect()[0]["s"] or 0
+    avgdl = float(total_len) / n_docs if n_docs else 0.0
+
+    terms_dir = os.path.join(out_dir, "terms")
+    if not (resume and _done(terms_dir)):
+        term_stats(postings, n_docs, cfg).write.mode("overwrite") \
+            .parquet(terms_dir)
+    terms = spark.read.parquet(terms_dir)
+
+    pw_dir = os.path.join(out_dir, "postings")
+    if not (resume and _done(pw_dir)):
+        weighted_postings(postings, terms, avgdl, cfg) \
+            .write.mode("overwrite").parquet(pw_dir)
+    pw = spark.read.parquet(pw_dir)
+
+    blocks_dir = os.path.join(out_dir, "blocks")
+    if not (resume and _done(blocks_dir)):
+        pack_blocks(pw, terms, n_docs, cfg).write.mode("overwrite") \
+            .parquet(blocks_dir)
+    blocks = spark.read.parquet(blocks_dir)
+
+    tmax_dir = os.path.join(out_dir, "term_max")
+    if not (resume and _done(tmax_dir)):
+        pw.groupBy("term").agg(F.max("wnorm").alias("term_max_wnorm")) \
+            .write.mode("overwrite").parquet(tmax_dir)
+    terms_full = terms.join(spark.read.parquet(tmax_dir), "term")
+
+    docs_dir = os.path.join(out_dir, "docs")
+    if not (resume and _done(docs_dir)):
+        doc_table(docs, pw, id_col, carry_cols).write.mode("overwrite") \
+            .parquet(docs_dir)
+    dtab = spark.read.parquet(docs_dir)
+
+    meta = {"n_docs": n_docs, "avgdl": avgdl, "weighting": cfg.weighting,
+            "kappa": cfg.kappa, "beta": cfg.beta,
+            "score_alpha": cfg.score_alpha, "block_size": cfg.block_size}
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+    return InvertedIndex(docs=dtab, terms=terms_full, postings=pw,
+                         blocks=blocks,
+                         meta={"n_docs": n_docs, "avgdl": avgdl, "cfg": cfg})
+
+
+def load_index(spark: SparkSession, out_dir: str) -> InvertedIndex:
+    """Open a persisted index — the 'load cache' path (env.jl:31-39
+    analog): just table reads, no recompute."""
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        m = json.load(f)
+    cfg = EngineConfig(kappa=m["kappa"], beta=m["beta"],
+                       score_alpha=m["score_alpha"],
+                       weighting=m["weighting"], block_size=m["block_size"])
+    terms = spark.read.parquet(os.path.join(out_dir, "terms"))
+    tmax = spark.read.parquet(os.path.join(out_dir, "term_max"))
+    return InvertedIndex(
+        docs=spark.read.parquet(os.path.join(out_dir, "docs")),
+        terms=terms.join(tmax, "term"),
+        postings=spark.read.parquet(os.path.join(out_dir, "postings")),
+        blocks=spark.read.parquet(os.path.join(out_dir, "blocks")),
+        meta={"n_docs": m["n_docs"], "avgdl": m["avgdl"], "cfg": cfg})
+
+
+def lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per-bucket build lineage + metrics (north-rule observability)."""
+    return spark.read.parquet(os.path.join(out_dir, "lineage"))

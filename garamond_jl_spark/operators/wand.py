@@ -1,0 +1,142 @@
+"""Block-max WAND top-k over packed posting blocks (SURVEY.md §7.1 M3).
+
+North-star requirement: "answer top-k queries with Okapi BM25 using
+block-max WAND pruning over posting blocks".  The classical algorithm
+(Broder et al. WAND; Ding & Suel block-max) is a sequential cursor walk;
+this is its *batch/distributed* re-derivation as two DataFrame phases:
+
+Phase 1 — θ seeding (cheap): for each (query, term) unpack only the
+single block with the highest block_max; the k-th best *partial* cosine
+over those docs is a valid lower bound θ of the true k-th best score
+(partial ≤ true, so the k-th largest partial among any k candidates
+bounds the k-th true from below).
+
+Phase 2 — block pruning (pure SQL, no unpacking): a block b of term t
+upper-bounds any member doc's cosine by
+
+    ub(b) = qw_t·block_max(t, b) + Σ_{t'≠t} qw_{t'}·term_max(t')
+
+(sum over the query's other terms uses the global per-term max).  Blocks
+with ub < θ are dropped WITHOUT being unpacked.  Soundness: doc d in a
+pruned block has true score ≤ ub < θ ≤ k-th true score, so d cannot be
+in the top-k; and any top-k doc has true ≥ θ, hence none of its blocks
+is pruned, hence its final score is computed exactly — the plan is
+rank-identical to the exact plan (asserted in tests).
+
+Phase 3 — exact scoring of survivors: distinct surviving blocks are
+unpacked once (Arrow-vectorized numpy codec, no per-row Python), joined
+to the broadcast query weights, group-summed, transformed, ranked.
+
+All pruning decisions happen in cosine space (the score transform is
+monotone), so θ comparisons are exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType)
+
+from garamond_jl_spark.functions.codec import unpack_f32, unpack_ids
+from garamond_jl_spark.functions.scoring import score_transform_expr
+from garamond_jl_spark.operators.build import InvertedIndex
+from garamond_jl_spark.operators.query import embed_queries
+
+UNPACKED_SCHEMA = StructType([
+    StructField("term", StringType(), False),
+    StructField("min_doc_id", LongType(), False),
+    StructField("doc_id", LongType(), False),
+    StructField("wnorm", DoubleType(), False),
+])
+
+
+def _unpack_blocks(blocks: DataFrame) -> DataFrame:
+    """blocks → flat (term, min_doc_id, doc_id, wnorm) rows via the
+    vectorized varbyte/f32 codec inside mapInPandas."""
+
+    def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            terms, mins, ids, ws = [], [], [], []
+            for term, mn, idbuf, wbuf in zip(b["term"], b["min_doc_id"],
+                                             b["ids"], b["wnorms"]):
+                di = unpack_ids(bytes(idbuf)).astype(np.int64)
+                wn = unpack_f32(bytes(wbuf)).astype(np.float64)
+                terms.append(np.full(len(di), term, dtype=object))
+                mins.append(np.full(len(di), mn, dtype=np.int64))
+                ids.append(di)
+                ws.append(wn)
+            if ids:
+                yield pd.DataFrame({
+                    "term": np.concatenate(terms),
+                    "min_doc_id": np.concatenate(mins),
+                    "doc_id": np.concatenate(ids),
+                    "wnorm": np.concatenate(ws)})
+            else:
+                yield pd.DataFrame({"term": [], "min_doc_id": [],
+                                    "doc_id": [], "wnorm": []})
+
+    return blocks.select("term", "min_doc_id", "ids", "wnorms") \
+        .mapInPandas(unpack, UNPACKED_SCHEMA)
+
+
+def wand_topk(spark: SparkSession, index: InvertedIndex,
+              queries: list[str], k: int = 10,
+              tiebreak_round: int | None = None) -> DataFrame:
+    """Batched block-max WAND top-k → (query_id, doc_id, score, rank).
+    Requires ``index.blocks`` (build with with_blocks=True / persistent)."""
+    assert index.blocks is not None, "index was built without blocks"
+    cfg = index.cfg
+    qterms = embed_queries(spark, index, queries)
+    qt = (qterms.join(index.terms.select("term", "term_max_wnorm"), "term")
+          .withColumn("qmax", F.col("qw") * F.col("term_max_wnorm")))
+    s_all = qt.groupBy("query_id").agg(F.sum("qmax").alias("s_all"))
+    qt = F.broadcast(qt.join(s_all, "query_id"))
+
+    qblocks = qt.join(
+        index.blocks.select("term", "min_doc_id", "block_max_wnorm"), "term") \
+        .withColumn("ub", F.col("qw") * F.col("block_max_wnorm")
+                    + F.col("s_all") - F.col("qmax"))
+
+    # ---- phase 1: θ from top-1 block per (query, term) -------------------
+    w_seed = Window.partitionBy("query_id", "term") \
+        .orderBy(F.col("block_max_wnorm").desc(), F.col("min_doc_id").asc())
+    seed_keys = (qblocks.withColumn("_rn", F.row_number().over(w_seed))
+                 .where(F.col("_rn") == 1)
+                 .select("term", "min_doc_id").distinct())
+    seed_posts = _unpack_blocks(
+        index.blocks.join(F.broadcast(seed_keys), ["term", "min_doc_id"]))
+    seed_partial = (seed_posts.join(qt.select("query_id", "term", "qw"), "term")
+                    .groupBy("query_id", "doc_id")
+                    .agg(F.sum(F.col("qw") * F.col("wnorm")).alias("pcos")))
+    w_theta = Window.partitionBy("query_id").orderBy(F.col("pcos").desc())
+    theta = (seed_partial.withColumn("_rn", F.row_number().over(w_theta))
+             .where(F.col("_rn") <= k)
+             .groupBy("query_id")
+             .agg(F.when(F.count("*") >= k, F.min("pcos"))
+                  .otherwise(F.lit(0.0)).alias("theta")))
+
+    # ---- phase 2: SQL-only block pruning ---------------------------------
+    pruned = (qblocks.join(theta, "query_id", "left")
+              .withColumn("theta", F.coalesce("theta", F.lit(0.0)))
+              .where(F.col("ub") >= F.col("theta")))
+    survivors = pruned.select("term", "min_doc_id").distinct()
+
+    # ---- phase 3: unpack survivors once, exact scoring -------------------
+    posts = _unpack_blocks(index.blocks.join(survivors, ["term", "min_doc_id"]))
+    hits = (posts.join(qt.select("query_id", "term", "qw"), "term")
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum(F.col("qw") * F.col("wnorm")).alias("cos")))
+    score = score_transform_expr(F.lit(1.0) - F.col("cos"), cfg.score_alpha)
+    hits = hits.withColumn("score", score)
+    rank_on = (F.round(F.col("score"), tiebreak_round)
+               if tiebreak_round is not None else F.col("score"))
+    w = Window.partitionBy("query_id").orderBy(rank_on.desc(),
+                                               F.col("doc_id").asc())
+    return (hits.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "doc_id", "score", "rank"))
