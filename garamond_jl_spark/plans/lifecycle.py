@@ -1,0 +1,185 @@
+"""Query lifecycle: request → plan selection → DataFrame DAG → response
+(SURVEY.md §3.1/§3.3 Spark mapping).
+
+Reference counterparts:
+* ``InternalRequest`` — /root/reference/src/server/requests.jl:4-21
+* ``respond`` operation dispatch — src/server/search.jl:51-127
+* plan selection (filter-only / search-only / combined, post-filter
+  intersection) — src/search/main.jl:1-56
+* rank on explicit ids with linear scores — src/search/rank.jl:37-58,
+  src/search/results.jl:35-39
+* recommend = seed row → structured query → search with seed excluded —
+  src/search/recommend.jl:28-37
+
+The transports (REST/WS/unix socket) are deliberately NOT reproduced —
+this module is the engine-side respond(); any thin HTTP layer can call
+it (SURVEY.md §7.6 non-goal).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from garamond_jl_spark.functions.query_parser import parse_input
+from garamond_jl_spark.operators.build import InvertedIndex
+from garamond_jl_spark.operators.filters import filter_predicate, indexfilter
+from garamond_jl_spark.operators.query import embed_queries, topk_plan
+from garamond_jl_spark.plugins import get_ranker, get_recommender
+
+
+@dataclass
+class InternalRequest:
+    """requests.jl:4-21 port (fields used by the engine)."""
+    operation: str = "search"
+    query: str = ""
+    max_matches: int = 1000
+    search_method: str = "exact"
+    max_suggestions: int = 0
+    return_fields: list[str] = field(default_factory=list)
+    custom_weights: dict[str, float] = field(default_factory=dict)
+    sort_fields: list[str] = field(default_factory=list)
+    sort_reverse: bool = False
+    response_size: int = 10
+    response_page: int = 1
+    input_parser: str = "base_input_parser"
+    ranker: str = "noop_ranker"
+    recommender: str = "search_recommender"
+    searchable_filters: list[str] = field(default_factory=list)
+
+
+@dataclass
+class SearchEnv:
+    """env.jl:5-12 analog: data + index + config handles."""
+    spark: SparkSession
+    index: InvertedIndex
+    id_key: str = "doc_id"
+
+    @property
+    def schema(self) -> dict[str, str]:
+        """db_create_schema analog (db.jl:1-9): name → SQL type."""
+        return {f.name: f.dataType.simpleString()
+                for f in self.index.docs.schema.fields}
+
+
+def _linear_scores(ranked: DataFrame) -> DataFrame:
+    """results.jl:35-39: linear descending scores range(1, 0) over the
+    ranked id list."""
+    cnt = ranked.count()
+    denom = max(cnt - 1, 1)
+    return ranked.select(
+        "doc_id",
+        (F.lit(1.0) - (F.col("rank") - 1) / F.lit(denom)).alias("score"),
+        "rank")
+
+
+def search(env: SearchEnv, request: InternalRequest) -> DataFrame:
+    """main.jl:1-56: parse input, pick one of the three plan shapes,
+    execute as one DataFrame DAG → (doc_id, score, rank)."""
+    parsed = parse_input(env.schema, request.query, request.input_parser,
+                         searchable_filters=request.searchable_filters)
+    k = min(request.max_matches, env.index.meta["n_docs"])
+    has_search = bool(parsed.search.strip())
+    has_filter = bool(parsed.filter)
+    docs = env.index.docs
+
+    if has_filter and not has_search:
+        # filter-only plan: indexfilter + build_result_from_ids
+        # (main.jl:20-31); sort per T3 with id tiebreak for determinism
+        cols = set(docs.columns)
+        preds = [filter_predicate(kk, vv) for kk, vv in parsed.filter.items()
+                 if kk in cols]
+        filtered = docs.where(reduce(lambda a, b: a & b, preds)) \
+            if preds else docs
+        sort_keys = [s for s in (request.sort_fields or [env.id_key])
+                     if s in cols]
+        order = [F.col(s).desc() if request.sort_reverse else F.col(s).asc()
+                 for s in sort_keys] + [F.col(env.id_key).asc()]
+        w = Window.orderBy(*order)
+        ranked = (filtered
+                  .withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select(F.col(env.id_key).alias("doc_id"), "rank"))
+        return _linear_scores(ranked)
+
+    if not has_search:
+        return env.spark.createDataFrame(
+            [], "doc_id LONG, score DOUBLE, rank INT")
+
+    qterms = embed_queries(env.spark, env.index, [parsed.search])
+    if not has_filter:
+        return topk_plan(env.index, qterms, k).select("doc_id", "score", "rank")
+
+    # combined plan: full search then post-filter intersection
+    # (main.jl:50-52, P10 semi-join) and re-rank/trim
+    hits = topk_plan(env.index, qterms, env.index.meta["n_docs"],
+                     pad_to_k=True)
+    ids = indexfilter(docs, parsed.filter, id_key=env.id_key)
+    hits = hits.join(ids.withColumnRenamed(env.id_key, "doc_id"),
+                     "doc_id", "left_semi")
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (hits.drop("rank")
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("doc_id", "score", "rank"))
+
+
+def rank_ids(env: SearchEnv, request: InternalRequest) -> DataFrame:
+    """:rank operation (rank.jl:37-58): explicit id list in the query →
+    ranker reorders → linear scores range(1, 0)."""
+    ids = [int(t) for t in request.query.replace(",", " ").split()]
+    ranker = get_ranker(request.ranker)
+    ids, _ = ranker(ids, [0.0] * len(ids), request, env)
+    denom = max(len(ids) - 1, 1)
+    rows = [(d, 1.0 - i / denom, i + 1) for i, d in enumerate(ids)]
+    out = env.spark.createDataFrame(rows, "doc_id LONG, score DOUBLE, rank INT")
+    # keep only ids that exist in the table (J1 semi-join)
+    return out.join(env.index.docs.select(F.col(env.id_key).alias("doc_id")),
+                    "doc_id", "left_semi")
+
+
+def recommend(env: SearchEnv, request: InternalRequest) -> DataFrame:
+    """:recommend (recommend.jl:28-37): seed row → structured query →
+    search path with the seed excluded (P9)."""
+    seed_id = int(request.query.strip())
+    recommender = get_recommender(request.recommender)
+    gen_query = recommender(request, env)
+    if not gen_query:
+        return env.spark.createDataFrame(
+            [], "doc_id LONG, score DOUBLE, rank INT")
+    sub = InternalRequest(operation="search", query=gen_query,
+                          max_matches=request.max_matches + 1,
+                          input_parser="base_input_parser")
+    hits = search(env, sub).where(F.col("doc_id") != F.lit(seed_id)) \
+        .withColumnRenamed("rank", "_old_rank")
+    w = Window.orderBy(F.col("_old_rank").asc())
+    return (hits.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= request.max_matches).drop("_old_rank"))
+
+
+def respond(env: SearchEnv, request: InternalRequest) -> DataFrame:
+    """Operation dispatch (server/search.jl:51-127) + hydration (J2) +
+    pagination (T4: response_size/response_page windowing,
+    server/search.jl:151-152)."""
+    op = request.operation
+    if op == "search":
+        hits = search(env, request)
+    elif op == "rank":
+        hits = rank_ids(env, request)
+    elif op == "recommend":
+        hits = recommend(env, request)
+    else:
+        raise ValueError(f"unsupported operation: {op}")
+    lo = (request.response_page - 1) * request.response_size
+    hi = lo + request.response_size
+    hits = hits.where((F.col("rank") > lo) & (F.col("rank") <= hi))
+    cols = [c for c in (request.return_fields
+                        or [c for c in env.index.docs.columns
+                            if c != env.id_key])
+            if c in env.index.docs.columns and c != env.id_key]
+    docs = env.index.docs.select(F.col(env.id_key).alias("doc_id"), *cols)
+    return docs.join(F.broadcast(hits), "doc_id") \
+               .select("doc_id", "score", "rank", *cols)

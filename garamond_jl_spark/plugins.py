@@ -1,0 +1,89 @@
+"""Plugin registry: rankers / recommenders / input parsers (SURVEY.md
+§2.10).
+
+The reference compiles ``.jl`` files dropped into ``src/*/custom`` at
+module init and dispatches by symbol name with a safe noop fallback
+(/root/reference/src/Garamond.jl:106-140, safe_symbol_eval
+src/data/parse_and_eval.jl:20-27).  Here: plain dict registries with
+``register_*`` decorators and the same name-with-fallback dispatch — no
+runtime code generation.
+
+Signatures mirror the reference:
+* ranker(doc_ids, scores, request, env) → (doc_ids, scores)
+  (src/search/rank.jl:17-31)
+* recommender(request, env) → query string for the search path
+  (src/search/recommend.jl:14-27, recommenders/search.jl:1-66)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+RANKERS: dict[str, Callable] = {}
+RECOMMENDERS: dict[str, Callable] = {}
+
+
+def register_ranker(name: str):
+    def reg(fn):
+        RANKERS[name] = fn
+        return fn
+    return reg
+
+
+def register_recommender(name: str):
+    def reg(fn):
+        RECOMMENDERS[name] = fn
+        return fn
+    return reg
+
+
+@register_ranker("noop_ranker")
+def noop_ranker(doc_ids: list[int], scores: list[float], request: Any,
+                env: Any) -> tuple[list[int], list[float]]:
+    """Default ranker (src/search/rank.jl:63-80 noop path)."""
+    return doc_ids, scores
+
+
+def get_ranker(name: str | None) -> Callable:
+    return RANKERS.get(name or "noop_ranker", RANKERS["noop_ranker"])
+
+
+def generate_recommend_query(row: dict, id_key: str,
+                             fields: list[str] | None = None,
+                             separator: str = ":") -> str:
+    """F12 numeric→search-string transforms (recommenders/search.jl:17-19):
+    float v → interval [0.9v, 1.1v]; string → quoted; build a structured
+    key:value query from the seed row, excluding the id key."""
+    parts: list[str] = []
+    for k, v in row.items():
+        if k == id_key or (fields is not None and k not in fields):
+            continue
+        if isinstance(v, bool) or v is None:
+            continue
+        if isinstance(v, float):
+            lo, hi = sorted((0.9 * v, 1.1 * v))
+            parts.append(f"{k}{separator}[{lo},{hi}]")
+        elif isinstance(v, int):
+            parts.append(f"{k}{separator}{v}")
+        elif isinstance(v, str):
+            parts.append(f'{k}{separator}"{v}"')
+    return " ".join(parts)
+
+
+@register_recommender("search_recommender")
+def search_recommender(request: Any, env: Any) -> str:
+    """§3.3: target id → structured query from its row, seed excluded by
+    the caller (recommenders/search.jl:1-66)."""
+    seed_id = int(request.query.strip())
+    row_df = env.index.docs.where(
+        env.index.docs[env.id_key] == seed_id).limit(1)
+    rows = row_df.collect()
+    if not rows:
+        return ""
+    return generate_recommend_query(rows[0].asDict(), env.id_key,
+                                    fields=request.return_fields or None)
+
+
+def get_recommender(name: str | None) -> Callable:
+    return RECOMMENDERS.get(name or "search_recommender",
+                            RECOMMENDERS["search_recommender"])

@@ -1,0 +1,145 @@
+"""End-to-end lifecycle: indexfilter semantics (mirrors
+/root/reference/test/indexfilter.jl expectations), the three plan shapes
+(main.jl:6-53), rank and recommend operations, pagination."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from garamond_jl_spark.config import EngineConfig
+from garamond_jl_spark.corpus import corpus_df
+from garamond_jl_spark.operators.build import build_index
+from garamond_jl_spark.operators.filters import indexfilter
+from garamond_jl_spark.plans.lifecycle import (InternalRequest, SearchEnv,
+                                               recommend, respond, search)
+
+CFG = EngineConfig(score_alpha=0.4)
+
+
+@pytest.fixture(scope="module")
+def env(spark):
+    docs = corpus_df(spark, 120, seed=42, partitions=4)
+    index = build_index(spark, docs, CFG, id_col=None)
+    index.docs = index.docs.persist()
+    index.postings = index.postings.persist()
+    return SearchEnv(spark=spark, index=index)
+
+
+# ---- indexfilter unit semantics (test/indexfilter.jl analog) -------------
+
+@pytest.fixture(scope="module")
+def tbl(spark):
+    rows = [(i, 1000 * i, i / 10.0, "ABCDE"[:1 + i % 5]) for i in range(1, 11)]
+    return spark.createDataFrame(
+        rows, "x LONG, intf LONG, floatf DOUBLE, strf STRING")
+
+
+def ids(df):
+    return sorted(r[0] for r in df.collect())
+
+
+def test_indexfilter_equality(tbl):
+    assert ids(indexfilter(tbl, {"intf": 3000}, id_key="x")) == [3]
+
+
+def test_indexfilter_set_membership(tbl):
+    assert ids(indexfilter(tbl, {"intf": (1000, 4000)}, id_key="x")) == [1, 4]
+
+
+def test_indexfilter_contains_any(tbl):
+    # strf = "ABCDE"[:1 + x % 5]: only x=4 and x=9 carry the full
+    # 5-char prefix containing 'E'
+    got = ids(indexfilter(tbl, {"strf": ("E",)}, id_key="x"))
+    assert got == [4, 9]
+    # contains-ANY over a string tuple (P5)
+    got = ids(indexfilter(tbl, {"strf": ("E", "D")}, id_key="x"))
+    assert got == [3, 4, 8, 9]
+
+
+def test_indexfilter_interval(tbl):
+    assert ids(indexfilter(tbl, {"floatf": [0.25, 0.65]}, id_key="x")) == \
+        [3, 4, 5, 6]
+
+
+def test_indexfilter_malformed_interval_passthrough(tbl):
+    assert ids(indexfilter(tbl, {"floatf": [0.25]}, id_key="x")) == \
+        list(range(1, 11))
+
+
+def test_indexfilter_conjunction_exclude_unknown(tbl):
+    got = ids(indexfilter(tbl, {"intf": [2000, 8000], "nokey": 1},
+                          id_key="x", exclude=5))
+    assert got == [2, 3, 4, 6, 7, 8]
+
+
+def test_indexfilter_missing_id_key(tbl):
+    assert indexfilter(tbl, {"intf": 1000}, id_key="nope").count() == 0
+
+
+# ---- plan shapes ----------------------------------------------------------
+
+def test_search_only_plan(env):
+    req = InternalRequest(query="main run data", max_matches=5)
+    got = search(env, req).collect()
+    assert len(got) == 5
+    assert [r["rank"] for r in sorted(got, key=lambda r: r["rank"])] == \
+        [1, 2, 3, 4, 5]
+
+
+def test_filter_only_plan(env):
+    req = InternalRequest(query='lang:"python"', max_matches=10,
+                          sort_fields=["doclen"], sort_reverse=True)
+    got = search(env, req).collect()
+    assert 0 < len(got) <= 10
+    # linear scores range(1,0): top rank has score 1.0
+    best = min(got, key=lambda r: r["rank"])
+    assert best["score"] == pytest.approx(1.0)
+    # all python docs
+    langs = {r["lang"] for r in
+             env.index.docs.join(
+                 env.spark.createDataFrame(
+                     [(r["doc_id"],) for r in got], "doc_id LONG"),
+                 "doc_id").select("lang").collect()}
+    assert langs == {"python"}
+
+
+def test_combined_plan(env):
+    req_all = InternalRequest(query="main run data", max_matches=120)
+    all_hits = {r["doc_id"]: r["score"] for r in search(env, req_all).collect()}
+    req = InternalRequest(query='main run data lang:"go"', max_matches=10)
+    got = search(env, req).collect()
+    assert got
+    go_ids = {r["doc_id"] for r in
+              env.index.docs.where(F.col("lang") == "go")
+              .select("doc_id").collect()}
+    for r in got:
+        assert r["doc_id"] in go_ids
+        assert r["score"] == pytest.approx(all_hits[r["doc_id"]], abs=1e-9)
+
+
+def test_rank_operation(env):
+    some = [r["doc_id"] for r in env.index.docs.limit(3).collect()]
+    req = InternalRequest(operation="rank",
+                          query=" ".join(map(str, some + [999999])))
+    got = sorted(respond(env, req).collect(), key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in got] == some  # nonexistent id dropped
+    assert got[0]["score"] == pytest.approx(1.0)
+
+
+def test_recommend_operation(env):
+    req = InternalRequest(operation="recommend", query="5", max_matches=5,
+                          return_fields=["lang"])
+    got = recommend(env, req).collect()
+    assert all(r["doc_id"] != 5 for r in got)
+    assert 0 < len(got) <= 5
+
+
+def test_pagination(env):
+    req1 = InternalRequest(query="main run data", max_matches=20,
+                           response_size=5, response_page=1)
+    req2 = InternalRequest(query="main run data", max_matches=20,
+                           response_size=5, response_page=2)
+    p1 = sorted(respond(env, req1).collect(), key=lambda r: r["rank"])
+    p2 = sorted(respond(env, req2).collect(), key=lambda r: r["rank"])
+    assert [r["rank"] for r in p1] == [1, 2, 3, 4, 5]
+    assert [r["rank"] for r in p2] == [6, 7, 8, 9, 10]
+    assert {r["doc_id"] for r in p1}.isdisjoint({r["doc_id"] for r in p2})

@@ -1,0 +1,65 @@
+"""Input-parser golden table — ported from the reference's own QUERIES
+table (/root/reference/test/input_parsers.jl:13-19), the closest thing
+to a golden corpus in the repo (SURVEY.md §5.1)."""
+
+from garamond_jl_spark.functions.query_parser import (base_input_parser,
+                                                      noop_input_parser,
+                                                      parse_input, pre_parser)
+
+# reference test schema: y float, x int, z string (input_parsers.jl:6-9)
+SCHEMA = {"y": "double", "x": "bigint", "z": "string"}
+
+QUERIES = [
+    ("this is a query", {}, "this is a query"),
+    ('search token x:10 y:1 z:"a"',
+     {"x": 10, "y": 1.0, "z": "a"}, "search token"),
+    ('x:[1,2,3] y:("a",) z:', {"x": [1, 2, 3], "y": ("a",)}, ""),
+    ('x:[1.0,2,3] y:("a",) z:', {"x": [1.0, 2.0, 3.0], "y": ("a",)}, ""),
+    ('z:"a b c" x:1 free form', {"z": "a b c", "x": 1}, "free form"),
+    ("", {}, ""),
+]
+
+
+def test_base_input_parser_golden():
+    for query, want_filter, want_search in QUERIES:
+        got = base_input_parser(SCHEMA, query, separator=":")
+        assert got.filter == want_filter, query
+        assert got.search == want_search, query
+
+
+def test_noop_input_parser():
+    for query, _, _ in QUERIES:
+        got = noop_input_parser(SCHEMA, query)
+        assert got.filter == {} and got.search == query
+
+
+def test_pre_parser_dispatch():
+    # test/input_parsers.jl:40-43 PREPARSER_DATA
+    for query, want_filter, want_search in QUERIES:
+        got = parse_input(SCHEMA, "noop_input_parser>" + query, "pre_parser")
+        assert got.filter == {} and got.search == query
+        got = parse_input(SCHEMA, "base_input_parser>" + query, "pre_parser")
+        assert got.filter == want_filter and got.search == want_search
+        got = parse_input(SCHEMA, "pre_parser> base_input_parser>" + query,
+                          "pre_parser")
+        assert got.filter == want_filter and got.search == want_search
+        got = pre_parser(SCHEMA, "pre_parser> pre_parser  >" + query)
+        assert isinstance(got.filter, dict) and isinstance(got.search, str)
+
+
+def test_unknown_key_dropped():
+    got = base_input_parser(SCHEMA, "nope:1 x:2 hello")
+    assert got.filter == {"x": 2} and got.search == "hello"
+
+
+def test_searchable_filters_appended():
+    got = base_input_parser(SCHEMA, 'find z:"abc"', searchable_filters=["z"])
+    assert got.search == "find abc"
+    # filter-only queries do NOT get values appended (text_parsers.jl:121)
+    got = base_input_parser(SCHEMA, 'z:"abc"', searchable_filters=["z"])
+    assert got.search == ""
+
+
+def test_parse_error_ignored():
+    got = base_input_parser(SCHEMA, "x:notanint rest")
+    assert got.filter == {} and got.search == "rest"
