@@ -81,7 +81,8 @@ def search(env: SearchEnv, request: InternalRequest) -> DataFrame:
     execute as one DataFrame DAG → (doc_id, score, rank)."""
     parsed = parse_input(env.schema, request.query, request.input_parser,
                          searchable_filters=request.searchable_filters)
-    k = min(request.max_matches, env.index.meta["n_docs"])
+    k = min(request.max_matches,
+            env.index.meta.get("n_live_docs", env.index.meta["n_docs"]))
     has_search = bool(parsed.search.strip())
     has_filter = bool(parsed.filter)
     docs = env.index.docs

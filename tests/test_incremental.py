@@ -1,0 +1,106 @@
+"""Incremental maintenance: frozen-stats append, tombstone delete,
+compaction equivalence, Structured Streaming ingestion (SURVEY.md §2.9)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from garamond_jl_spark.config import EngineConfig
+from garamond_jl_spark.corpus import CORPUS_SCHEMA, corpus_df
+from garamond_jl_spark.operators.build import assign_dense_ids
+from garamond_jl_spark.operators.persist import build_persistent
+from garamond_jl_spark.operators.query import search
+from garamond_jl_spark.streaming.incremental import (append_docs, compact,
+                                                     delete_docs,
+                                                     load_live_index,
+                                                     stream_append)
+
+CFG = EngineConfig(block_size=64)
+
+
+@pytest.fixture()
+def built(spark, tmp_path):
+    out = str(tmp_path / "idx")
+    docs = assign_dense_ids(corpus_df(spark, 80, seed=42, partitions=2),
+                            ["repo", "path", "commit"])
+    build_persistent(spark, docs, CFG, out, n_buckets=2)
+    return out
+
+
+def _new_batch(spark, start_id, text):
+    rows = [(f"org/new", f"src/new/f{start_id}.py", f"c{start_id}", "python",
+             text, "x" * 64)]
+    df = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    return df.withColumn("doc_id", F.lit(start_id).cast("long"))
+
+
+def test_append_then_searchable(spark, built):
+    new = _new_batch(spark, 10_000, "main main main run data")
+    n = append_docs(spark, built, new)
+    assert n > 0
+    live = load_live_index(spark, built)
+    hits = search(spark, live, ["main run"], k=5, hydrate=False,
+                  pad_to_k=False).collect()
+    assert 10_000 in {r["doc_id"] for r in hits}  # heavy-main doc ranks
+
+
+def test_append_oov_terms_dropped(spark, built):
+    new = _new_batch(spark, 10_001, "zzz_never_seen qqq_unknown")
+    n = append_docs(spark, built, new)
+    assert n == 0  # frozen vocabulary drops OOV-only content
+    live = load_live_index(spark, built)
+    assert search(spark, live, ["zzz_never_seen"], k=5, hydrate=False,
+                  pad_to_k=False).count() == 0
+
+
+def test_delete_tombstones(spark, built):
+    live = load_live_index(spark, built)
+    victim = search(spark, live, ["get"], k=1, hydrate=False,
+                    pad_to_k=False).collect()[0]["doc_id"]
+    delete_docs(spark, built, [victim])
+    live2 = load_live_index(spark, built)
+    got = {r["doc_id"] for r in search(spark, live2, ["get"], k=10,
+                                       hydrate=False, pad_to_k=False).collect()}
+    assert victim not in got
+    assert live2.docs.where(F.col("doc_id") == victim).count() == 0
+
+
+def test_compact_preserves_results(spark, built):
+    append_docs(spark, built, _new_batch(spark, 10_002, "main run value"))
+    delete_docs(spark, built, [0, 1])
+    live = load_live_index(spark, built)
+
+    def snap(idx):
+        return sorted((r["doc_id"], round(r["score"], 9), r["rank"])
+                      for r in search(spark, idx, ["main run"], k=20,
+                                      hydrate=False, pad_to_k=False).collect())
+
+    before = snap(live)
+    compact(spark, built)
+    after_idx = load_live_index(spark, built)
+    after = snap(after_idx)
+    assert before == after
+    # deltas folded in: no delta dirs remain
+    assert not os.path.exists(os.path.join(built, "delta_postings"))
+    # blocks rebuilt over merged postings
+    assert after_idx.blocks.agg(F.sum("n")).collect()[0][0] == \
+        spark.read.parquet(os.path.join(built, "postings")).count()
+
+
+def test_stream_append(spark, built, tmp_path):
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    batch = _new_batch(spark, 20_000, "filter value table scan") \
+        .select("repo", "path", "commit", "lang", "content",
+                "content_sha256", "doc_id")
+    batch.write.parquet(os.path.join(src, "b1"), mode="overwrite")
+    # file-source streaming needs a flat dir of files; point at subdir
+    schema = ("repo STRING, path STRING, commit STRING, lang STRING, "
+              "content STRING, content_sha256 STRING, doc_id LONG")
+    stream_append(spark, built, os.path.join(src, "b1"), schema)
+    live = load_live_index(spark, built)
+    assert live.docs.where(F.col("doc_id") == 20_000).count() == 1
+    got = search(spark, live, ["filter value"], k=10, hydrate=False,
+                 pad_to_k=False).collect()
+    assert 20_000 in {r["doc_id"] for r in got}
