@@ -1,0 +1,95 @@
+"""A6 aggregation strategies, F10 suggestions, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from garamond_jl_spark.functions.suggest import missing_needles, suggest_terms
+from garamond_jl_spark.operators.aggregate import aggregate_results
+from garamond_jl_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                    chunk_split_fn,
+                                                    deterministic_fake_decoder,
+                                                    extract_features,
+                                                    sample_frames)
+
+
+@pytest.fixture(scope="module")
+def hits(spark):
+    h1 = spark.createDataFrame([(1, 0.9), (2, 0.5), (3, 0.1)],
+                               "doc_id LONG, score DOUBLE")
+    h2 = spark.createDataFrame([(1, 0.7), (2, 0.8), (4, 0.4)],
+                               "doc_id LONG, score DOUBLE")
+    return h1, h2
+
+
+def test_aggregate_mean_weighted(spark, hits):
+    h1, h2 = hits
+    got = {r["doc_id"]: r["score"] for r in
+           aggregate_results([(h1, 1.0), (h2, 0.5)], "mean").collect()}
+    assert got[1] == pytest.approx((0.9 + 0.35) / 2)
+    assert got[3] == pytest.approx(0.1)       # single-searcher doc
+    assert got[4] == pytest.approx(0.2)
+
+
+def test_aggregate_strategies(spark, hits):
+    h1, h2 = hits
+    for strat, want1 in [("min", 0.7), ("max", 0.9),
+                         ("median", 0.8), ("product", 0.63)]:
+        got = {r["doc_id"]: r["score"] for r in
+               aggregate_results([(h1, 1.0), (h2, 1.0)], strat).collect()}
+        assert got[1] == pytest.approx(want1, abs=1e-9), strat
+
+
+def test_aggregate_trim_and_rank(spark, hits):
+    h1, h2 = hits
+    got = sorted(aggregate_results([(h1, 1.0), (h2, 1.0)], "max",
+                                   max_matches=2).collect(),
+                 key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in got] == [1, 2]
+
+
+def test_suggestions(spark):
+    terms = spark.createDataFrame(
+        [("spark",), ("spork",), ("sprk",), ("query",), ("shark",)],
+        "term STRING")
+    got = suggest_terms(terms, ["spak"], max_distance=2, max_suggestions=3) \
+        .collect()
+    rows = sorted(got, key=lambda r: r["rank"])
+    assert rows[0]["suggestion"] in ("spark", "sprk")  # distance 1
+    assert all(r["distance"] <= 2 for r in rows)
+    assert missing_needles(terms, ["spark", "zzz"]) == ["zzz"]
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [(i, "image" if i % 2 == 0 else "video", "application/octet",
+             4, 4, 1000, bytes([i] * (1500 + i))) for i in range(6)]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(3)
+
+
+def test_multimodal_features_deterministic(spark, media):
+    dec = deterministic_fake_decoder(dim=8)
+    got = {r["media_id"]: r["feature"]
+           for r in extract_features(media, dec).collect()}
+    assert len(got) == 6 and all(len(v) == 8 for v in got.values())
+    # deterministic: same payload bytes → same vector as direct call
+    want = dec(bytes([0] * 1500))
+    assert np.allclose(got[0], want, atol=1e-6)
+    # unit norm
+    assert np.linalg.norm(got[3]) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_multimodal_decode_stub_explicit(media):
+    with pytest.raises(NotImplementedError):
+        extract_features(media, None)
+    with pytest.raises(NotImplementedError):
+        sample_frames(media, 40, None)
+
+
+def test_multimodal_frame_sampling(spark, media):
+    frames = sample_frames(media, 40, chunk_split_fn(512)).collect()
+    vids = {r["media_id"] for r in frames}
+    assert vids == {1, 3, 5}                   # only videos fan out
+    per = [r for r in frames if r["media_id"] == 1]
+    assert len(per) == 3                        # 1501 bytes / 512 → 3 chunks
+    assert sorted(r["frame_idx"] for r in per) == [0, 1, 2]
