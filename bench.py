@@ -74,11 +74,21 @@ def main() -> None:
     derived["query_batch_qps"] = round(len(doc_queries) / t, 1)
 
     # --- synthesized code corpus (north-rule input shape) ----------------
+    # materialized once as a parquet table (the real input is an Iceberg
+    # table on storage, not a python generator); build is timed from the
+    # table read, matching bench/scaling_job.py
     cfg = EngineConfig()
-    code = corpus_df(spark, N_CODE_DOCS, seed=42, partitions=CPUS * 2)
+    corpus_dir = f"/tmp/garamond_bench_corpus_{N_CODE_DOCS}"
+    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+        corpus_df(spark, N_CODE_DOCS, seed=42, partitions=CPUS * 2) \
+            .write.mode("overwrite").parquet(corpus_dir)
+    code = spark.read.parquet(corpus_dir)
+    # warm the full python-worker pool (untimed)
+    build_index(spark, code.sample(0.02, seed=1), cfg,
+                id_col=None).postings.count()
     t, cidx = timed(lambda: build_index(spark, code, cfg, id_col=None))
     t2, n_cpost = timed(lambda: cidx.postings.count())
-    times["build_code_50k"] = round(t + t2, 3)
+    times["build_code"] = round(t + t2, 3)
     derived["build_code_docs_per_sec"] = round(N_CODE_DOCS / (t + t2), 1)
     derived["code_postings"] = n_cpost
 

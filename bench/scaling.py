@@ -1,0 +1,60 @@
+"""Scaling-efficiency protocol (BASELINE.json north rule).
+
+No real cluster exists in this sandbox, so the two-cluster-size
+criterion is evidenced by running the IDENTICAL job + input at two
+parallelism levels (local[8] vs local[32]) in separate JVMs:
+
+    efficiency = (T_N / T_4N) × (N / 4N)     — ≥ 0.8 required
+
+Usage: python bench/scaling.py [--docs 100000] [--queries 200]
+Prints one JSON line; paste the table into BENCH.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def run_level(cpus: int, docs: int, queries: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(HERE, "scaling_job.py"),
+         "--cpus", str(cpus), "--docs", str(docs),
+         "--queries", str(queries)],
+        capture_output=True, text=True, check=True)
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=100_000)
+    ap.add_argument("--queries", type=int, default=200)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    args = ap.parse_args()
+
+    lo = run_level(args.low, args.docs, args.queries)
+    hi = run_level(args.high, args.docs, args.queries)
+    ratio = args.low / args.high
+    eff_build = (lo["build_sec"] / hi["build_sec"]) * ratio
+    eff_query = (lo["query_sec"] / hi["query_sec"]) * ratio
+    total_lo = lo["build_sec"] + lo["query_sec"]
+    total_hi = hi["build_sec"] + hi["query_sec"]
+    print(json.dumps({
+        "protocol": f"local[{args.low}] vs local[{args.high}], identical "
+                    f"input ({args.docs} docs, {args.queries} queries)",
+        "low": lo, "high": hi,
+        "efficiency_build": round(eff_build, 3),
+        "efficiency_query": round(eff_query, 3),
+        "efficiency_total": round((total_lo / total_hi) * ratio, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""One scaling-protocol run: build + query the code-corpus index at a
+given parallelism, print one JSON line.  Invoked in a FRESH JVM per
+parallelism level by bench/scaling.py (a single JVM cannot change
+``local[N]``)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from garamond_jl_spark.config import EngineConfig  # noqa: E402
+from garamond_jl_spark.corpus import corpus_df, query_set  # noqa: E402
+from garamond_jl_spark.operators.build import build_index  # noqa: E402
+from garamond_jl_spark.operators.query import search  # noqa: E402
+from garamond_jl_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--docs", type=int, default=100_000)
+    ap.add_argument("--queries", type=int, default=200)
+    ap.add_argument("--partitions", type=int, default=64)
+    ap.add_argument("--repeat", type=int, default=2,
+                    help="repetitions; min is reported (variance control)")
+    args = ap.parse_args()
+
+    spark = get_spark(f"scaling-{args.cpus}", cpus=args.cpus,
+                      shuffle_partitions=max(args.cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = EngineConfig()
+
+    # identical input at every parallelism level: the corpus is
+    # MATERIALIZED once as a parquet table (the north-rule input is an
+    # Iceberg table on storage, not a generator) and reused across
+    # levels; only executor threads vary between runs
+    corpus_dir = f"/tmp/garamond_scaling_corpus_{args.docs}"
+    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+        corpus_df(spark, args.docs, seed=42,
+                  partitions=args.partitions).write.mode("overwrite") \
+            .parquet(corpus_dir)
+    docs = spark.read.parquet(corpus_dir)
+
+    # untimed warmup: spin up the FULL Python worker pool (one per core;
+    # sample() keeps every partition — limit() would collapse to one and
+    # warm a single worker) and JIT codegen, so the measurement is
+    # steady-state throughput, a long-lived cluster's normal condition
+    build_index(spark, docs.sample(0.02, seed=1), cfg,
+                id_col=None).postings.count()
+
+    t_build, t_query, n_postings, n_hits = None, None, 0, 0
+    queries = query_set(seed=42, n=args.queries)
+    for _ in range(args.repeat):
+        t0 = time.time()
+        idx = build_index(spark, docs, cfg, id_col=None)
+        n_postings = idx.postings.count()
+        tb = time.time() - t0
+        t0 = time.time()
+        n_hits = search(spark, idx, queries, k=10, hydrate=False,
+                        pad_to_k=False).count()
+        tq = time.time() - t0
+        idx.postings.unpersist()
+        t_build = tb if t_build is None else min(t_build, tb)
+        t_query = tq if t_query is None else min(t_query, tq)
+
+    print(json.dumps({
+        "cpus": args.cpus, "docs": args.docs, "n_postings": n_postings,
+        "queries": len(queries), "n_hits": n_hits,
+        "build_sec": round(t_build, 2), "query_sec": round(t_query, 2),
+        "build_docs_per_sec": round(args.docs / t_build, 1),
+        "query_qps": round(len(queries) / t_query, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -60,7 +60,9 @@ def prepare_and_tokenize(text: str | None, cfg: EngineConfig) -> list[str]:
     """
     if not text:
         return []
-    if cfg.strip_accents:
+    # ASCII fast path: NFKD accent folding is a no-op on pure-ASCII text
+    # but costs ~1µs/char in Python — skip it (str.isascii is a C call)
+    if cfg.strip_accents and not text.isascii():
         text = _strip_accents(text)
     if cfg.lowercase:
         text = text.lower()

@@ -255,9 +255,9 @@ def build_index(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
     postings = tokenize_to_postings(docs, cfg, id_col, text_col, tokenizer)
     postings = postings.persist()
     n_docs = docs.count()
-    agg = postings.groupBy("doc_id").agg(F.first("doclen").alias("dl")) \
-                  .agg(F.sum("dl").alias("s")).collect()
-    total_len = agg[0]["s"] or 0
+    # Σ tf over all postings == Σ doclen over docs (every token lands in
+    # exactly one (term, doc) cell) — a scalar agg, no doc_id shuffle
+    total_len = postings.agg(F.sum("tf").alias("s")).collect()[0]["s"] or 0
     avgdl = float(total_len) / n_docs if n_docs else 0.0
     terms = term_stats(postings, n_docs, cfg).persist()
     pw = weighted_postings(postings, terms, avgdl, cfg)

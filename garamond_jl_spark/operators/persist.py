@@ -96,8 +96,8 @@ def build_persistent(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
 
     # ---- downstream stages (single jobs, _SUCCESS-gated) -----------------
     n_docs = docs.count()
-    total_len = postings.groupBy("doc_id").agg(F.first("doclen").alias("dl")) \
-        .agg(F.sum("dl").alias("s")).collect()[0]["s"] or 0
+    # Σ tf == Σ doclen (see build.build_index) — scalar agg, no shuffle
+    total_len = postings.agg(F.sum("tf").alias("s")).collect()[0]["s"] or 0
     avgdl = float(total_len) / n_docs if n_docs else 0.0
 
     terms_dir = os.path.join(out_dir, "terms")
