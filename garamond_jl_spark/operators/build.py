@@ -240,13 +240,30 @@ def doc_table(docs: DataFrame, postings_w: DataFrame, id_col: str,
             .fillna({"doclen": 0, "norm": 0.0}))
 
 
+def project_embeddable(docs: DataFrame, fields: list[str],
+                       text_col: str = "content") -> DataFrame:
+    """P1 field projection for embedding/indexing (reference
+    dbentry2text, /root/reference/src/data/db.jl:23-43): select the
+    configured embeddable fields, stringify, space-concatenate; missing
+    columns contribute the empty string (db.jl:32-38)."""
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit(""))
+             if c in docs.columns else F.lit("") for c in fields]
+    joined = F.array_join(F.array_remove(F.array(*parts), ""), " ")
+    return docs.withColumn(text_col, joined)
+
+
 def build_index(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
                 id_col: str | None = "doc_id", text_col: str = "content",
                 carry_cols: list[str] | None = None,
                 with_blocks: bool = False,
-                tokenizer=None) -> InvertedIndex:
+                tokenizer=None,
+                embeddable_fields: list[str] | None = None) -> InvertedIndex:
     """In-memory (lazy) build — the test/query-dev path.  The persistent,
-    checkpoint-resumable variant is :func:`build_persistent`."""
+    checkpoint-resumable variant is :func:`build_persistent`.
+    ``embeddable_fields``: build the indexed text by concatenating these
+    columns (P1) instead of reading ``text_col`` directly."""
+    if embeddable_fields:
+        docs = project_embeddable(docs, embeddable_fields, text_col)
     if id_col is None:
         docs = assign_dense_ids(docs, ["repo", "path", "commit"])
         id_col = "doc_id"

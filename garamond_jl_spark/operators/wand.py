@@ -86,9 +86,23 @@ def _unpack_blocks(blocks: DataFrame) -> DataFrame:
 
 def wand_topk(spark: SparkSession, index: InvertedIndex,
               queries: list[str], k: int = 10,
-              tiebreak_round: int | None = None) -> DataFrame:
+              tiebreak_round: int | None = None,
+              scoring: str = "flat") -> DataFrame:
     """Batched block-max WAND top-k → (query_id, doc_id, score, rank).
-    Requires ``index.blocks`` (build with with_blocks=True / persistent)."""
+    Requires ``index.blocks`` (build with with_blocks=True / persistent).
+
+    ``scoring``:
+    * ``"flat"`` (default) — hybrid: blocks serve only as the pruning
+      skeleton; surviving (term, doc-range) keys range-join the FLAT
+      postings table and scoring stays entirely JVM-side.  Every posting
+      falls in exactly one block of its term, so the range join cannot
+      duplicate.  Wins whenever the Arrow unpack cost would exceed the
+      I/O saved — which is most of the time when postings are already
+      columnar/persisted.
+    * ``"blocks"`` — classic: unpack surviving packed blocks via the
+      varbyte codec (the only plan when flat postings are not stored,
+      e.g. a compressed-only deployment reading cold object storage).
+    """
     assert index.blocks is not None, "index was built without blocks"
     cfg = index.cfg
     qterms = embed_queries(spark, index, queries)
@@ -126,8 +140,33 @@ def wand_topk(spark: SparkSession, index: InvertedIndex,
               .where(F.col("ub") >= F.col("theta")))
     survivors = pruned.select("term", "min_doc_id").distinct()
 
-    # ---- phase 3: unpack survivors once, exact scoring -------------------
-    posts = _unpack_blocks(index.blocks.join(survivors, ["term", "min_doc_id"]))
+    # ---- phase 3: exact scoring of survivors -----------------------------
+    if scoring == "flat":
+        # bucket-level semi-join: recompute the packer's df-adaptive
+        # stride (operators/build.pack_blocks) so posting → bucket is an
+        # EQUI-join key — no range-join blow-up, fully JVM-side.  A
+        # bucket survives if any of its blocks survives (conservative,
+        # sound: never removes docs that pruning kept).
+        bs = float(cfg.block_size)
+        n_docs = float(index.meta["n_docs"])
+        strides = index.terms.select(
+            "term",
+            F.pow(F.lit(2.0), F.ceil(F.log2(F.greatest(
+                F.lit(1.0), F.lit(bs) * F.lit(n_docs) / F.col("df")))))
+            .cast("long").alias("_stride"))
+        surv_buckets = (survivors.join(strides, "term")
+                        .select("term", (F.col("min_doc_id") / F.col("_stride"))
+                                .cast("long").alias("_bucket"))
+                        .distinct())
+        posts = (index.postings.select("term", "doc_id", "wnorm")
+                 .join(strides, "term")
+                 .withColumn("_bucket", (F.col("doc_id") / F.col("_stride"))
+                             .cast("long"))
+                 .join(surv_buckets, ["term", "_bucket"], "left_semi")
+                 .select("term", "doc_id", "wnorm"))
+    else:
+        posts = _unpack_blocks(
+            index.blocks.join(survivors, ["term", "min_doc_id"]))
     hits = (posts.join(qt.select("query_id", "term", "qw"), "term")
             .groupBy("query_id", "doc_id")
             .agg(F.sum(F.col("qw") * F.col("wnorm")).alias("cos")))

@@ -184,3 +184,19 @@ def respond(env: SearchEnv, request: InternalRequest) -> DataFrame:
     docs = env.index.docs.select(F.col(env.id_key).alias("doc_id"), *cols)
     return docs.join(F.broadcast(hits), "doc_id") \
                .select("doc_id", "score", "rank", *cols)
+
+
+def response_json(env: SearchEnv, request: InternalRequest) -> str:
+    """F15 response building: collect the (small, paginated) respond()
+    result and JSON-encode it — the serving-layer boundary
+    (/root/reference/src/server/search.jl:135-170 build_response;
+    transports themselves are out of engine scope)."""
+    import json
+    rows = [r.asDict() for r in respond(env, request).collect()]
+    rows.sort(key=lambda r: r["rank"])
+    return json.dumps({
+        "operation": request.operation,
+        "query": request.query,
+        "n_total_results": len(rows),
+        "results": rows,
+    }, default=str)

@@ -58,10 +58,18 @@ def _tombstones_dir(out_dir: str) -> str:
 
 def append_docs(spark: SparkSession, out_dir: str, new_docs: DataFrame,
                 id_col: str = "doc_id", text_col: str = "content",
-                tokenizer=None) -> int:
+                tokenizer=None, sampler=None) -> int:
     """push! analog: weight new docs with the FROZEN stats model and
     commit docs+postings atomically (staged dir + rename).  Returns the
-    number of postings appended."""
+    number of postings appended.
+
+    ``sampler``: optional DataFrame→DataFrame transform applied to the
+    raw pushed records before indexing — the S5 data-sampler hook
+    (reference identity/noop/custom samplers,
+    /root/reference/src/data/samplers/identity.jl:1-4); None = identity.
+    """
+    if sampler is not None:
+        new_docs = sampler(new_docs)
     with open(os.path.join(out_dir, "meta.json")) as f:
         m = json.load(f)
     cfg = EngineConfig(kappa=m["kappa"], beta=m["beta"],

@@ -98,14 +98,15 @@ def test_blocks_cover_postings(spark, pindex):
     assert idx.blocks.agg(F.max("n")).collect()[0][0] <= CFG.block_size
 
 
-def test_wand_rank_identity_vs_exact(spark, pindex, out_dir):
-    """WAND plan must be rank-identical (ids and scores) to the exact
-    flat-postings plan on the same index."""
+@pytest.mark.parametrize("scoring", ["flat", "blocks"])
+def test_wand_rank_identity_vs_exact(spark, pindex, out_dir, scoring):
+    """Both WAND scoring modes must be rank-identical (ids and scores)
+    to the exact flat-postings plan on the same index."""
     idx = load_index(spark, out_dir)
     queries = [q for q in query_set(seed=42, n=16) if q]
     exact = search(spark, idx, queries, k=10, hydrate=False,
                    pad_to_k=False).collect()
-    wand = wand_topk(spark, idx, queries, k=10).collect()
+    wand = wand_topk(spark, idx, queries, k=10, scoring=scoring).collect()
     def by_q(rows):
         d = {}
         for r in rows:
@@ -115,7 +116,7 @@ def test_wand_rank_identity_vs_exact(spark, pindex, out_dir):
     assert set(e) == set(w)
     for qid in e:
         assert [r["doc_id"] for r in e[qid]] == [r["doc_id"] for r in w[qid]], \
-            f"query {qid}: {queries[qid]!r}"
+            f"{scoring}: query {qid}: {queries[qid]!r}"
         for a, b in zip(e[qid], w[qid]):
             assert a["score"] == pytest.approx(b["score"], abs=1e-6)
 
