@@ -46,6 +46,10 @@ _HEAD = ("get set init main run data value result index count flag node "
 _TAIL_STEMS = ("parse encode decode merge split filter reduce hash sort scan "
                "emit pack unpack fetch store load dump sync lock free alloc "
                "query token block score weight norm shard salt probe").split()
+# tail width: stems × suffixes ≈ 1.2k shared identifiers; combined with
+# one unique identifier per file (below) the dictionary scales with the
+# corpus like real code, so query terms span hot head → selective tail
+_TAIL_SUFFIXES = 40
 
 _TEMPLATES = {
     "python": "def {f}({a}, {b}):\n    {v} = {a} + {b}\n    return {v} * {c}\n",
@@ -56,7 +60,8 @@ _TEMPLATES = {
 
 
 def _vocab() -> list[str]:
-    return _HEAD + [f"{s}_{i}" for s in _TAIL_STEMS for i in range(8)]
+    return _HEAD + [f"{s}_{i}" for s in _TAIL_STEMS
+                    for i in range(_TAIL_SUFFIXES)]
 
 
 class _ZipfSampler:
@@ -89,7 +94,10 @@ def make_row(i: int, seed: int = 42) -> dict:
         parts.append(_TEMPLATES[lang].format(
             f=pick(rng), a=pick(rng), b=pick(rng), v=pick(rng),
             c=rng.randrange(1, 100)))
-    parts.append("# " + " ".join(pick(rng) for _ in range(rng.randrange(3, 10))) + "\n")
+    # one file-unique identifier (df=1 long tail, like real symbol names)
+    parts.append(f"# uniq_{seed}_{i} "
+                 + " ".join(pick(rng) for _ in range(rng.randrange(3, 10)))
+                 + "\n")
     content = "".join(parts)
     return {
         "repo": f"org/repo{i % 17}",
