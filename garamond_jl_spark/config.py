@@ -54,6 +54,12 @@ DEFAULT_MAX_MATCHES: int = 1000
 # block keeps the packed binary ≲ 32 KiB worst-case.
 DEFAULT_BLOCK_SIZE: int = 4096
 
+# terms with shorter posting lists than this are not block-packed: their
+# lists are already tiny (block-max pruning cannot save anything) and at
+# real-code vocabularies the df=1 long tail would dominate the packer's
+# group count.  WAND scores unblocked query terms from flat postings.
+DEFAULT_MIN_BLOCK_DF: int = 256
+
 # hot-term salting: number of salt buckets for the two-stage groupBy used
 # for document-frequency aggregation at web scale (Zipf head terms).
 DEFAULT_TERM_SALT_BUCKETS: int = 64
@@ -92,6 +98,7 @@ class EngineConfig:
     weighting: str = "bm25"          # count | tf | tfidf | bm25 (defaults.jl:10)
     max_matches: int = DEFAULT_MAX_MATCHES
     block_size: int = DEFAULT_BLOCK_SIZE
+    min_block_df: int = DEFAULT_MIN_BLOCK_DF
     term_salt_buckets: int = DEFAULT_TERM_SALT_BUCKETS
     # text preparation flags — mirrors DEFAULT_TEXT_STRIP_FLAGS
     # (defaults.jl:32-37): strip case, punctuation, whitespace runs,

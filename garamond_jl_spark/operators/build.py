@@ -192,9 +192,15 @@ def pack_blocks(postings_w: DataFrame, terms: DataFrame, n_docs: int,
     Bucket by ``doc_id div stride(term)`` with df-adaptive stride so
     groups are bounded near block_size for hot terms and near df for
     rare ones; each group packs independently (embarrassingly parallel,
-    no hot-term window)."""
+    no hot-term window).
+
+    Terms with df < cfg.min_block_df are NOT packed: real-code
+    dictionaries carry a df≈1 long tail that would dominate the packer's
+    group count while those posting lists are too short for block-max
+    pruning to ever help.  WAND reads unblocked query terms from the
+    flat postings table (operators/wand.py)."""
     bs = float(cfg.block_size)
-    strides = terms.select(
+    strides = terms.where(F.col("df") >= F.lit(cfg.min_block_df)).select(
         "term",
         F.pow(F.lit(2.0), F.ceil(F.log2(
             F.greatest(F.lit(1.0), F.lit(bs) * F.lit(float(n_docs)) / F.col("df"))

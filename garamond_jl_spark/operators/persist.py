@@ -132,7 +132,8 @@ def build_persistent(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
 
     meta = {"n_docs": n_docs, "avgdl": avgdl, "weighting": cfg.weighting,
             "kappa": cfg.kappa, "beta": cfg.beta,
-            "score_alpha": cfg.score_alpha, "block_size": cfg.block_size}
+            "score_alpha": cfg.score_alpha, "block_size": cfg.block_size,
+            "min_block_df": cfg.min_block_df}
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
 
@@ -148,7 +149,8 @@ def load_index(spark: SparkSession, out_dir: str) -> InvertedIndex:
         m = json.load(f)
     cfg = EngineConfig(kappa=m["kappa"], beta=m["beta"],
                        score_alpha=m["score_alpha"],
-                       weighting=m["weighting"], block_size=m["block_size"])
+                       weighting=m["weighting"], block_size=m["block_size"],
+                       min_block_df=m.get("min_block_df", 1))
     terms = spark.read.parquet(os.path.join(out_dir, "terms"))
     tmax = spark.read.parquet(os.path.join(out_dir, "term_max"))
     return InvertedIndex(

@@ -116,14 +116,25 @@ def wand_topk(spark: SparkSession, index: InvertedIndex,
         .withColumn("ub", F.col("qw") * F.col("block_max_wnorm")
                     + F.col("s_all") - F.col("qmax"))
 
-    # ---- phase 1: θ from top-1 block per (query, term) -------------------
+    # terms below min_block_df have no blocks (build.pack_blocks): their
+    # short posting lists are always scored in full from flat postings —
+    # both for θ seeding (they sharpen it cheaply) and in phase 3
+    blocked_terms = qblocks.select("term").distinct()
+    unblocked_posts = (index.postings.select("term", "doc_id", "wnorm")
+                       .join(F.broadcast(
+                           qt.select("term").distinct()
+                           .join(blocked_terms, "term", "left_anti")), "term"))
+
+    # ---- phase 1: θ from top-1 block per (query, term) + rare terms ------
     w_seed = Window.partitionBy("query_id", "term") \
         .orderBy(F.col("block_max_wnorm").desc(), F.col("min_doc_id").asc())
     seed_keys = (qblocks.withColumn("_rn", F.row_number().over(w_seed))
                  .where(F.col("_rn") == 1)
                  .select("term", "min_doc_id").distinct())
     seed_posts = _unpack_blocks(
-        index.blocks.join(F.broadcast(seed_keys), ["term", "min_doc_id"]))
+        index.blocks.join(F.broadcast(seed_keys), ["term", "min_doc_id"])) \
+        .select("term", "doc_id", "wnorm") \
+        .unionByName(unblocked_posts)
     seed_partial = (seed_posts.join(qt.select("query_id", "term", "qw"), "term")
                     .groupBy("query_id", "doc_id")
                     .agg(F.sum(F.col("qw") * F.col("wnorm")).alias("pcos")))
@@ -149,7 +160,8 @@ def wand_topk(spark: SparkSession, index: InvertedIndex,
         # sound: never removes docs that pruning kept).
         bs = float(cfg.block_size)
         n_docs = float(index.meta["n_docs"])
-        strides = index.terms.select(
+        strides = index.terms.where(
+            F.col("df") >= F.lit(cfg.min_block_df)).select(
             "term",
             F.pow(F.lit(2.0), F.ceil(F.log2(F.greatest(
                 F.lit(1.0), F.lit(bs) * F.lit(n_docs) / F.col("df")))))
@@ -163,10 +175,13 @@ def wand_topk(spark: SparkSession, index: InvertedIndex,
                  .withColumn("_bucket", (F.col("doc_id") / F.col("_stride"))
                              .cast("long"))
                  .join(surv_buckets, ["term", "_bucket"], "left_semi")
-                 .select("term", "doc_id", "wnorm"))
+                 .select("term", "doc_id", "wnorm")
+                 .unionByName(unblocked_posts))
     else:
         posts = _unpack_blocks(
-            index.blocks.join(survivors, ["term", "min_doc_id"]))
+            index.blocks.join(survivors, ["term", "min_doc_id"])) \
+            .select("term", "doc_id", "wnorm") \
+            .unionByName(unblocked_posts)
     hits = (posts.join(qt.select("query_id", "term", "qw"), "term")
             .groupBy("query_id", "doc_id")
             .agg(F.sum(F.col("qw") * F.col("wnorm")).alias("cos")))

@@ -74,7 +74,8 @@ def append_docs(spark: SparkSession, out_dir: str, new_docs: DataFrame,
         m = json.load(f)
     cfg = EngineConfig(kappa=m["kappa"], beta=m["beta"],
                        score_alpha=m["score_alpha"],
-                       weighting=m["weighting"], block_size=m["block_size"])
+                       weighting=m["weighting"], block_size=m["block_size"],
+                       min_block_df=m.get("min_block_df", 1))
     terms = spark.read.parquet(os.path.join(out_dir, "terms"))
 
     postings = tokenize_to_postings(new_docs, cfg, id_col, text_col, tokenizer)

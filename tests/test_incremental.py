@@ -16,7 +16,7 @@ from garamond_jl_spark.streaming.incremental import (append_docs, compact,
                                                      load_live_index,
                                                      stream_append)
 
-CFG = EngineConfig(block_size=64)
+CFG = EngineConfig(block_size=64, min_block_df=1)
 
 
 @pytest.fixture()

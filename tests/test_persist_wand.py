@@ -16,7 +16,7 @@ from garamond_jl_spark.operators.persist import (build_persistent, lineage,
 from garamond_jl_spark.operators.query import search
 from garamond_jl_spark.operators.wand import wand_topk
 
-CFG = EngineConfig(block_size=32)  # small blocks so WAND pruning is exercised
+CFG = EngineConfig(block_size=32, min_block_df=1)  # small blocks, all terms
 N = 200
 
 
@@ -119,6 +119,28 @@ def test_wand_rank_identity_vs_exact(spark, pindex, out_dir, scoring):
             f"{scoring}: query {qid}: {queries[qid]!r}"
         for a, b in zip(e[qid], w[qid]):
             assert a["score"] == pytest.approx(b["score"], abs=1e-6)
+
+
+def test_wand_mixed_blocked_unblocked(spark, tmp_path):
+    """With the production min_block_df threshold, rare query terms have
+    no blocks and are scored from flat postings — results must still be
+    rank-identical to the exact plan."""
+    from garamond_jl_spark.operators.build import build_index
+    cfg = EngineConfig(block_size=16, min_block_df=8)
+    docs = corpus_df(spark, 150, seed=9, partitions=2)
+    idx = build_index(spark, docs, cfg, id_col=None, with_blocks=True)
+    # a query mixing a hot head term and a rare (likely unblocked) term
+    queries = ["get", "get parse_1", "parse_1 merge_2", "main run data get"]
+    exact = search(spark, idx, queries, k=8, hydrate=False,
+                   pad_to_k=False).collect()
+    wand = wand_topk(spark, idx, queries, k=8).collect()
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["doc_id"],
+                               round(r["score"], 9)) for r in rows)
+    assert key(exact) == key(wand)
+    # the threshold actually produced unblocked terms in this index
+    blocked = {r["term"] for r in idx.blocks.select("term").distinct().collect()}
+    vocab = {r["term"] for r in idx.terms.select("term").collect()}
+    assert blocked < vocab
 
 
 def test_wand_prunes_blocks(spark, pindex, out_dir):
