@@ -283,11 +283,13 @@ def build_index(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
     total_len = postings.agg(F.sum("tf").alias("s")).collect()[0]["s"] or 0
     avgdl = float(total_len) / n_docs if n_docs else 0.0
     terms = term_stats(postings, n_docs, cfg).persist()
-    pw = weighted_postings(postings, terms, avgdl, cfg)
+    # persist WEIGHTED postings: otherwise every query batch would re-run
+    # the terms join and the doc_id norm window (a full shuffle) — the
+    # persistent index stores wnorm for the same reason
+    pw = weighted_postings(postings, terms, avgdl, cfg).persist()
     terms_full = terms  # term_max added lazily when blocks are built
     blocks = None
     if with_blocks:
-        pw = pw.persist()
         blocks = pack_blocks(pw, terms, n_docs, cfg)
         terms_full = terms.join(
             pw.groupBy("term").agg(F.max("wnorm").alias("term_max_wnorm")),

@@ -144,12 +144,16 @@ def wand_topk(spark: SparkSession, index: InvertedIndex,
              .groupBy("query_id")
              .agg(F.when(F.count("*") >= k, F.min("pcos"))
                   .otherwise(F.lit(0.0)).alias("theta")))
+    # θ is |queries| rows but sits on top of the seed-unpack sub-DAG;
+    # materialize it so later plan branches don't recompute that chain
+    theta = theta.persist()
+    theta.count()
 
     # ---- phase 2: SQL-only block pruning ---------------------------------
-    pruned = (qblocks.join(theta, "query_id", "left")
+    pruned = (qblocks.join(F.broadcast(theta), "query_id", "left")
               .withColumn("theta", F.coalesce("theta", F.lit(0.0)))
               .where(F.col("ub") >= F.col("theta")))
-    survivors = pruned.select("term", "min_doc_id").distinct()
+    survivors = pruned.select("term", "min_doc_id").distinct().persist()
 
     # ---- phase 3: exact scoring of survivors -----------------------------
     if scoring == "flat":
