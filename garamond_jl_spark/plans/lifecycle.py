@@ -53,10 +53,20 @@ class InternalRequest:
 
 @dataclass
 class SearchEnv:
-    """env.jl:5-12 analog: data + index + config handles."""
+    """env.jl:5-12 analog: data + index + config handles.
+
+    ``searchers``: optional additional (index, score_weight) pairs — the
+    reference's multi-searcher environment (searchers built over
+    different embeddable fields / weighting configs share one data
+    table and their results aggregate, src/search/results.jl:54-145).
+    ``index`` is searcher 0 with weight ``score_weight``.
+    """
     spark: SparkSession
     index: InvertedIndex
     id_key: str = "doc_id"
+    score_weight: float = 1.0
+    searchers: list[tuple[InvertedIndex, float]] = field(default_factory=list)
+    aggregation: str = "mean"   # defaults.jl:29 DEFAULT strategy :mean
 
     @property
     def schema(self) -> dict[str, str]:
@@ -110,14 +120,32 @@ def search(env: SearchEnv, request: InternalRequest) -> DataFrame:
         return env.spark.createDataFrame(
             [], "doc_id LONG, score DOUBLE, rank INT")
 
-    qterms = embed_queries(env.spark, env.index, [parsed.search])
-    if not has_filter:
-        return topk_plan(env.index, qterms, k).select("doc_id", "score", "rank")
+    def one_searcher_hits(index: InvertedIndex, full: bool) -> DataFrame:
+        qt = embed_queries(env.spark, index, [parsed.search])
+        kk = index.meta["n_docs"] if full else k
+        return topk_plan(index, qt, kk, pad_to_k=full or not has_filter)
 
-    # combined plan: full search then post-filter intersection
-    # (main.jl:50-52, P10 semi-join) and re-rank/trim
-    hits = topk_plan(env.index, qterms, env.index.meta["n_docs"],
-                     pad_to_k=True)
+    multi = bool(env.searchers)
+    if multi:
+        # §3.1 step 7: per-searcher full result sets, weighted and
+        # merged by the env aggregation strategy (A6)
+        from garamond_jl_spark.operators.aggregate import aggregate_results
+        sets = [(one_searcher_hits(env.index, True), env.score_weight)]
+        sets += [(one_searcher_hits(ix, True), wgt)
+                 for ix, wgt in env.searchers]
+        hits = aggregate_results(
+            [(h.select("doc_id", "score"), w) for h, w in sets],
+            strategy=env.aggregation, max_matches=k if not has_filter
+            else env.index.meta["n_docs"])
+        if not has_filter:
+            return hits.select("doc_id", "score", "rank")
+    elif not has_filter:
+        return one_searcher_hits(env.index, False) \
+            .select("doc_id", "score", "rank")
+    else:
+        # combined plan: full search then post-filter intersection
+        # (main.jl:50-52, P10 semi-join) and re-rank/trim
+        hits = one_searcher_hits(env.index, True)
     ids = indexfilter(docs, parsed.filter, id_key=env.id_key)
     hits = hits.join(ids.withColumnRenamed(env.id_key, "doc_id"),
                      "doc_id", "left_semi")
@@ -194,9 +222,27 @@ def response_json(env: SearchEnv, request: InternalRequest) -> str:
     import json
     rows = [r.asDict() for r in respond(env, request).collect()]
     rows.sort(key=lambda r: r["rank"])
+    suggestions: dict[str, list[str]] = {}
+    if request.max_suggestions > 0 and request.operation == "search":
+        # A8/F10: suggestions for query tokens missing from the vocab
+        # (src/search/index.jl:116-127; disabled by default like the
+        # reference heuristic=nothing, defaults.jl:18)
+        from garamond_jl_spark.functions.query_parser import parse_input
+        from garamond_jl_spark.functions.suggest import (missing_needles,
+                                                         suggest_terms)
+        from garamond_jl_spark.functions.textprep import prepare_and_tokenize
+        parsed = parse_input(env.schema, request.query, request.input_parser)
+        toks = prepare_and_tokenize(parsed.search, env.index.cfg)
+        missed = missing_needles(env.index.terms, toks)
+        if missed:
+            for r in suggest_terms(env.index.terms, missed,
+                                   max_suggestions=request.max_suggestions) \
+                    .collect():
+                suggestions.setdefault(r["needle"], []).append(r["suggestion"])
     return json.dumps({
         "operation": request.operation,
         "query": request.query,
         "n_total_results": len(rows),
         "results": rows,
+        "suggestions": suggestions,
     }, default=str)

@@ -143,3 +143,36 @@ def test_pagination(env):
     assert [r["rank"] for r in p1] == [1, 2, 3, 4, 5]
     assert [r["rank"] for r in p2] == [6, 7, 8, 9, 10]
     assert {r["doc_id"] for r in p1}.isdisjoint({r["doc_id"] for r in p2})
+
+
+def test_multi_searcher_env(spark, env):
+    """Two searchers over the same table (different weighting schemes),
+    mean-aggregated with score_weight 0.8/0.5 (A6 through the lifecycle,
+    reference multi-searcher env, results.jl:54-145)."""
+    from garamond_jl_spark.plans.lifecycle import SearchEnv as SE
+    idx2 = build_index(spark, corpus_df(spark, 120, seed=42, partitions=4),
+                       EngineConfig(weighting="tfidf", score_alpha=0.4),
+                       id_col=None)
+    menv = SE(spark=spark, index=env.index, score_weight=0.8,
+              searchers=[(idx2, 0.5)], aggregation="mean")
+    req = InternalRequest(query="main run data", max_matches=8)
+    got = sorted(search(menv, req).collect(), key=lambda r: r["rank"])
+    assert len(got) == 8
+    # mean of weighted per-searcher scores: verify one doc's value
+    s1 = {r["doc_id"]: r["score"] for r in search(env, InternalRequest(
+        query="main run data", max_matches=120)).collect()}
+    env2 = SE(spark=spark, index=idx2)
+    s2 = {r["doc_id"]: r["score"] for r in search(env2, InternalRequest(
+        query="main run data", max_matches=120)).collect()}
+    top = got[0]
+    want = (0.8 * s1[top["doc_id"]] + 0.5 * s2[top["doc_id"]]) / 2
+    assert top["score"] == pytest.approx(want, abs=1e-9)
+
+
+def test_suggestions_in_response(spark, env):
+    import json
+    from garamond_jl_spark.plans.lifecycle import response_json
+    req = InternalRequest(query="mainx run", max_suggestions=3)
+    out = json.loads(response_json(env, req))
+    assert "mainx" in out["suggestions"]
+    assert "main" in out["suggestions"]["mainx"]
