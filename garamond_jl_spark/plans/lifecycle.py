@@ -49,6 +49,9 @@ class InternalRequest:
     ranker: str = "noop_ranker"
     recommender: str = "search_recommender"
     searchable_filters: list[str] = field(default_factory=list)
+    # rank on round(score, n) with doc_id tiebreak — cross-engine
+    # determinism for oracle comparisons (None = raw score)
+    tiebreak_round: int | None = None
 
 
 @dataclass
@@ -123,7 +126,8 @@ def search(env: SearchEnv, request: InternalRequest) -> DataFrame:
     def one_searcher_hits(index: InvertedIndex, full: bool) -> DataFrame:
         qt = embed_queries(env.spark, index, [parsed.search])
         kk = index.meta["n_docs"] if full else k
-        return topk_plan(index, qt, kk, pad_to_k=full or not has_filter)
+        return topk_plan(index, qt, kk, tiebreak_round=request.tiebreak_round,
+                         pad_to_k=full or not has_filter)
 
     multi = bool(env.searchers)
     if multi:
@@ -149,7 +153,9 @@ def search(env: SearchEnv, request: InternalRequest) -> DataFrame:
     ids = indexfilter(docs, parsed.filter, id_key=env.id_key)
     hits = hits.join(ids.withColumnRenamed(env.id_key, "doc_id"),
                      "doc_id", "left_semi")
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    rank_on = (F.round(F.col("score"), request.tiebreak_round)
+               if request.tiebreak_round is not None else F.col("score"))
+    w = Window.orderBy(rank_on.desc(), F.col("doc_id").asc())
     return (hits.drop("rank")
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)

@@ -152,6 +152,54 @@ def fulltext_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("rank").cast("long").alias("rnk"))
 
 
+@q("lifecycle_combined_search_filter", f"""
+WITH {FT_STATS_CTE},
+qraw AS (SELECT term FROM (VALUES ('spark'), ('join'), ('data')) AS q(term)),
+qtf AS (
+  SELECT q.term, count(*)::DOUBLE AS cnt FROM qraw q
+  JOIN dfreq USING (term) GROUP BY 1
+),
+qst AS (SELECT coalesce(sum(cnt), 0) AS qlen FROM qtf),
+qw AS (
+  SELECT t.term,
+         (ln(s.n / (d.df + 1)) + 1)
+         * ((2.0 + 1) * sqrt(t.cnt / greatest(q.qlen, 1.0)))
+         / (2.0 * (1 - 0.75 + 0.75 * q.qlen / s.avgdl)
+            + sqrt(t.cnt / greatest(q.qlen, 1.0))) AS wq
+  FROM qtf t JOIN dfreq d USING (term) CROSS JOIN stat s CROSS JOIN qst q
+),
+qn AS (SELECT sqrt(sum(wq * wq)) AS qn FROM qw),
+sc AS (
+  SELECT w.doc_id, sum((w.w / n.nrm) * (qw.wq / (SELECT qn FROM qn))) AS cosv
+  FROM w JOIN nrm n USING (doc_id) JOIN qw USING (term) GROUP BY 1
+),
+filtered AS (
+  SELECT sc.doc_id, 2 / (exp(2 * 0.4 * (1 - sc.cosv)) + 1) AS score
+  FROM sc JOIN documents d USING (doc_id) WHERE d.lang = 'en'
+)
+SELECT doc_id, cast(round(score * 1e6) AS BIGINT) AS score_e6,
+       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rnk
+FROM filtered QUALIFY rnk <= 10
+""")
+def lifecycle_combined_search_filter(spark, sf_dir):
+    """The full request lifecycle through the driver gate: structured
+    query DSL (F8) parses 'spark join data lang:"en"' into free text +
+    typed filter, the combined plan executes search + post-filter
+    semi-join (P10, main.jl:50-52).  The oracle scores matched docs and
+    filters lang='en' — valid because ≥k matched docs survive, so the
+    dense-knn padding never reaches the top-k."""
+    from garamond_jl_spark.plans.lifecycle import (InternalRequest,
+                                                   SearchEnv as LSE)
+    from garamond_jl_spark.plans.lifecycle import search as lsearch
+    idx = _ft_index(spark, sf_dir)
+    env = LSE(spark=spark, index=idx)
+    req = InternalRequest(query='spark join data lang:"en"', max_matches=10,
+                          tiebreak_round=6)
+    hits = lsearch(env, req)
+    return hits.select("doc_id", e6(F.col("score")).alias("score_e6"),
+                       F.col("rank").cast("long").alias("rnk"))
+
+
 @q("fulltext_oov_empty", "SELECT CAST(NULL AS BIGINT) AS doc_id, "
                          "CAST(NULL AS BIGINT) AS score_e6 WHERE FALSE")
 def fulltext_oov_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
