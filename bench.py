@@ -52,7 +52,7 @@ def timed(fn):
 
 def main() -> None:
     spark = get_spark("garamond-bench", cpus=CPUS,
-                      shuffle_partitions=max(CPUS, 32))
+                      shuffle_partitions=None)
     spark.sparkContext.setLogLevel("ERROR")
     times: dict[str, float] = {}
     derived: dict[str, float] = {}

@@ -31,7 +31,7 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_spark(f"scaling-{args.cpus}", cpus=args.cpus,
-                      shuffle_partitions=max(args.cpus, 16))
+                      shuffle_partitions=None)
     spark.sparkContext.setLogLevel("ERROR")
     cfg = EngineConfig()
 

@@ -15,7 +15,10 @@ from pyspark.sql import SparkSession
 def get_spark(app: str = "garamond-spark", cpus: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    # default 8× the core count: the batched score aggregation's hash
+    # tables spill at 1 partition/core (measured 3× slowdown at 1M docs,
+    # PLANS.md); AQE coalesces the excess away on small stages
+    shuffle_partitions = shuffle_partitions or max(8 * cpus, 64)
     return (
         SparkSession.builder
         .appName(app)
