@@ -49,8 +49,11 @@ def aggregate_results(hit_sets: list[tuple[DataFrame, float]],
         agg = g.agg(F.expr("percentile(wscore, 0.5)").alias("score"))
     else:  # product (scores > 0 in the reference transform's range)
         agg = g.agg(F.exp(F.sum(F.log("wscore"))).alias("score"))
+    # distributed top-k (TakeOrdered) before the ≤max_matches ranking
+    # window — keeps the global sort off a single partition
+    trimmed = (agg.where(F.col("score") > 0)      # zero-score drop
+               .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+               .limit(max_matches))               # trim (results.jl:137-144)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return (agg.where(F.col("score") > 0)         # zero-score drop
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= max_matches)  # trim (results.jl:137-144)
+    return (trimmed.withColumn("rank", F.row_number().over(w))
             .select("doc_id", "score", "rank"))

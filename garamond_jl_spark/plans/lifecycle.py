@@ -112,10 +112,12 @@ def search(env: SearchEnv, request: InternalRequest) -> DataFrame:
                      if s in cols]
         order = [F.col(s).desc() if request.sort_reverse else F.col(s).asc()
                  for s in sort_keys] + [F.col(env.id_key).asc()]
+        # distributed top-k first (TakeOrdered — no global window over
+        # the full table), then rank the ≤k survivors
+        cols_needed = list(dict.fromkeys([env.id_key, *sort_keys]))
+        top = filtered.select(*cols_needed).orderBy(*order).limit(k)
         w = Window.orderBy(*order)
-        ranked = (filtered
-                  .withColumn("rank", F.row_number().over(w))
-                  .where(F.col("rank") <= k)
+        ranked = (top.withColumn("rank", F.row_number().over(w))
                   .select(F.col(env.id_key).alias("doc_id"), "rank"))
         return _linear_scores(ranked)
 
@@ -155,10 +157,12 @@ def search(env: SearchEnv, request: InternalRequest) -> DataFrame:
                      "doc_id", "left_semi")
     rank_on = (F.round(F.col("score"), request.tiebreak_round)
                if request.tiebreak_round is not None else F.col("score"))
+    # distributed top-k before the (≤k rows) ranking window — a global
+    # window over all filtered hits would single-partition the sort
+    hits = hits.drop("rank").orderBy(rank_on.desc(), F.col("doc_id").asc()) \
+        .limit(k)
     w = Window.orderBy(rank_on.desc(), F.col("doc_id").asc())
-    return (hits.drop("rank")
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
+    return (hits.withColumn("rank", F.row_number().over(w))
             .select("doc_id", "score", "rank"))
 
 
