@@ -480,8 +480,8 @@ def union_distinct(spark, sf_dir):
 
 @q("groupby_agg", """
 SELECT l_returnflag, l_linestatus,
-       sum(cast(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-       sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_c,
+       cast(sum(cast(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       cast(sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
        count(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """)
@@ -646,7 +646,7 @@ def make_a_string(spark, sf_dir):
 
 @q("events_tumbling_window", """
 SELECT user_id, cast(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
-       count(*) AS n, sum(cast(round(value * 1e6) AS BIGINT)) AS sum_value_e6
+       count(*) AS n, cast(sum(cast(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_e6
 FROM events GROUP BY 1, 2
 """)
 def events_tumbling_window(spark, sf_dir):

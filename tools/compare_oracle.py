@@ -23,6 +23,30 @@ from garamond_jl_spark.session import get_spark  # noqa: E402
 from garamond_jl_spark.sources.tables import TESTDATA_TABLES  # noqa: E402
 
 
+_SPARK_CANON = {
+    "bigint": "i64", "long": "i64", "int": "i32", "integer": "i32",
+    "smallint": "i16", "tinyint": "i8", "double": "f64", "float": "f32",
+    "string": "str", "boolean": "bool", "timestamp": "ts", "date": "date",
+    "binary": "bin",
+}
+_DUCK_CANON = {
+    "BIGINT": "i64", "INTEGER": "i32", "SMALLINT": "i16", "TINYINT": "i8",
+    "HUGEINT": "i128", "UBIGINT": "u64", "DOUBLE": "f64", "FLOAT": "f32",
+    "VARCHAR": "str", "BOOLEAN": "bool", "TIMESTAMP": "ts", "DATE": "date",
+    "BLOB": "bin",
+}
+
+
+def _canon_types(pairs: list[tuple[str, str]], table: dict) -> dict:
+    """Map (col, engine_type) pairs to canonical type names keyed by col.
+
+    The driver's gate hashes *typed* values (Arrow), so a Spark int64
+    column vs a DuckDB HUGEINT (e.g. bare ``sum(BIGINT)``) hash-mismatches
+    even when the Python values are equal — repr() alone missed the
+    round-1 groupby_agg/events_tumbling_window failures."""
+    return {c: table.get(str(t), str(t)) for c, t in pairs}
+
+
 def value_hash(rows: list[tuple], cols: list[str]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     canon = sorted(
@@ -72,13 +96,20 @@ def main() -> int:
             continue
         ok_n = len(srows) == len(orows)
         ok_c = sorted(scols) == sorted(ocols)
+        stypes = _canon_types(sdf.dtypes, _SPARK_CANON)
+        otypes = _canon_types(list(zip(res.columns, res.types)), _DUCK_CANON)
+        type_diffs = {c: (stypes.get(c), otypes.get(c))
+                      for c in set(stypes) | set(otypes)
+                      if stypes.get(c) != otypes.get(c)}
         sh, oh = value_hash(srows, scols), value_hash(orows, ocols)
         ok_h = sh == oh
-        status = "OK  " if (ok_n and ok_c and ok_h) else "FAIL"
+        status = "OK  " if (ok_n and ok_c and ok_h and not type_diffs) else "FAIL"
         if status == "FAIL":
             failures += 1
         print(f"{status}  {name}: rows {len(srows)}/{len(orows)} "
               f"cols {scols}/{ocols} hash {sh}/{oh} [{time.time() - t0:.1f}s]")
+        if type_diffs:
+            print(f"      TYPE mismatch (spark vs duckdb): {type_diffs}")
         if status == "FAIL" and srows and orows:
             print(f"      spark sample: {sorted(srows)[:3]}")
             print(f"      duck  sample: {sorted(orows)[:3]}")
