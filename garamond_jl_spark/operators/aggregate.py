@@ -23,10 +23,14 @@ STRATEGIES = ("mean", "min", "max", "median", "product")
 
 def aggregate_results(hit_sets: list[tuple[DataFrame, float]],
                       strategy: str = "mean", max_matches: int = 1000,
-                      custom_weights: dict[int, float] | None = None) -> DataFrame:
+                      custom_weights: dict[int, float] | None = None,
+                      ranked: bool = True) -> DataFrame:
     """hit_sets: [(hits(query_id?, doc_id, score), score_weight)] — one
     per searcher sharing an id_aggregation (results.jl:54-66).
-    Returns (doc_id, score, rank)."""
+    Returns (doc_id, score, rank); with ``ranked=False`` returns the
+    unranked (doc_id, score) aggregate after the zero-score drop, so a
+    caller can merge in dense-knn fill rows before its own top-k (the
+    lifecycle sparse path)."""
     if strategy not in STRATEGIES:
         strategy = "mean"
     custom_weights = custom_weights or {}
@@ -49,9 +53,12 @@ def aggregate_results(hit_sets: list[tuple[DataFrame, float]],
         agg = g.agg(F.expr("percentile(wscore, 0.5)").alias("score"))
     else:  # product (scores > 0 in the reference transform's range)
         agg = g.agg(F.exp(F.sum(F.log("wscore"))).alias("score"))
+    dropped = agg.where(F.col("score") > 0)       # zero-score drop
+    if not ranked:
+        return dropped.select("doc_id", "score")
     # distributed top-k (TakeOrdered) before the ≤max_matches ranking
     # window — keeps the global sort off a single partition
-    trimmed = (agg.where(F.col("score") > 0)      # zero-score drop
+    trimmed = (dropped
                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
                .limit(max_matches))               # trim (results.jl:137-144)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())

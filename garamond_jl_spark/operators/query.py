@@ -89,6 +89,35 @@ def embed_queries(spark: SparkSession, index: InvertedIndex,
     return spark.createDataFrame(rows, QTERMS_SCHEMA)
 
 
+def fill_score(cfg: EngineConfig) -> float:
+    """The dense-knn fill score: what a zero-overlap document scores
+    under the reference's NaiveIndex full scan (cos=0 ⇒ dist=1 ⇒
+    ``1 − tanh(α)``, src/index/naive.jl:15-32 + index.jl:186-202).
+    Scalar so sparse plans can append fill rows without scoring the
+    corpus."""
+    return 1.0 - math.tanh(cfg.score_alpha)
+
+
+def score_all(index: InvertedIndex, qterms: DataFrame) -> DataFrame:
+    """Sparse scored hits (query_id, doc_id, score) — NO ranking window,
+    NO pad.  Only documents sharing ≥1 term with the query appear; the
+    caller appends :func:`fill_score` rows for zero-overlap docs if the
+    reference's dense-knn fill semantics are needed.
+
+    This is the scale path for "full result set" consumers (combined
+    search+filter, multi-searcher aggregation): since cosine ≥ 0, every
+    row here outranks every absent doc, so downstream top-k never needs
+    corpus-wide scoring — the round-1 ``full=True`` plan's per-query
+    corpus window and 2·n_docs cross-join are both gone."""
+    hits = (F.broadcast(qterms)
+            .join(index.postings.select("term", "doc_id", "wnorm"), "term")
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum(F.col("qw") * F.col("wnorm")).alias("cos")))
+    score = score_transform_expr(F.lit(1.0) - F.col("cos"),
+                                 index.cfg.score_alpha)
+    return hits.select("query_id", "doc_id", score.alias("score"))
+
+
 def topk_plan(index: InvertedIndex, qterms: DataFrame, k: int,
               tiebreak_round: int | None = None,
               pad_to_k: bool = True) -> DataFrame:

@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 from garamond_jl_spark.functions.query_parser import parse_input
 from garamond_jl_spark.operators.build import InvertedIndex
 from garamond_jl_spark.operators.filters import filter_predicate, indexfilter
-from garamond_jl_spark.operators.query import embed_queries, topk_plan
+from garamond_jl_spark.operators.query import (embed_queries, fill_score,
+                                               score_all, topk_plan)
 from garamond_jl_spark.plugins import get_ranker, get_recommender
 
 
@@ -125,42 +126,99 @@ def search(env: SearchEnv, request: InternalRequest) -> DataFrame:
         return env.spark.createDataFrame(
             [], "doc_id LONG, score DOUBLE, rank INT")
 
-    def one_searcher_hits(index: InvertedIndex, full: bool) -> DataFrame:
-        qt = embed_queries(env.spark, index, [parsed.search])
-        kk = index.meta["n_docs"] if full else k
-        return topk_plan(index, qt, kk, tiebreak_round=request.tiebreak_round,
-                         pad_to_k=full or not has_filter)
-
     multi = bool(env.searchers)
+    if not multi and not has_filter:
+        # search-only, single searcher: the standard batched top-k plan
+        qt = embed_queries(env.spark, env.index, [parsed.search])
+        return topk_plan(env.index, qt, k,
+                         tiebreak_round=request.tiebreak_round,
+                         pad_to_k=True).select("doc_id", "score", "rank")
+
+    # --- sparse "full result set" paths (combined / multi-searcher) ---
+    # Round-1's full=True plan scored the WHOLE corpus per query (a
+    # 2·n_docs cross-join pad + a single-partition corpus window whose
+    # rank was immediately dropped).  Sparse replacement: score only
+    # docs sharing a term with the query (score_all), intersect the P10
+    # filter BEFORE top-k (per-doc agg commutes with the semi-join), and
+    # append dense-knn fill rows only from the (filtered) 2k lowest
+    # doc_ids — since cosine ≥ 0, every match outranks every fill row,
+    # so ≤ k fill candidates can ever be displaced.  PLANS.md §round-2
+    # records the .explain() audit.
+    ids = (indexfilter(docs, parsed.filter, id_key=env.id_key)
+           .withColumnRenamed(env.id_key, "doc_id")) if has_filter else None
+
+    def sparse_hits(index: InvertedIndex) -> DataFrame | None:
+        """None ⇔ the query is OOV for this searcher (is_embedded gate);
+        an embedded query with zero (filtered) matches returns an EMPTY
+        frame — downstream it still yields fill-scored docs, exactly as
+        the reference's dense scan would."""
+        qt = embed_queries(env.spark, index, [parsed.search])
+        if not qt.take(1):
+            return None
+        h = score_all(index, qt).drop("query_id")  # single request query
+        return h.join(ids, "doc_id", "left_semi") if has_filter else h
+
+    pool = docs.select(F.col(env.id_key).alias("doc_id")) \
+        if ids is None else ids
+    low = pool.orderBy("doc_id").limit(2 * k)
+
     if multi:
-        # §3.1 step 7: per-searcher full result sets, weighted and
-        # merged by the env aggregation strategy (A6)
+        # §3.1 step 7: per-searcher result sets, weighted and merged by
+        # the env aggregation strategy (A6).  A searcher whose query is
+        # OOV contributes nothing (is_embedded gate) — matching the
+        # round-1 behavior where its full set was empty.
         from garamond_jl_spark.operators.aggregate import aggregate_results
-        sets = [(one_searcher_hits(env.index, True), env.score_weight)]
-        sets += [(one_searcher_hits(ix, True), wgt)
-                 for ix, wgt in env.searchers]
-        hits = aggregate_results(
-            [(h.select("doc_id", "score"), w) for h, w in sets],
-            strategy=env.aggregation, max_matches=k if not has_filter
-            else env.index.meta["n_docs"])
-        if not has_filter:
-            return hits.select("doc_id", "score", "rank")
-    elif not has_filter:
-        return one_searcher_hits(env.index, False) \
-            .select("doc_id", "score", "rank")
+        all_sets = [(env.index, env.score_weight)] + list(env.searchers)
+        sets = [(sparse_hits(ix), wgt, fill_score(ix.cfg))
+                for ix, wgt in all_sets]
+        sets = [(h, wgt, s0) for h, wgt, s0 in sets if h is not None]
+        if not sets:
+            return env.spark.createDataFrame(
+                [], "doc_id LONG, score DOUBLE, rank INT")
+        cands = sets[0][0].select("doc_id")
+        for h, _, _ in sets[1:]:
+            cands = cands.unionByName(h.select("doc_id"))
+        cands = cands.distinct()
+        # densify per embedded searcher over the candidate union only:
+        # a doc unmatched by searcher i scores its fill s0_i, exactly
+        # what the old corpus-wide pad produced for it
+        dense = [(cands.join(h, "doc_id", "left")
+                  .select("doc_id",
+                          F.coalesce(F.col("score"), F.lit(s0))
+                          .alias("score")), wgt)
+                 for h, wgt, s0 in sets]
+        hits = aggregate_results(dense, strategy=env.aggregation,
+                                 ranked=False)
+        # docs matched by NO searcher share one constant agg score
+        fills = [wgt * s0 for _, wgt, s0 in sets]
+        if env.aggregation == "min":
+            pad_score = min(fills)
+        elif env.aggregation == "max":
+            pad_score = max(fills)
+        elif env.aggregation == "median":
+            import statistics
+            pad_score = statistics.median(fills)
+        elif env.aggregation == "product":
+            pad_score = reduce(lambda a, b: a * b, fills, 1.0)
+        else:  # mean (defaults.jl:29)
+            pad_score = sum(fills) / len(fills)
+        pad_cands = cands
     else:
-        # combined plan: full search then post-filter intersection
-        # (main.jl:50-52, P10 semi-join) and re-rank/trim
-        hits = one_searcher_hits(env.index, True)
-    ids = indexfilter(docs, parsed.filter, id_key=env.id_key)
-    hits = hits.join(ids.withColumnRenamed(env.id_key, "doc_id"),
-                     "doc_id", "left_semi")
+        hits = sparse_hits(env.index)
+        if hits is None:  # OOV query ⇒ no results (is_embedded gate)
+            return env.spark.createDataFrame(
+                [], "doc_id LONG, score DOUBLE, rank INT")
+        pad_score = fill_score(env.index.cfg)
+        pad_cands = hits.select("doc_id")
+
+    if pad_score > 0:  # zero-score drop applies to fill rows too
+        pad = (low.join(pad_cands, "doc_id", "left_anti")
+               .withColumn("score", F.lit(float(pad_score))))
+        hits = hits.unionByName(pad)
     rank_on = (F.round(F.col("score"), request.tiebreak_round)
                if request.tiebreak_round is not None else F.col("score"))
-    # distributed top-k before the (≤k rows) ranking window — a global
-    # window over all filtered hits would single-partition the sort
-    hits = hits.drop("rank").orderBy(rank_on.desc(), F.col("doc_id").asc()) \
-        .limit(k)
+    # distributed top-k (TakeOrdered) before the (≤k rows) ranking window
+    hits = hits.orderBy(rank_on.desc(), F.col("doc_id").asc()).limit(k)
     w = Window.orderBy(rank_on.desc(), F.col("doc_id").asc())
     return (hits.withColumn("rank", F.row_number().over(w))
             .select("doc_id", "score", "rank"))
