@@ -110,5 +110,26 @@ class EngineConfig:
     extra: dict = field(default_factory=dict)
 
 
+def cfg_to_dict(cfg: EngineConfig) -> dict:
+    """Serialize EVERY EngineConfig field for meta.json.  The query path
+    reads tokenization flags (lowercase/strip_accents/strip_stopwords/
+    token_pattern) as well as scoring constants — a persisted index must
+    round-trip all of them or load_index silently tokenizes queries
+    differently than the build did (the min_block_df regression class)."""
+    import dataclasses
+    d = dataclasses.asdict(cfg)
+    if not d.get("extra"):
+        d.pop("extra", None)
+    return d
+
+
+def cfg_from_dict(d: dict) -> EngineConfig:
+    """Inverse of :func:`cfg_to_dict`; unknown keys are ignored so older
+    engines can open newer meta files."""
+    import dataclasses
+    known = {f.name for f in dataclasses.fields(EngineConfig)}
+    return EngineConfig(**{k: v for k, v in d.items() if k in known})
+
+
 REFERENCE_CONFIG = EngineConfig(score_alpha=TEST_SCORE_ALPHA)
 NORTH_RULE_CONFIG = EngineConfig(kappa=NORTH_RULE_K1, beta=NORTH_RULE_B)

@@ -83,6 +83,10 @@ class InvertedIndex:
     postings: DataFrame   # term, doc_id, tf, doclen, w, wnorm
     blocks: DataFrame | None = None
     meta: dict = field(default_factory=dict)
+    # the tokenizer the index was BUILT with; query embedding must use
+    # the same one or query terms miss the vocabulary (None = the
+    # canonical prepare_and_tokenize(cfg) pipeline)
+    tokenizer: object = None
 
     @property
     def cfg(self) -> EngineConfig:
@@ -297,4 +301,4 @@ def build_index(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
     dtab = doc_table(docs, pw, id_col, carry_cols)
     meta = {"n_docs": n_docs, "avgdl": avgdl, "cfg": cfg}
     return InvertedIndex(docs=dtab, terms=terms_full, postings=pw,
-                         blocks=blocks, meta=meta)
+                         blocks=blocks, meta=meta, tokenizer=tokenizer)

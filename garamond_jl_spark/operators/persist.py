@@ -32,7 +32,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from garamond_jl_spark.config import EngineConfig
+from garamond_jl_spark.config import EngineConfig, cfg_from_dict, cfg_to_dict
 from garamond_jl_spark.operators.build import (InvertedIndex, doc_table,
                                                pack_blocks, term_stats,
                                                tokenize_to_postings,
@@ -52,13 +52,18 @@ def build_persistent(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
                      text_col: str = "content",
                      carry_cols: list[str] | None = None,
                      n_buckets: int = 8, resume: bool = False,
-                     tokenizer=None) -> InvertedIndex:
+                     tokenizer=None, retain_content: bool = False) -> InvertedIndex:
     """Build the index into ``out_dir/{postings_raw,terms,postings,docs,
     blocks,meta,lineage}``.  ``resume=True`` skips completed buckets and
-    completed downstream stages."""
+    completed downstream stages.  ``retain_content=True`` keeps the text
+    column in the docs table (Lucene stored-field style) so
+    ``compact(recompute_stats=True)`` can fully reindex from the index's
+    own state."""
     os.makedirs(out_dir, exist_ok=True)
     if carry_cols is None:
         carry_cols = [c for c in docs.columns if c not in (id_col, text_col)]
+    if retain_content and text_col not in carry_cols:
+        carry_cols = [*carry_cols, text_col]
     lineage_dir = os.path.join(out_dir, "lineage")
     praw_dir = os.path.join(out_dir, "postings_raw")
 
@@ -130,27 +135,57 @@ def build_persistent(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
             .parquet(docs_dir)
     dtab = spark.read.parquet(docs_dir)
 
+    # meta.json must round-trip EVERY EngineConfig field the query path
+    # reads (CLAUDE.md pinned rule) — the full cfg dict, not a cherry-pick.
+    # Legacy top-level scoring keys are kept for older readers.
     meta = {"n_docs": n_docs, "avgdl": avgdl, "weighting": cfg.weighting,
             "kappa": cfg.kappa, "beta": cfg.beta,
             "score_alpha": cfg.score_alpha, "block_size": cfg.block_size,
-            "min_block_df": cfg.min_block_df}
+            "min_block_df": cfg.min_block_df,
+            "cfg": cfg_to_dict(cfg), "id_col": id_col, "text_col": text_col,
+            "retain_content": retain_content,
+            "tokenizer_id": (getattr(tokenizer, "__name__", "custom")
+                             if tokenizer is not None else None)}
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
 
     return InvertedIndex(docs=dtab, terms=terms_full, postings=pw,
                          blocks=blocks,
-                         meta={"n_docs": n_docs, "avgdl": avgdl, "cfg": cfg})
+                         meta={"n_docs": n_docs, "avgdl": avgdl, "cfg": cfg},
+                         tokenizer=tokenizer)
 
 
-def load_index(spark: SparkSession, out_dir: str) -> InvertedIndex:
-    """Open a persisted index — the 'load cache' path (env.jl:31-39
-    analog): just table reads, no recompute."""
+def read_meta(out_dir: str) -> tuple[dict, EngineConfig]:
+    """meta.json → (raw dict, reconstructed EngineConfig).  Prefers the
+    full round-tripped ``cfg`` block; falls back to legacy scalar keys."""
     with open(os.path.join(out_dir, "meta.json")) as f:
         m = json.load(f)
-    cfg = EngineConfig(kappa=m["kappa"], beta=m["beta"],
-                       score_alpha=m["score_alpha"],
-                       weighting=m["weighting"], block_size=m["block_size"],
-                       min_block_df=m.get("min_block_df", 1))
+    if "cfg" in m:
+        cfg = cfg_from_dict(m["cfg"])
+    else:  # legacy meta (pre-round-2): scoring keys only
+        cfg = EngineConfig(kappa=m["kappa"], beta=m["beta"],
+                           score_alpha=m["score_alpha"],
+                           weighting=m["weighting"],
+                           block_size=m["block_size"],
+                           min_block_df=m.get("min_block_df", 1))
+    return m, cfg
+
+
+def _check_tokenizer(m: dict, tokenizer) -> None:
+    if m.get("tokenizer_id") and tokenizer is None:
+        raise ValueError(
+            f"index was built with custom tokenizer "
+            f"{m['tokenizer_id']!r}; pass the same tokenizer= to open it "
+            f"(query embedding must tokenize like the build did)")
+
+
+def load_index(spark: SparkSession, out_dir: str,
+               tokenizer=None) -> InvertedIndex:
+    """Open a persisted index — the 'load cache' path (env.jl:31-39
+    analog): just table reads, no recompute.  An index built with a
+    custom ``tokenizer`` must be opened with the same one."""
+    m, cfg = read_meta(out_dir)
+    _check_tokenizer(m, tokenizer)
     terms = spark.read.parquet(os.path.join(out_dir, "terms"))
     tmax = spark.read.parquet(os.path.join(out_dir, "term_max"))
     return InvertedIndex(
@@ -158,7 +193,8 @@ def load_index(spark: SparkSession, out_dir: str) -> InvertedIndex:
         terms=terms.join(tmax, "term"),
         postings=spark.read.parquet(os.path.join(out_dir, "postings")),
         blocks=spark.read.parquet(os.path.join(out_dir, "blocks")),
-        meta={"n_docs": m["n_docs"], "avgdl": m["avgdl"], "cfg": cfg})
+        meta={"n_docs": m["n_docs"], "avgdl": m["avgdl"], "cfg": cfg},
+        tokenizer=tokenizer)
 
 
 def lineage(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -55,7 +55,8 @@ def embed_queries(spark: SparkSession, index: InvertedIndex,
     read of the terms table (Catalyst pushes the isin filter into the
     scan) — never a full-dictionary collect."""
     cfg = index.cfg
-    tokenized = [prepare_and_tokenize(q, cfg) for q in queries]
+    tok = index.tokenizer or (lambda s: prepare_and_tokenize(s, cfg))
+    tokenized = [tok(q) for q in queries]
     all_terms = sorted({t for toks in tokenized for t in toks})
     if not all_terms:
         return spark.createDataFrame([], QTERMS_SCHEMA)

@@ -195,6 +195,13 @@ def wand_topk(spark: SparkSession, index: InvertedIndex,
                if tiebreak_round is not None else F.col("score"))
     w = Window.partitionBy("query_id").orderBy(rank_on.desc(),
                                                F.col("doc_id").asc())
-    return (hits.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "doc_id", "score", "rank"))
+    out = (hits.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= k)
+           .select("query_id", "doc_id", "score", "rank"))
+    # materialize the (≤ |queries|·k rows) result and release the cached
+    # theta/survivors blocks — without this every call leaked executor
+    # storage for the life of the serving session
+    out = out.localCheckpoint(eager=True)
+    theta.unpersist()
+    survivors.unpersist()
+    return out

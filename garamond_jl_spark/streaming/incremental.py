@@ -8,23 +8,30 @@ Reference semantics being reproduced:
   (df/idf/avgdl/n_docs) and appended; existing vectors never change.
   The distributed analog: a delta postings table weighted with the
   frozen stats, unioned at query time (LSM-style).
-* OOV terms in pushed docs are dropped (model vocabulary is fixed —
-  dtv.jl:34-39 counts against the model vocab).
+* OOV terms in pushed docs are dropped, and ``doclen`` is the IN-VOCAB
+  token count — the pseudo-document convention (dtv.jl:29-41, same as
+  query embedding), not the raw token count.
 * ``pop!/deleteat!`` (env_operations.jl:151-201): row-level delete →
   tombstone table consulted at query time until compaction.
 * ``pushfirst!`` (id renumbering) is NOT supported — ids are
   append-only (documented capability gap, SURVEY.md §7.4: renumbering
   every id has no sane distributed analog).
 * consistency guard (env_operations.jl:115-143): an append commits docs
-  + postings together or not at all — staged directory + atomic rename.
+  + postings together or not at all — both tables are staged under ONE
+  batch directory and published with a SINGLE rename.
 * ``env_operator`` reindex (env_operations.jl:9-71): full rebuild into a
-  fresh snapshot dir + atomic swap = :func:`compact` with
-  ``recompute_stats=True``.
+  fresh snapshot dir + atomic swap = :func:`compact`.
+  ``recompute_stats=True`` recomputes df/idf/avgdl from the merged
+  corpus (the reference's ``reindex "*"``); it needs the document text,
+  which the index retains when built with ``retain_content=True`` (or
+  pass ``source=``).
 
 The Structured Streaming entry (:func:`stream_append`) consumes a file
 source of new document batches with ``foreachBatch`` → the same append
 path; watermarks/session windows have no reference counterpart and are
-not required (SURVEY.md §2.9).
+not required (SURVEY.md §2.9).  Compaction preserves
+``_stream_checkpoint`` across the snapshot swap so a restarted stream
+does not replay (and double-append) the drained backlog.
 """
 
 from __future__ import annotations
@@ -35,33 +42,38 @@ import shutil
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from garamond_jl_spark.config import EngineConfig
 from garamond_jl_spark.operators.build import InvertedIndex, tokenize_to_postings
-from garamond_jl_spark.operators.persist import load_index
+from garamond_jl_spark.operators.persist import (_check_tokenizer,
+                                                 build_persistent, load_index,
+                                                 read_meta)
 from garamond_jl_spark.functions.scoring import weight_expr
 
 
-def _delta_dir(out_dir: str) -> str:
-    return os.path.join(out_dir, "delta_postings")
-
-
-def _delta_docs_dir(out_dir: str) -> str:
-    return os.path.join(out_dir, "delta_docs")
+def _delta_root(out_dir: str) -> str:
+    return os.path.join(out_dir, "delta")
 
 
 def _tombstones_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "tombstones")
 
 
+def _committed_batches(out_dir: str) -> list[str]:
+    root = _delta_root(out_dir)
+    if not os.path.exists(root):
+        return []
+    return sorted(os.path.join(root, d) for d in os.listdir(root)
+                  if not d.startswith("_"))
+
+
 def append_docs(spark: SparkSession, out_dir: str, new_docs: DataFrame,
                 id_col: str = "doc_id", text_col: str = "content",
                 tokenizer=None, sampler=None) -> int:
     """push! analog: weight new docs with the FROZEN stats model and
-    commit docs+postings atomically (staged dir + rename).  Returns the
-    number of postings appended.
+    commit docs+postings atomically (one staged batch dir, one rename).
+    Returns the number of postings appended.
 
     ``sampler``: optional DataFrame→DataFrame transform applied to the
     raw pushed records before indexing — the S5 data-sampler hook
@@ -70,23 +82,22 @@ def append_docs(spark: SparkSession, out_dir: str, new_docs: DataFrame,
     """
     if sampler is not None:
         new_docs = sampler(new_docs)
-    with open(os.path.join(out_dir, "meta.json")) as f:
-        m = json.load(f)
-    cfg = EngineConfig(kappa=m["kappa"], beta=m["beta"],
-                       score_alpha=m["score_alpha"],
-                       weighting=m["weighting"], block_size=m["block_size"],
-                       min_block_df=m.get("min_block_df", 1))
+    m, cfg = read_meta(out_dir)
+    _check_tokenizer(m, tokenizer)
     terms = spark.read.parquet(os.path.join(out_dir, "terms"))
 
     postings = tokenize_to_postings(new_docs, cfg, id_col, text_col, tokenizer)
-    # frozen vocabulary: inner join drops OOV terms (dtv.jl:34-39)
+    # frozen vocabulary: inner join drops OOV terms, and doclen is then
+    # recomputed as the IN-VOCAB token count (dtv.jl:29-41 — the same
+    # pseudo-document convention embed_queries uses), so BM25 length
+    # normalization of pushed docs matches the reference's push! path.
     p = postings.join(terms.select("term", "idf"), "term")
+    win = Window.partitionBy("doc_id")
+    p = p.withColumn("doclen", F.sum("tf").over(win).cast("int"))
     w = weight_expr(cfg.weighting, F.col("tf").cast("double"),
                     F.col("doclen").cast("double"), F.lit(m["avgdl"]),
                     F.col("idf"), cfg)
     p = p.withColumn("w", w)
-    from pyspark.sql import Window
-    win = Window.partitionBy("doc_id")
     p = (p.withColumn("norm", F.sqrt(F.sum(F.col("w") * F.col("w")).over(win)))
          .withColumn("wnorm", F.col("w") / F.col("norm")))
 
@@ -94,7 +105,9 @@ def append_docs(spark: SparkSession, out_dir: str, new_docs: DataFrame,
     stage = os.path.join(out_dir, f"_staging_{batch}")
     p_dir, d_dir = os.path.join(stage, "postings"), os.path.join(stage, "docs")
     p.write.parquet(p_dir)
-    carry = [c for c in new_docs.columns if c not in (text_col,)]
+    keep_text = bool(m.get("retain_content"))
+    carry = [c for c in new_docs.columns
+             if c != text_col or keep_text]
     doc_stats = p.groupBy("doc_id").agg(F.first("doclen").alias("doclen"),
                                         F.first("norm").alias("norm"))
     new_docs.select(F.col(id_col).alias("doc_id"),
@@ -102,12 +115,11 @@ def append_docs(spark: SparkSession, out_dir: str, new_docs: DataFrame,
         .join(doc_stats, "doc_id", "left") \
         .fillna({"doclen": 0, "norm": 0.0}).write.parquet(d_dir)
     n = spark.read.parquet(p_dir).count()
-    # atomic commit: both tables appear together or not at all (M4 guard)
-    os.makedirs(_delta_dir(out_dir), exist_ok=True)
-    os.makedirs(_delta_docs_dir(out_dir), exist_ok=True)
-    os.rename(p_dir, os.path.join(_delta_dir(out_dir), batch))
-    os.rename(d_dir, os.path.join(_delta_docs_dir(out_dir), batch))
-    shutil.rmtree(stage, ignore_errors=True)
+    # atomic commit (M4 guard): both tables live under ONE batch dir;
+    # a single rename publishes them together or not at all — no window
+    # where postings exist without their docs
+    os.makedirs(_delta_root(out_dir), exist_ok=True)
+    os.rename(stage, os.path.join(_delta_root(out_dir), batch))
     return n
 
 
@@ -125,14 +137,19 @@ def _read_optional(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(path, "*"))
 
 
-def load_live_index(spark: SparkSession, out_dir: str) -> InvertedIndex:
+def load_live_index(spark: SparkSession, out_dir: str,
+                    tokenizer=None) -> InvertedIndex:
     """Open the index with deltas unioned and tombstones applied — the
     LSM read path.  Blocks cover only the compacted main postings; the
     exact plan unions deltas, so query via operators.query on this
     object (WAND applies after compaction)."""
-    idx = load_index(spark, out_dir)
-    delta = _read_optional(spark, _delta_dir(out_dir))
-    ddocs = _read_optional(spark, _delta_docs_dir(out_dir))
+    recover_swap(out_dir)
+    idx = load_index(spark, out_dir, tokenizer=tokenizer)
+    batches = _committed_batches(out_dir)
+    delta = spark.read.parquet(
+        *[os.path.join(b, "postings") for b in batches]) if batches else None
+    ddocs = spark.read.parquet(
+        *[os.path.join(b, "docs") for b in batches]) if batches else None
     tombs = _read_optional(spark, _tombstones_dir(out_dir))
     postings, docs = idx.postings, idx.docs
     n_new = 0
@@ -154,19 +171,90 @@ def load_live_index(spark: SparkSession, out_dir: str) -> InvertedIndex:
     return idx
 
 
+def _swap_manifest(out_dir: str) -> str:
+    return out_dir.rstrip("/") + ".swap.json"
+
+
+def recover_swap(out_dir: str) -> None:
+    """Make the two-rename snapshot swap crash-recoverable: a manifest
+    written before the swap records both directory names, so whichever
+    rename the crash interrupted, the next open restores a complete
+    index (roll back if the swap had not removed ``out_dir`` yet, roll
+    forward if the snapshot was already in flight)."""
+    manifest = _swap_manifest(out_dir)
+    if not os.path.exists(manifest):
+        return
+    with open(manifest) as f:
+        st = json.load(f)
+    if os.path.exists(out_dir):
+        # crashed before the first rename (discard the snapshot) or
+        # after the second (discard the old tree) — out_dir is complete
+        for p in (st["snap"], st["old"]):
+            if os.path.exists(p):
+                shutil.rmtree(p)
+    elif os.path.exists(st["snap"]):
+        os.rename(st["snap"], out_dir)          # roll forward
+        if os.path.exists(st["old"]):
+            shutil.rmtree(st["old"])
+    elif os.path.exists(st["old"]):
+        os.rename(st["old"], out_dir)           # snapshot lost: roll back
+    os.remove(manifest)
+
+
+def _swap_in(out_dir: str, snap: str) -> None:
+    """Atomically replace ``out_dir`` with ``snap`` (manifest-guarded;
+    see :func:`recover_swap`).  The Structured Streaming checkpoint is
+    carried over so a restarted stream does not replay its backlog
+    through append_docs (which would double-append compacted docs)."""
+    ckpt = os.path.join(out_dir, "_stream_checkpoint")
+    if os.path.exists(ckpt):
+        shutil.copytree(ckpt, os.path.join(snap, "_stream_checkpoint"))
+    old = out_dir.rstrip("/") + f".old-{uuid.uuid4().hex[:6]}"
+    manifest = _swap_manifest(out_dir)
+    with open(manifest, "w") as f:
+        json.dump({"snap": snap, "old": old}, f)
+    os.rename(out_dir, old)
+    os.rename(snap, out_dir)
+    os.remove(manifest)
+    shutil.rmtree(old)
+
+
 def compact(spark: SparkSession, out_dir: str,
-            recompute_stats: bool = False, n_buckets: int = 8) -> str:
+            recompute_stats: bool = False, n_buckets: int = 8,
+            source: DataFrame | None = None, tokenizer=None) -> str:
     """Merge deltas + tombstones into a fresh snapshot dir and atomically
-    swap (env_operator reindex analog).  ``recompute_stats=True`` does a
-    full rebuild (new df/idf/avgdl — the reference's 'reindex *'), else
-    keeps the frozen model and only rewrites the tables."""
-    live = load_live_index(spark, out_dir)
+    swap (env_operator reindex analog, env_operations.jl:9-71).
+
+    ``recompute_stats=False``: keep the frozen model, rewrite the tables
+    (cheap LSM fold).  ``recompute_stats=True``: the reference's
+    ``reindex "*"`` — a FULL rebuild with fresh df/idf/avgdl over the
+    live corpus; the text comes from the index's own docs table when it
+    was built with ``retain_content=True``, else pass ``source=`` (a
+    DataFrame of the live documents with the original text column).
+    Run while no stream/append is writing (single-writer, like the
+    reference's locked env swap)."""
+    recover_swap(out_dir)
+    m, cfg = read_meta(out_dir)
+    _check_tokenizer(m, tokenizer)
+    live = load_live_index(spark, out_dir, tokenizer=tokenizer)
     snap = out_dir.rstrip("/") + f".snapshot-{uuid.uuid4().hex[:6]}"
+
     if recompute_stats:
-        raise NotImplementedError(
-            "full reindex requires the source docs table (content column "
-            "is not retained in the index); run build_persistent on the "
-            "source into a new dir — the swap mechanics below apply")
+        text_col = m.get("text_col", "content")
+        if source is None:
+            if not m.get("retain_content"):
+                raise ValueError(
+                    "recompute_stats=True needs the document text: build "
+                    "with retain_content=True or pass source= (the live "
+                    "docs table does not retain the content column)")
+            source = live.docs.drop("doclen", "norm")
+        build_persistent(spark, source, cfg, snap, id_col="doc_id",
+                         text_col=text_col, n_buckets=n_buckets,
+                         tokenizer=tokenizer,
+                         retain_content=bool(m.get("retain_content")))
+        _swap_in(out_dir, snap)
+        return out_dir
+
     os.makedirs(snap, exist_ok=True)
     live.postings.write.parquet(os.path.join(snap, "postings"))
     live.docs.write.parquet(os.path.join(snap, "docs"))
@@ -183,10 +271,7 @@ def compact(spark: SparkSession, out_dir: str,
     if os.path.exists(os.path.join(out_dir, "lineage")):
         shutil.copytree(os.path.join(out_dir, "lineage"),
                         os.path.join(snap, "lineage"))
-    old = out_dir.rstrip("/") + f".old-{uuid.uuid4().hex[:6]}"
-    os.rename(out_dir, old)
-    os.rename(snap, out_dir)
-    shutil.rmtree(old)
+    _swap_in(out_dir, snap)
     return out_dir
 
 

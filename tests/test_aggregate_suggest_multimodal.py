@@ -93,3 +93,36 @@ def test_multimodal_frame_sampling(spark, media):
     per = [r for r in frames if r["media_id"] == 1]
     assert len(per) == 3                        # 1501 bytes / 512 → 3 chunks
     assert sorted(r["frame_idx"] for r in per) == [0, 1, 2]
+
+
+def test_distance_family_goldens():
+    """F10 distance family (defaults.jl:79-84) scalar goldens."""
+    from garamond_jl_spark.functions.suggest import (damerau_levenshtein,
+                                                     hamming_distance,
+                                                     jaro_distance)
+    assert damerau_levenshtein("abcd", "acbd") == 1   # one transposition
+    assert damerau_levenshtein("kitten", "sitting") == 3
+    assert damerau_levenshtein("", "abc") == 3
+    assert hamming_distance("karolin", "kathrin") == 3
+    assert hamming_distance("abc", "ab") == 1
+    assert hamming_distance("", "") == 0
+    assert abs(jaro_distance("martha", "marhta") - (1 - 0.9444444444)) < 1e-6
+    assert abs(jaro_distance("dixon", "dicksonx") - (1 - 0.7666666667)) < 1e-6
+    assert jaro_distance("abc", "abc") == 0.0
+    assert jaro_distance("abc", "xyz") == 1.0
+
+
+def test_suggest_metric_dispatch(spark):
+    terms = spark.createDataFrame(
+        [("spark",), ("sprak",), ("query",)], "term STRING")
+    # damerau: transposed 'sprak' is distance 1 from 'spark'
+    got = suggest_terms(terms, ["sprak"], max_distance=1,
+                        max_suggestions=2, metric="damerau").collect()
+    assert {r["suggestion"] for r in got} == {"spark", "sprak"}
+    # jaro with a [0,1] threshold
+    got = suggest_terms(terms, ["spak"], max_distance=0.2,
+                        max_suggestions=3, metric="jaro").collect()
+    assert "spark" in {r["suggestion"] for r in got}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="metric"):
+        suggest_terms(terms, ["x"], metric="cosine")

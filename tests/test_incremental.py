@@ -82,7 +82,7 @@ def test_compact_preserves_results(spark, built):
     after = snap(after_idx)
     assert before == after
     # deltas folded in: no delta dirs remain
-    assert not os.path.exists(os.path.join(built, "delta_postings"))
+    assert not os.path.exists(os.path.join(built, "delta"))
     # blocks rebuilt over merged postings
     assert after_idx.blocks.agg(F.sum("n")).collect()[0][0] == \
         spark.read.parquet(os.path.join(built, "postings")).count()
@@ -104,3 +104,78 @@ def test_stream_append(spark, built, tmp_path):
     got = search(spark, live, ["filter value"], k=10, hydrate=False,
                  pad_to_k=False).collect()
     assert 20_000 in {r["doc_id"] for r in got}
+
+
+def test_append_doclen_in_vocab(spark, built):
+    """Pushed-doc BM25 length normalization uses the IN-VOCAB token
+    count (dtv.jl:29-41 pseudo-document convention), not the raw count:
+    OOV tokens must not change the stored doclen."""
+    clean = _new_batch(spark, 10_010, "main run data")
+    noisy = _new_batch(spark, 10_011, "main run data zzz_oov qqq_oov www_oov")
+    append_docs(spark, built, clean)
+    append_docs(spark, built, noisy)
+    live = load_live_index(spark, built)
+    rows = {r["doc_id"]: r for r in
+            live.docs.where(F.col("doc_id").isin([10_010, 10_011])).collect()}
+    assert rows[10_010]["doclen"] == rows[10_011]["doclen"] == 3
+    # identical in-vocab content ⇒ identical postings weights
+    p = {r["doc_id"]: round(r["wnorm"], 9) for r in
+         live.postings.where((F.col("doc_id").isin([10_010, 10_011]))
+                             & (F.col("term") == "main")).collect()}
+    assert p[10_010] == p[10_011]
+
+
+def test_reindex_recompute_stats(spark, tmp_path):
+    """compact(recompute_stats=True): full rebuild with fresh stats ==
+    a from-scratch build over the merged corpus (env_operations.jl:9-71
+    'reindex *')."""
+    out = str(tmp_path / "idx_rc")
+    docs = assign_dense_ids(corpus_df(spark, 60, seed=3, partitions=2),
+                            ["repo", "path", "commit"])
+    build_persistent(spark, docs, CFG, out, n_buckets=2, retain_content=True)
+    new = _new_batch(spark, 5_000, "main freshterm_x freshterm_x run")
+    append_docs(spark, built_dir := out, new)
+    # frozen model: the new term is OOV pre-reindex
+    live = load_live_index(spark, built_dir)
+    assert search(spark, live, ["freshterm_x"], k=5, hydrate=False,
+                  pad_to_k=False).count() == 0
+    compact(spark, built_dir, recompute_stats=True, n_buckets=2)
+    re_idx = load_live_index(spark, built_dir)
+    # new term is now in the dictionary and searchable
+    got = search(spark, re_idx, ["freshterm_x"], k=5, hydrate=False,
+                 pad_to_k=False).collect()
+    assert 5_000 in {r["doc_id"] for r in got}
+    # stats equal a fresh build over the union corpus
+    from garamond_jl_spark.operators.build import build_index
+    union_docs = docs.unionByName(new.select(docs.columns))
+    fresh = build_index(spark, union_docs, CFG)
+    assert re_idx.meta["n_docs"] == fresh.meta["n_docs"]
+    assert abs(re_idx.meta["avgdl"] - fresh.meta["avgdl"]) < 1e-9
+    re_terms = {(r["term"], r["df"]) for r in re_idx.terms
+                .select("term", "df").collect()}
+    fr_terms = {(r["term"], r["df"]) for r in fresh.terms
+                .select("term", "df").collect()}
+    assert re_terms == fr_terms
+
+
+def test_compact_preserves_stream_checkpoint(spark, built, tmp_path):
+    src = str(tmp_path / "incoming2")
+    os.makedirs(src)
+    batch = _new_batch(spark, 30_000, "main value rows") \
+        .select("repo", "path", "commit", "lang", "content",
+                "content_sha256", "doc_id")
+    batch.write.parquet(os.path.join(src, "b1"), mode="overwrite")
+    schema = ("repo STRING, path STRING, commit STRING, lang STRING, "
+              "content STRING, content_sha256 STRING, doc_id LONG")
+    stream_append(spark, built, os.path.join(src, "b1"), schema)
+    assert os.path.exists(os.path.join(built, "_stream_checkpoint"))
+    compact(spark, built)
+    # checkpoint survived the snapshot swap…
+    assert os.path.exists(os.path.join(built, "_stream_checkpoint"))
+    # …so re-running the drained stream appends NOTHING (no replay)
+    stream_append(spark, built, os.path.join(src, "b1"), schema)
+    live = load_live_index(spark, built)
+    assert live.docs.where(F.col("doc_id") == 30_000).count() == 1
+    assert live.postings.where(F.col("doc_id") == 30_000).count() == \
+        live.postings.where(F.col("doc_id") == 30_000)\
+        .select("term").distinct().count()

@@ -157,3 +157,46 @@ def test_wand_prunes_blocks(spark, pindex, out_dir):
     # cheap proxy: assert wand returns correct rows AND the index has
     # more than k blocks for these hot terms so pruning had material
     assert n_all > 10
+
+
+def test_meta_roundtrips_full_config(spark, tmp_path):
+    """meta.json must round-trip EVERY EngineConfig field the query path
+    reads (CLAUDE.md pinned rule): an index built with non-default
+    tokenization must tokenize queries identically after load_index."""
+    from garamond_jl_spark.operators.persist import read_meta
+    out = str(tmp_path / "idx_cfg")
+    # hyphenated tokens survive only under this custom pattern
+    cfg = EngineConfig(block_size=64, min_block_df=1, lowercase=True,
+                       strip_accents=False, token_pattern=r"[a-z0-9_\-]+")
+    docs = corpus_df(spark, 40, seed=9, partitions=2).withColumn(
+        "content", F.concat(F.col("content"), F.lit(" spe-cial spe-cial")))
+    from garamond_jl_spark.operators.build import assign_dense_ids
+    docs = assign_dense_ids(docs, ["repo", "path", "commit"])
+    build_persistent(spark, docs, cfg, out, n_buckets=2)
+    m, cfg_back = read_meta(out)
+    assert cfg_back == cfg  # every field, not a cherry-pick
+    idx = load_index(spark, out)
+    hits = search(spark, idx, ["spe-cial"], k=5, hydrate=False,
+                  pad_to_k=False)
+    assert hits.count() > 0  # query tokenized like the build
+
+
+def test_custom_tokenizer_guard(spark, tmp_path):
+    """An index built with a custom tokenizer refuses to open without
+    one (silent tokenizer mismatch = wrong/empty results)."""
+    out = str(tmp_path / "idx_tok")
+
+    def shouty_tokenizer(s):
+        return [t.lower() for t in (s or "").split()]
+
+    from garamond_jl_spark.operators.build import assign_dense_ids
+    docs = assign_dense_ids(corpus_df(spark, 30, seed=11, partitions=2),
+                            ["repo", "path", "commit"])
+    cfg = EngineConfig(block_size=64, min_block_df=1)
+    build_persistent(spark, docs, cfg, out, n_buckets=2,
+                     tokenizer=shouty_tokenizer)
+    with pytest.raises(ValueError, match="tokenizer"):
+        load_index(spark, out)
+    idx = load_index(spark, out, tokenizer=shouty_tokenizer)
+    assert search(spark, idx, ["main run"], k=3, hydrate=False,
+                  pad_to_k=False).count() > 0
