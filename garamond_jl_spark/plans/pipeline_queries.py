@@ -46,11 +46,28 @@ shd AS (SELECT DISTINCT doc_id, s FROM sh),
 ssz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1)
 """
 
+# candidate-generation df cap: a shingle shared by more than this many
+# docs (license headers, boilerplate) is excluded from the pair-making
+# self-join — the quadratic term becomes O(cap·|docs-with-capped|)
+# instead of O(hot_df²).  Verification still counts ALL shingles, so any
+# candidate's Jaccard is exact; only pairs whose ENTIRE overlap is
+# boilerplate can be missed, which at t=0.8 requires a doc made of
+# boilerplate (route those through dedup_minhash_lsh / dedup_exact).
+MAX_SHINGLE_DF = 32
+
 JACCARD_PAIRS_SQL = f"""
 WITH {SHINGLES_CTE},
+sdf AS (SELECT s, count(*) AS df FROM shd GROUP BY 1),
+capped AS (SELECT shd.doc_id, shd.s FROM shd JOIN sdf USING (s)
+           WHERE df <= {MAX_SHINGLE_DF}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c JOIN shd x ON x.doc_id = c.doc_a
+  JOIN shd y ON y.doc_id = c.doc_b AND y.s = x.s
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -74,15 +91,28 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct())
 
 
-def _jaccard_pairs(shd: DataFrame) -> DataFrame:
+def _jaccard_pairs(shd: DataFrame,
+                   max_shingle_df: int = MAX_SHINGLE_DF) -> DataFrame:
+    """Candidate pairs from a df-capped shingle self-join, Jaccard
+    verified over ALL shingles.  The cap bounds the self-join's per-key
+    fan-out (a shingle with df=d yields d² pair rows — unbounded on
+    boilerplate without the cap)."""
     ssz = shd.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = shd.alias("a")
-    b = shd.alias("b")
-    inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count("*").alias("i")))
+    sdf = shd.groupBy("s").agg(F.count("*").alias("df"))
+    capped = (shd.join(sdf.where(F.col("df") <= max_shingle_df)
+                       .select("s"), "s"))
+    a = capped.alias("a")
+    b = capped.alias("b")
+    cand = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    x = shd.select(F.col("doc_id").alias("doc_a"), "s")
+    y = shd.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s2"))
+    inter = (cand.join(x, "doc_a").join(y, "doc_b")
+             .where(F.col("s") == F.col("s2"))
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("i")))
     jacc = (inter
             .join(ssz.select(F.col("doc_id").alias("doc_a"),
                              F.col("n").alias("na")), "doc_a")
@@ -110,8 +140,12 @@ def dedup_exact(spark, sf_dir):
 
 @q("dedup_ngram_jaccard", JACCARD_PAIRS_SQL)
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Near-dup pairs by word-3-gram Jaccard ≥ 0.8 (exact, all pairs
-    sharing ≥1 shingle).  Integer-count division → bit-identical."""
+    """Near-dup pairs by word-3-gram Jaccard ≥ 0.8.  Candidates come
+    from a df-capped shingle self-join (MAX_SHINGLE_DF bounds the
+    quadratic fan-out on boilerplate shingles); Jaccard is verified
+    exactly over all shingles.  Production dedup routes through
+    dedup_minhash_lsh — this is the exact verifier.  Integer-count
+    division → bit-identical."""
     jacc = _jaccard_pairs(_shingles(spark, sf_dir))
     return (jacc.where(F.col("jacc") >= JACCARD_T)
             .select("doc_a", "doc_b", e6(F.col("jacc")).alias("jacc_e6")))
@@ -214,6 +248,137 @@ def dedup_simhash(spark, sf_dir):
     return agg.select("doc_id", bits.cast("long").alias("simhash16"))
 
 
+SIMHASH_HAM_T = 3   # near-dup threshold over 64 bits
+SIMHASH_BANDS = 4   # 16-bit bands: pigeonhole guarantees recall at ham ≤ 3
+
+
+def _nib_sql(i: int) -> str:
+    """Hex nibble i (1-based) of column h as an int (DuckDB strpos)."""
+    return f"(strpos('0123456789abcdef', substring(h, {i}, 1)) - 1)"
+
+
+def _nib_spark(i: int) -> str:
+    """Same nibble arithmetic via Spark's locate (strpos is DuckDB-only;
+    both return the 1-based position, so the expressions are equal)."""
+    return f"(locate(substring(h, {i}, 1), '0123456789abcdef') - 1)"
+
+
+def _simhash64_cte() -> str:
+    """DuckDB CTE chain ending in sh(doc_id, sh_hi, sh_lo): 64-bit
+    SimHash from md5 nibbles (2 bits per nibble), tf-weighted integer
+    votes — engine-exact."""
+    votes = ", ".join(
+        f"sum(CASE WHEN (({_nib_sql(j // 2 + 1)}) & {1 << (j % 2)}) > 0 "
+        f"THEN tf ELSE -tf END) AS v{j}" for j in range(64))
+    lo = " + ".join(f"(CASE WHEN v{j} >= 0 THEN {1 << j} ELSE 0 END)"
+                    for j in range(32))
+    hi = " + ".join(f"(CASE WHEN v{j} >= 0 THEN {1 << (j - 32)} ELSE 0 END)"
+                    for j in range(32, 64))
+    return f"""
+tok AS (
+  SELECT d.doc_id, t.term FROM documents d,
+  unnest(string_split(d.text, ' ')) AS t(term) WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+hashed AS (SELECT doc_id, md5(term) AS h, tf FROM tf),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY 1),
+sh AS (SELECT doc_id, cast({hi} AS BIGINT) AS sh_hi,
+       cast({lo} AS BIGINT) AS sh_lo FROM votes)
+"""
+
+
+def _simhash64_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh_hi, sh_lo) — Spark mirror of :func:`_simhash64_cte`."""
+    d = load_testdata(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+           .where(F.col("term") != ""))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    hashed = tf.select("doc_id", F.md5("term").alias("h"), "tf")
+    votes = [F.sum(F.when(
+        F.expr(f"(({_nib_spark(j // 2 + 1)}) & {1 << (j % 2)}) > 0"),
+        F.col("tf")).otherwise(-F.col("tf"))).alias(f"v{j}")
+        for j in range(64)]
+    agg = hashed.groupBy("doc_id").agg(*votes)
+    lo = hi = None
+    for j in range(32):
+        t = F.when(F.col(f"v{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        lo = t if lo is None else lo + t
+    for j in range(32, 64):
+        t = F.when(F.col(f"v{j}") >= 0, F.lit(1 << (j - 32))).otherwise(F.lit(0))
+        hi = t if hi is None else hi + t
+    return agg.select("doc_id", hi.cast("long").alias("sh_hi"),
+                      lo.cast("long").alias("sh_lo"))
+
+
+@q("dedup_simhash64", f"""
+WITH {_simhash64_cte()}
+SELECT doc_id, sh_hi, sh_lo FROM sh
+""")
+def dedup_simhash64(spark, sf_dir):
+    """64-bit SimHash as two 32-bit halves (BIGINT each — a single
+    64-bit value would overflow the signed range on bit 63)."""
+    return _simhash64_df(spark, sf_dir)
+
+
+@q("dedup_simhash_pairs", f"""
+WITH {_simhash64_cte()},
+bands AS (
+  SELECT doc_id, b.band,
+         CASE b.band WHEN 0 THEN sh_lo & 65535
+                     WHEN 1 THEN (sh_lo >> 16) & 65535
+                     WHEN 2 THEN sh_hi & 65535
+                     ELSE (sh_hi >> 16) & 65535 END AS chunk
+  FROM sh CROSS JOIN (SELECT unnest(range({SIMHASH_BANDS})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM bands a JOIN bands b2
+    ON a.band = b2.band AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       cast(bit_count(xor(x.sh_lo, y.sh_lo)) +
+            bit_count(xor(x.sh_hi, y.sh_hi)) AS BIGINT) AS ham
+FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+JOIN sh y ON y.doc_id = c.doc_b
+WHERE bit_count(xor(x.sh_lo, y.sh_lo)) +
+      bit_count(xor(x.sh_hi, y.sh_hi)) <= {SIMHASH_HAM_T}
+""")
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs at scale: 4×16-bit banded candidate join
+    (pigeonhole: any pair within Hamming ≤ 3 shares ≥1 exact band) →
+    exact popcount verify.  No all-pairs join anywhere — the quadratic
+    term is bounded per 16-bit band bucket."""
+    sh = _simhash64_df(spark, sf_dir)
+    band_structs = [
+        F.struct(F.lit(0).alias("band"),
+                 F.expr("sh_lo & 65535").alias("chunk")),
+        F.struct(F.lit(1).alias("band"),
+                 F.expr("shiftright(sh_lo, 16) & 65535").alias("chunk")),
+        F.struct(F.lit(2).alias("band"),
+                 F.expr("sh_hi & 65535").alias("chunk")),
+        F.struct(F.lit(3).alias("band"),
+                 F.expr("shiftright(sh_hi, 16) & 65535").alias("chunk")),
+    ]
+    bands = (sh.select("doc_id", F.explode(F.array(*band_structs)).alias("bc"))
+             .select("doc_id", "bc.band", "bc.chunk"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    x = sh.select(F.col("doc_id").alias("doc_a"),
+                  F.col("sh_hi").alias("hi_a"), F.col("sh_lo").alias("lo_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"),
+                  F.col("sh_hi").alias("hi_b"), F.col("sh_lo").alias("lo_b"))
+    ham = F.expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)")
+    return (cand.join(x, "doc_a").join(y, "doc_b")
+            .withColumn("ham", ham.cast("long"))
+            .where(F.col("ham") <= SIMHASH_HAM_T)
+            .select("doc_a", "doc_b", "ham"))
+
+
 # --------------------------------------------------------------------------
 # Similarity search over embeddings
 # --------------------------------------------------------------------------
@@ -226,6 +391,77 @@ u AS (
 ),
 nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nv FROM u GROUP BY 1)
 """
+
+N_PLANES = 8          # bucket-assignment query (256 buckets)
+ANN_PLANES = 6        # end-to-end search: fewer, wider buckets
+ANN_PROBE_RADIUS = 2  # multiprobe: all buckets within Hamming ≤ 2
+ANN_QUERY_IDS = (0, 1, 2)
+ANN_K = 10
+
+
+def _probe_masks(n_planes: int, radius: int) -> list[int]:
+    """XOR masks enumerating every bucket within Hamming ``radius`` of
+    the query's bucket (0 = the bucket itself)."""
+    masks = [0] + [1 << p for p in range(n_planes)]
+    if radius >= 2:
+        masks += [(1 << a) | (1 << b)
+                  for a in range(n_planes) for b in range(a + 1, n_planes)]
+    return masks
+
+
+def _lsh_bucket_cte(n_planes: int) -> str:
+    """Deterministic random-hyperplane buckets (md5(plane:dim) high-bit
+    signs) as a SQL CTE chain ending in ``bkt(vec_id, bucket)``."""
+    return f"""
+planes AS (
+  SELECT p.p, u2.i,
+         CASE WHEN substring(md5(cast(p.p AS VARCHAR) || ':' ||
+                             cast(u2.i AS VARCHAR)), 1, 1)
+              IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END AS sgn
+  FROM (SELECT unnest(range({n_planes})) AS p) p
+  CROSS JOIN (SELECT DISTINCT i FROM u) u2
+),
+proj AS (
+  SELECT u.vec_id, pl.p, sum(u.v * pl.sgn) AS dot
+  FROM u JOIN planes pl USING (i) GROUP BY 1, 2
+),
+bkt AS (
+  SELECT vec_id,
+         cast(sum(CASE WHEN dot >= 0 THEN power(2, p) ELSE 0 END) AS BIGINT)
+         AS bucket
+  FROM proj GROUP BY 1
+)
+"""
+
+
+LSH_BUCKET_CTE = _lsh_bucket_cte(N_PLANES)
+
+
+def _emb_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings → long form (vec_id, i, v) with 1-based dims, matching
+    DuckDB's generate_subscripts."""
+    e = load_testdata(spark, sf_dir, "embeddings")
+    return (e.select("vec_id",
+                     F.posexplode(F.col("embedding").cast("array<double>"))
+                     .alias("i", "v"))
+            .withColumn("i", F.col("i") + 1))
+
+
+def _lsh_buckets_df(u: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """(vec_id, bucket) under the deterministic hyperplane LSH."""
+    planes = (u.select("i").distinct()
+              .crossJoin(F.broadcast(
+                  u.sparkSession.range(n_planes).select(F.col("id").alias("p"))))
+              .withColumn("sgn", F.when(
+                  F.substring(F.md5(F.concat_ws(":", F.col("p"), F.col("i"))), 1, 1)
+                  .isin(*HEX_HIGH), F.lit(1.0)).otherwise(F.lit(-1.0))))
+    proj = (u.join(F.broadcast(planes), "i")
+            .groupBy("vec_id", "p")
+            .agg(F.sum(F.col("v") * F.col("sgn")).alias("dot")))
+    return (proj.groupBy("vec_id")
+            .agg(F.sum(F.when(F.col("dot") >= 0,
+                              F.pow(F.lit(2.0), F.col("p"))).otherwise(F.lit(0.0)))
+                 .cast("long").alias("bucket")))
 
 
 @q("ann_cosine_topk", f"""
@@ -267,92 +503,216 @@ def ann_cosine_topk(spark, sf_dir):
 
 @q("ann_lsh_buckets", f"""
 WITH {EMB_NORM_CTE},
-planes AS (
-  SELECT p.p, u2.i,
-         CASE WHEN substring(md5(cast(p.p AS VARCHAR) || ':' ||
-                             cast(u2.i AS VARCHAR)), 1, 1)
-              IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END AS sgn
-  FROM (SELECT unnest(range(8)) AS p) p
-  CROSS JOIN (SELECT DISTINCT i FROM u) u2
-),
-proj AS (
-  SELECT u.vec_id, pl.p, sum(u.v * pl.sgn) AS dot
-  FROM u JOIN planes pl USING (i) GROUP BY 1, 2
-)
-SELECT vec_id,
-       cast(sum(CASE WHEN dot >= 0 THEN power(2, p) ELSE 0 END) AS BIGINT)
-       AS bucket
-FROM proj GROUP BY 1
+{LSH_BUCKET_CTE}
+SELECT vec_id, bucket FROM bkt
 """)
 def ann_lsh_buckets(spark, sf_dir):
-    """Scale-path ANN: deterministic random-hyperplane LSH — 8 ±1
-    hyperplanes derived from md5(plane:dim) high-bit, bucket = sign
+    """Scale-path ANN stage 1: deterministic random-hyperplane LSH —
+    ±1 hyperplanes derived from md5(plane:dim) high-bit, bucket = sign
     pattern.  Neighbor candidates at scale = bucket-equality join
     instead of the quadratic cross join."""
-    e = load_testdata(spark, sf_dir, "embeddings")
-    u = (e.select("vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
-                  .alias("i", "v"))
-         .withColumn("i", F.col("i") + 1))  # 1-based like generate_subscripts
-    planes = (u.select("i").distinct()
-              .crossJoin(F.broadcast(
-                  u.sparkSession.range(8).select(F.col("id").alias("p"))))
-              .withColumn("sgn", F.when(
-                  F.substring(F.md5(F.concat_ws(":", F.col("p"), F.col("i"))), 1, 1)
-                  .isin(*HEX_HIGH), F.lit(1.0)).otherwise(F.lit(-1.0))))
-    proj = (u.join(planes, "i")
-            .groupBy("vec_id", "p").agg(F.sum(F.col("v") * F.col("sgn")).alias("dot")))
-    return (proj.groupBy("vec_id")
-            .agg(F.sum(F.when(F.col("dot") >= 0,
-                              F.pow(F.lit(2.0), F.col("p"))).otherwise(F.lit(0.0)))
-                 .cast("long").alias("bucket")))
+    return _lsh_buckets_df(_emb_long(spark, sf_dir))
+
+
+def ann_lsh_search(u: DataFrame, query_ids: list[int], k: int,
+                   n_planes: int = ANN_PLANES,
+                   radius: int = ANN_PROBE_RADIUS) -> DataFrame:
+    """END-TO-END bucketed ANN search (the capability of
+    reference/src/index/hnsw.jl:28-45 / ivfadc.jl:22-39 in the
+    Spark-native idiom): hyperplane bucket → multiprobe candidates
+    (every bucket within Hamming ``radius`` of the query's bucket) →
+    exact cosine rerank of candidates only → top-k.
+
+    ``u`` is the long-form embedding table (vec_id, i, v).  At scale
+    nothing touches the full corpus after bucketing: the probe list is
+    |queries|·|masks| rows broadcast into a bucket-equality join, and
+    the rerank cost is |candidates|·dim, not |corpus|·dim.  Recall
+    depends on corpus structure — clustered real-world embeddings keep
+    high recall at small probe counts (test_ann_clustered_recall);
+    uniform-random vectors (the parity testdata) are the adversarial
+    case and need wide probes (figures in BENCH.md)."""
+    spark = u.sparkSession
+    bkt = _lsh_buckets_df(u, n_planes)
+    qb = (bkt.where(F.col("vec_id").isin(*query_ids))
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("bucket").alias("qbkt")))
+    masks = spark.createDataFrame(
+        [(m,) for m in _probe_masks(n_planes, radius)], "m LONG")
+    probes = (qb.crossJoin(F.broadcast(masks))
+              .select("query_id", F.expr("qbkt ^ m").alias("pbkt")))
+    cand = (F.broadcast(probes)
+            .join(bkt, bkt["bucket"] == probes["pbkt"])
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id").distinct())
+    uq = u.select(F.col("vec_id").alias("query_id"), "i",
+                  F.col("v").alias("qv"))
+    dots = (cand.join(u, "vec_id")
+            .join(uq, ["query_id", "i"])
+            .groupBy("query_id", "vec_id")
+            .agg(F.sum(F.col("v") * F.col("qv")).alias("dot")))
+    nrm = u.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv"))
+    nq = nrm.select(F.col("vec_id").alias("query_id"), F.col("nv").alias("nq"))
+    cosd = (dots.join(nrm, "vec_id").join(F.broadcast(nq), "query_id")
+            .select("query_id", "vec_id",
+                    (F.col("dot") / (F.col("nv") * F.col("nq"))).alias("c")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("c"), 6).desc(), F.col("vec_id").asc())
+    return (cosd.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .where(F.col("rnk") <= k)
+            .select("query_id", "vec_id", e6(F.col("c")).alias("cos_e6"), "rnk"))
+
+
+_ANN_MASK_VALUES = ", ".join(
+    f"({m})" for m in _probe_masks(ANN_PLANES, ANN_PROBE_RADIUS))
+
+
+@q("ann_lsh_topk", f"""
+WITH {EMB_NORM_CTE},
+{_lsh_bucket_cte(ANN_PLANES)},
+qb AS (SELECT vec_id AS query_id, bucket AS qbkt FROM bkt
+       WHERE vec_id IN {ANN_QUERY_IDS}),
+masks(m) AS (VALUES {_ANN_MASK_VALUES}),
+probes AS (SELECT query_id, xor(qbkt, m) AS pbkt FROM qb CROSS JOIN masks),
+cand AS (
+  SELECT DISTINCT pr.query_id, b.vec_id
+  FROM probes pr JOIN bkt b ON b.bucket = pr.pbkt
+  WHERE b.vec_id <> pr.query_id
+),
+dots AS (
+  SELECT c.query_id, c.vec_id, sum(u.v * uq.v) AS dot
+  FROM cand c
+  JOIN u ON u.vec_id = c.vec_id
+  JOIN u uq ON uq.vec_id = c.query_id AND uq.i = u.i
+  GROUP BY 1, 2
+),
+cosd AS (
+  SELECT d.query_id, d.vec_id, d.dot / (n.nv * nq.nv) AS c
+  FROM dots d JOIN nrm n ON n.vec_id = d.vec_id
+  JOIN nrm nq ON nq.vec_id = d.query_id
+)
+SELECT query_id, vec_id, cast(round(c * 1e6) AS BIGINT) AS cos_e6,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(c, 6) DESC, vec_id ASC) AS rnk
+FROM cosd QUALIFY rnk <= {ANN_K}
+""")
+def ann_lsh_topk(spark, sf_dir):
+    """Parity wrapper: multiprobe LSH ANN over the embeddings table
+    (see :func:`ann_lsh_search`)."""
+    return ann_lsh_search(_emb_long(spark, sf_dir),
+                          list(ANN_QUERY_IDS), ANN_K)
 
 
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
 
-_MARKERS = [("the", "en"), ("a", "en"), ("der", "de"), ("und", "de"),
-            ("le", "fr"), ("et", "fr"), ("el", "es"), ("y", "es"),
-            ("de", "zh")]
+# char-trigram language profiles built from each language's most
+# frequent function words (public linguistic knowledge — the standard
+# Cavnar–Trenkle-style n-gram profile technique, compacted): each word
+# padded with spaces contributes its trigrams, so word boundaries
+# (" th", "he ", " de", "er ") dominate the signal.
+_LANG_WORDS = {
+    "en": "the and of to in is you that it he was for on are as with "
+          "his they at be this have from one had by not but what all",
+    "de": "der die und das ist ich nicht mit ein sie auf für den von "
+          "werden wir haben einem nach auch es im dem sich des als war",
+    "fr": "le la les des une est pas vous pour dans qui sur avec sont "
+          "être fait plus mais nous comme elle tout deux cette très",
+    "es": "el los las una está que por para con del este como más pero "
+          "sus son tiene entre cuando hasta desde también muy años sin",
+}
+LANG_CONF_FLOOR = 0.12  # reference confidence floor analog (text.jl:40)
+CJK_FRAC_NUM, CJK_FRAC_DEN = 1, 5  # ≥20% CJK chars ⇒ zh (script detect)
+
+
+def _lang_trigram_profile() -> list[tuple[str, str]]:
+    out = set()
+    for lang, words in _LANG_WORDS.items():
+        for wd in words.split():
+            p = f" {wd} "
+            for i in range(len(p) - 2):
+                out.add((p[i:i + 3], lang))
+    return sorted(out)
+
+
+_PROFILE_VALUES = ", ".join(
+    "('" + g.replace("'", "''") + f"', '{lang}')"
+    for g, lang in _lang_trigram_profile())
 
 
 @q("text_lang_id", f"""
-WITH tok AS (
-  SELECT d.doc_id, t.term FROM documents d,
-  unnest(string_split(d.text, ' ')) AS t(term) WHERE t.term <> ''
+WITH pt AS (SELECT doc_id, ' ' || text || ' ' AS p, text FROM documents),
+dt AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(p) - 1),
+                               i -> substring(p, i, 3))) AS g
+  FROM pt
 ),
-markers(term, lang) AS (VALUES {", ".join(f"('{t}', '{l}')" for t, l in _MARKERS)}),
-hits AS (
-  SELECT tok.doc_id, m.lang, count(*) AS c
-  FROM tok JOIN markers m USING (term) GROUP BY 1, 2
-),
-best AS (
-  SELECT doc_id, lang,
-         row_number() OVER (PARTITION BY doc_id
-                            ORDER BY c DESC, lang ASC) AS rn
-  FROM hits
-)
-SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang
-FROM documents d LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b
+ntri AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY 1),
+prof(g, lang) AS (VALUES {_PROFILE_VALUES}),
+hits AS (SELECT dt.doc_id, p.lang, count(*) AS c
+         FROM dt JOIN prof p USING (g) GROUP BY 1, 2),
+sc AS (SELECT h.doc_id, h.lang, h.c * 1.0 / n.n AS score
+       FROM hits h JOIN ntri n USING (doc_id)),
+best AS (SELECT doc_id, lang, score,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, lang ASC) AS rn
+         FROM sc),
+cjk AS (SELECT doc_id,
+               len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) AS nc,
+               len(text) AS lt
+        FROM documents)
+SELECT d.doc_id,
+       CASE WHEN c.nc * {CJK_FRAC_DEN} >= c.lt * {CJK_FRAC_NUM}
+                 AND c.nc > 0 THEN 'zh'
+            WHEN b.score >= {LANG_CONF_FLOOR} THEN b.lang
+            ELSE 'und' END AS pred_lang
+FROM documents d JOIN cjk c USING (doc_id)
+LEFT JOIN (SELECT doc_id, lang, score FROM best WHERE rn = 1) b
 USING (doc_id)
 """)
 def text_lang_id(spark, sf_dir):
-    """Language-ID heuristic: marker-token voting with deterministic
-    argmax (count desc, lang asc), 'und' when no markers (reference
-    confidence-floor analog, src/data/text.jl:32-41)."""
-    d = load_testdata(spark, sf_dir, "documents")
-    tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-           .where(F.col("term") != ""))
-    markers = F.broadcast(d.sparkSession.createDataFrame(
-        _MARKERS, "term STRING, lang STRING"))
-    hits = tok.join(markers, "term").groupBy("doc_id", "lang") \
-              .agg(F.count("*").alias("c"))
-    w = Window.partitionBy("doc_id").orderBy(F.col("c").desc(),
+    """Char-trigram language ID (upgrading the round-1 marker-word
+    vote): padded-word trigram profiles per language, coverage score =
+    matched trigram occurrences / total trigrams, deterministic argmax
+    (score desc, lang asc) with a confidence floor → 'und' (reference
+    trained-detector + 0.15 floor analog, src/data/text.jl:32-41), and
+    CJK script detection (≥20% han chars ⇒ zh) where trigram profiles
+    of space-delimited words cannot apply."""
+    return _lang_id_df(load_testdata(spark, sf_dir, "documents"))
+
+
+def _lang_id_df(d: DataFrame) -> DataFrame:
+    spark = d.sparkSession
+    prof = F.broadcast(spark.createDataFrame(
+        _lang_trigram_profile(), "g STRING, lang STRING"))
+    pt = d.select("doc_id", F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+                  .alias("p"), "text")
+    dt = (pt.select("doc_id", F.explode(F.when(
+        F.length("p") >= 3,
+        F.expr("transform(sequence(1, length(p) - 2), "
+               "i -> substring(p, i, 3))"))
+        .otherwise(F.array())).alias("g")))
+    ntri = dt.groupBy("doc_id").agg(F.count("*").alias("n"))
+    hits = dt.join(prof, "g").groupBy("doc_id", "lang") \
+             .agg(F.count("*").alias("c"))
+    sc = (hits.join(ntri, "doc_id")
+          .select("doc_id", "lang", (F.col("c") / F.col("n")).alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(),
                                              F.col("lang").asc())
-    best = hits.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
-    return (d.select("doc_id")
-            .join(best.select("doc_id", "lang"), "doc_id", "left")
-            .select("doc_id", F.coalesce("lang", F.lit("und")).alias("pred_lang")))
+    best = (sc.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1).select("doc_id", "lang", "score"))
+    cjk = d.select("doc_id",
+                   F.regexp_count("text", F.lit("[\\u4e00-\\u9fff]"))
+                   .alias("nc"),
+                   F.length("text").alias("lt"))
+    return (d.select("doc_id").join(cjk, "doc_id")
+            .join(best, "doc_id", "left")
+            .select("doc_id", F.when(
+                (F.col("nc") * CJK_FRAC_DEN >= F.col("lt") * CJK_FRAC_NUM)
+                & (F.col("nc") > 0), F.lit("zh"))
+                .when(F.col("score") >= LANG_CONF_FLOOR, F.col("lang"))
+                .otherwise(F.lit("und")).alias("pred_lang")))
 
 
 @q("text_quality_score", """
