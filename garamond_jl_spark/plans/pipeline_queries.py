@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from garamond_jl_spark.operators import semantic as _SEM
 from garamond_jl_spark.plans.testdata_queries import ORACLES, QUERIES, e6, q
 from garamond_jl_spark.sources.tables import load_testdata
 
@@ -600,6 +601,72 @@ def ann_lsh_topk(spark, sf_dir):
     (see :func:`ann_lsh_search`)."""
     return ann_lsh_search(_emb_long(spark, sf_dir),
                           list(ANN_QUERY_IDS), ANN_K)
+
+
+# --------------------------------------------------------------------------
+# Semantic search (BOE over deterministic synthetic word vectors, E1+E6)
+# --------------------------------------------------------------------------
+
+BOE_DIM = 16
+BOE_SEED = 0
+BOE_QUERY = "spark join data"
+BOE_K = 10
+
+
+def _boe_query_values() -> str:
+    counts: dict[str, int] = {}
+    for t in BOE_QUERY.split():
+        counts[t] = counts.get(t, 0) + 1
+    return ", ".join(f"('{t}', {c})" for t, c in sorted(counts.items()))
+
+
+@q("semantic_boe_topk", f"""
+WITH tok AS (
+  SELECT d.doc_id, t.term FROM documents d,
+  unnest(string_split(d.text, ' ')) AS t(term) WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+vocab AS (SELECT DISTINCT term FROM tf),
+dims AS (SELECT unnest(range(1, {BOE_DIM + 1})) AS i),
+wvh AS (
+  SELECT term, i,
+         md5(cast({BOE_SEED} AS VARCHAR) || ':' || term || ':' ||
+             cast(i AS VARCHAR)) AS h
+  FROM vocab CROSS JOIN dims
+),
+wv AS (SELECT term, i, ({_SEM.component_sql()}) / 8388608.0 - 1.0 AS v
+       FROM wvh),
+dv AS (SELECT doc_id, i, sum(tf * v) AS dv
+       FROM tf JOIN wv USING (term) GROUP BY 1, 2),
+dn AS (SELECT doc_id, sqrt(sum(dv * dv)) AS nd FROM dv GROUP BY 1),
+qt(term, qtf) AS (VALUES {_boe_query_values()}),
+qv AS (SELECT i, sum(qtf * v) AS qv FROM qt JOIN wv USING (term) GROUP BY 1),
+qn AS (SELECT sqrt(sum(qv * qv)) AS nq FROM qv),
+dots AS (SELECT dv.doc_id, sum(dv.dv * qv.qv) AS dot
+         FROM dv JOIN qv USING (i) GROUP BY 1),
+cosd AS (SELECT d.doc_id, d.dot / (n.nd * (SELECT nq FROM qn)) AS c
+         FROM dots d JOIN dn n USING (doc_id))
+SELECT doc_id, cast(round(c * 1e6) AS BIGINT) AS cos_e6,
+       cast(row_number() OVER (ORDER BY round(c, 6) DESC, doc_id ASC)
+            AS BIGINT) AS rnk
+FROM cosd QUALIFY rnk <= {BOE_K}
+""")
+def semantic_boe_topk(spark, sf_dir):
+    """BOE semantic search (E1+E6): deterministic synthetic word
+    vectors → tf-weighted token-vector sum per doc → cosine top-k
+    (reference boe.jl:1-27 + wordvectors.jl:101-187; synthetic vectors
+    stand in for the pretrained files absent from the sandbox — see
+    operators/semantic.py)."""
+    from garamond_jl_spark.operators.semantic import (boe_topk,
+                                                      synthetic_word_vectors)
+    d = load_testdata(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+           .where(F.col("term") != ""))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    wv = synthetic_word_vectors(tf.select("term"), dim=BOE_DIM, seed=BOE_SEED)
+    hits = boe_topk(spark, tf, wv, BOE_QUERY, k=BOE_K, tiebreak_round=6)
+    return hits.select("doc_id", e6(F.col("score")).alias("cos_e6"),
+                       F.col("rank").cast("long").alias("rnk"))
 
 
 # --------------------------------------------------------------------------

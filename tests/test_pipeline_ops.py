@@ -90,3 +90,54 @@ def test_simhash_pairs_agree_with_minhash(spark):
     sh = {(r["doc_a"], r["doc_b"]) for r in dedup_simhash_pairs(spark, sf).collect()}
     assert len(sh & mh) / max(len(mh), 1) >= 0.5  # recall vs jaccard truth
     assert len(sh & mh) / max(len(sh), 1) >= 0.5  # precision
+
+
+def test_boe_rank_identity_vs_numpy(spark):
+    """BOE top-k rank identity vs a NumPy oracle implementing the same
+    reference semantics (boe.jl sum-of-word-vectors, cosine knn):
+    identical ids, scores within 1e-9."""
+    from garamond_jl_spark.corpus import corpus_df
+    from garamond_jl_spark.operators.semantic import (
+        boe_topk, synthetic_word_vectors, word_vector_component)
+
+    docs = [(r["doc_id"], r["content"]) for r in
+            corpus_df(spark, 120, seed=5, partitions=2)
+            .withColumn("doc_id", F.monotonically_increasing_id())
+            .select("doc_id", "content").collect()]
+    d = spark.createDataFrame(docs, "doc_id LONG, content STRING")
+    tok = (d.select("doc_id", F.explode(F.split("content", " ")).alias("term"))
+           .where(F.col("term") != ""))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dim, seed, k = 16, 0, 8
+    wv = synthetic_word_vectors(tf.select("term"), dim=dim, seed=seed)
+
+    # NumPy oracle
+    vocab = sorted({t for _, text in docs for t in text.split(" ") if t})
+    vecs = {t: np.array([word_vector_component(t, i, seed)
+                         for i in range(1, dim + 1)]) for t in vocab}
+
+    def np_topk(query):
+        qtoks = [t for t in query.split(" ") if t and t in vecs]
+        if not qtoks:
+            return []
+        qv = np.sum([vecs[t] for t in qtoks], axis=0)
+        nq = np.linalg.norm(qv)
+        out = []
+        for did, text in docs:
+            toks = [t for t in text.split(" ") if t in vecs]
+            if not toks:
+                continue
+            dv = np.sum([vecs[t] for t in toks], axis=0)
+            out.append((did, float(dv @ qv / (np.linalg.norm(dv) * nq))))
+        out.sort(key=lambda x: (-round(x[1], 9), x[0]))
+        return out[:k]
+
+    for query in ["main run data", "free_4 decode_7", "get set value",
+                  "zzz_oov_only"]:
+        got = sorted(boe_topk(spark, tf, wv, query, k=k,
+                              tiebreak_round=9).collect(),
+                     key=lambda r: r["rank"])
+        expect = np_topk(query)
+        assert [r["doc_id"] for r in got] == [d_ for d_, _ in expect], query
+        for r, (_, s) in zip(got, expect):
+            assert abs(r["score"] - s) < 1e-9, (query, r, s)
