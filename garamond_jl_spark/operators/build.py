@@ -132,29 +132,50 @@ def tokenize_to_postings(docs: DataFrame, cfg: EngineConfig,
     doc_id)`` (shuffle); counting inside the document avoids it entirely
     because tf(t, d) only needs d's own tokens.
 
+    Uses ``mapInArrow`` (RecordBatch in/out) rather than ``mapInPandas``:
+    the per-batch pandas construction + pandas→Arrow conversion on the
+    ~18-postings-per-doc output was the single largest build cost and is
+    pure overhead here — the 1M-doc profile (BENCH.md round 2) measured
+    the Arrow-direct emit at 1.9× the pandas path at both 8 and 32
+    cores.
+
     ``tokenizer``: optional ``str -> list[str]`` override (default: the
     canonical prepare+tokenize pipeline under ``cfg``).
     """
     tok = tokenizer or (lambda s: prepare_and_tokenize(s, cfg))
+    import pyarrow as pa
+    arrow_schema = pa.schema([("term", pa.string()), ("doc_id", pa.int64()),
+                              ("tf", pa.int32()), ("doclen", pa.int32())])
 
-    def count_terms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def count_terms(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         for b in batches:
-            out_term, out_doc, out_tf, out_len = [], [], [], []
-            for doc_id, text in zip(b[id_col], b[text_col]):
+            ids = b.column(b.schema.get_field_index(id_col)).to_pylist()
+            texts = b.column(b.schema.get_field_index(text_col)).to_pylist()
+            out_term: list[str] = []
+            out_doc: list[int] = []
+            out_tf: list[int] = []
+            out_len: list[int] = []
+            ap_t, ap_d, ap_f, ap_l = (out_term.append, out_doc.append,
+                                      out_tf.append, out_len.append)
+            for doc_id, text in zip(ids, texts):
                 toks = tok(text)
                 counts: dict[str, int] = {}
                 for t in toks:
                     counts[t] = counts.get(t, 0) + 1
                 n = len(toks)
                 for t, c in counts.items():
-                    out_term.append(t)
-                    out_doc.append(doc_id)
-                    out_tf.append(c)
-                    out_len.append(n)
-            yield pd.DataFrame({"term": out_term, "doc_id": out_doc,
-                                "tf": out_tf, "doclen": out_len})
+                    ap_t(t)
+                    ap_d(doc_id)
+                    ap_f(c)
+                    ap_l(n)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_term, pa.string()),
+                 pa.array(out_doc, pa.int64()),
+                 pa.array(out_tf, pa.int32()),
+                 pa.array(out_len, pa.int32())],
+                schema=arrow_schema)
 
-    return docs.select(id_col, text_col).mapInPandas(count_terms, POSTINGS_SCHEMA)
+    return docs.select(id_col, text_col).mapInArrow(count_terms, POSTINGS_SCHEMA)
 
 
 def term_stats(postings: DataFrame, n_docs: int,

@@ -81,7 +81,11 @@ WHERE i * 1.0 / (x.n + y.n - i) >= {JACCARD_T}
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct word-3-gram shingles per doc, pure SQL functions (no UDF).
     Matches the DuckDB list_transform fragment element-for-element."""
-    d = load_testdata(spark, sf_dir, "documents")
+    return shingles_from(load_testdata(spark, sf_dir, "documents"))
+
+
+def shingles_from(d: DataFrame) -> DataFrame:
+    """(doc_id, text) → distinct word-3-gram shingles (doc_id, s)."""
     return (d.withColumn("t", F.split("text", " "))
             .withColumn("s", F.when(
                 F.size("t") >= 3,
@@ -182,7 +186,16 @@ def dedup_minhash_lsh(spark, sf_dir):
     The scale path: candidate generation is |bands|·|docs| rows, the
     quadratic verify only touches bucket-colliding pairs."""
     shd = _shingles(spark, sf_dir).persist()
-    bands = F.explode(F.array(*[F.lit(i) for i in range(N_BANDS)])).alias("band")
+    jacc = minhash_lsh_pairs(shd)
+    return (jacc.where(F.col("jacc") >= JACCARD_T)
+            .select("doc_a", "doc_b", e6(F.col("jacc")).alias("jacc_e6")))
+
+
+def minhash_lsh_pairs(shd: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """shd(doc_id, s) → candidate near-dup pairs with exact Jaccard
+    (doc_a, doc_b, jacc).  Banded min-md5 signatures; candidates from
+    band-equality; verify over all shingles."""
+    bands = F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("band")
     sig = (shd.select("doc_id", "s", bands)
            .withColumn("mh", F.md5(F.concat_ws(":", F.col("band"), F.col("s"))))
            .groupBy("doc_id", "band").agg(F.min("mh").alias("mh")))
@@ -199,14 +212,12 @@ def dedup_minhash_lsh(spark, sf_dir):
              .where(F.col("s") == F.col("s2"))
              .groupBy("doc_a", "doc_b").agg(F.count("*").alias("i")))
     ssz = shd.groupBy("doc_id").agg(F.count("*").alias("n"))
-    jacc = (inter
+    return (inter
             .join(ssz.select(F.col("doc_id").alias("doc_a"),
                              F.col("n").alias("na")), "doc_a")
             .join(ssz.select(F.col("doc_id").alias("doc_b"),
                              F.col("n").alias("nb")), "doc_b")
             .withColumn("jacc", F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))))
-    return (jacc.where(F.col("jacc") >= JACCARD_T)
-            .select("doc_a", "doc_b", e6(F.col("jacc")).alias("jacc_e6")))
 
 
 def _simhash_sql() -> str:
