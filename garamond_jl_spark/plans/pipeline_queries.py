@@ -835,6 +835,25 @@ def text_token_count_regex(spark, sf_dir):
                     .cast("long").alias("n_tok"))
 
 
+@q("text_summarize")  # iterative PageRank — not SQL-expressible; the
+# driver records the weaker rows-only check for this entry
+def text_summarize(spark, sf_dir):
+    """F5 TextRank extractive summarization (text.jl:51-74) — per-doc
+    tf-idf sentence graph + PageRank in one Arrow pass.  Testdata text
+    is an unpunctuated token stream, so sentence boundaries are
+    synthesized every 12 tokens before summarizing."""
+    from garamond_jl_spark.functions.summarize import summarize_docs
+    d = load_testdata(spark, sf_dir, "documents")
+    sent = F.expr(
+        "array_join(transform(sequence(0, cast((size(t) - 1) / 12 AS int)),"
+        " i -> concat_ws(' ', slice(t, i * 12 + 1, 12))), '. ')")
+    dd = (d.withColumn("t", F.split("text", " "))
+          .select("doc_id", sent.alias("text")))
+    out = summarize_docs(dd, ns=2)
+    return out.select("doc_id",
+                      F.array_join("summary", " | ").alias("summary"))
+
+
 @q("text_fingerprint", f"""
 WITH {SHINGLES_CTE}
 SELECT doc_id, min(md5(s)) AS fp FROM shd GROUP BY 1

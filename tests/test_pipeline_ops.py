@@ -141,3 +141,40 @@ def test_boe_rank_identity_vs_numpy(spark):
         assert [r["doc_id"] for r in got] == [d_ for d_, _ in expect], query
         for r, (_, s) in zip(got, expect):
             assert abs(r["score"] - s) < 1e-9, (query, r, s)
+
+
+def test_textrank_summary_goldens():
+    from garamond_jl_spark.functions.summarize import (pagerank,
+                                                       split_sentences,
+                                                       textrank_summary)
+    import numpy as np
+    # hub sentence (shares vocab with everything) must rank first
+    sents = ["alpha beta gamma delta", "alpha beta other words here",
+             "gamma delta more tokens now", "unrelated zz qq ww vv"]
+    got = textrank_summary(sents, ns=1)
+    assert got == ["alpha beta gamma delta"]
+    # ns >= n returns all usable sentences, document order kept
+    assert textrank_summary(sents, ns=10) == sents
+    # degenerate inputs pass through (reference catch branch)
+    assert textrank_summary(["...", "!!!"], ns=1) == ["...", "!!!"]
+    assert textrank_summary([], ns=1) == []
+    # pagerank: symmetric star graph — hub gets the highest mass
+    adj = np.array([[0, 1, 1, 1], [1, 0, 0, 0],
+                    [1, 0, 0, 0], [1, 0, 0, 0]], dtype=float)
+    p = pagerank(adj)
+    assert p[0] == max(p) and abs(p.sum() - 1.0) < 1e-6
+    assert split_sentences("One two. Three four! Five?") == \
+        ["One two.", "Three four!", "Five?"]
+
+
+def test_summarize_docs_spark(spark):
+    from garamond_jl_spark.functions.summarize import summarize_docs
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma. alpha beta said more. gamma went on. "
+             "nothing related here at all."),
+         (2, "solo sentence only")],
+        "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r["summary"] for r in
+           summarize_docs(d, ns=1).collect()}
+    assert got[1] == ["alpha beta gamma."]
+    assert got[2] == ["solo sentence only"]
