@@ -99,6 +99,225 @@ def boe_embed_query(spark: SparkSession, query: str,
             .groupBy("i").agg(F.sum(F.col("qtf") * F.col("v")).alias("qv")))
 
 
+SIF_ALPHA = 0.01          # DEFAULT_SIF_ALPHA, defaults.jl:21
+BOREP_POOLING = "sum"     # DEFAULT_BOREP_POOLING_FUNCTION, defaults.jl:23
+DISC_NGRAM = 2            # DEFAULT_DISC_NGRAM, defaults.jl:24
+CPMEAN_POWERS = ("min", "geo", "mean", "max")  # T[-Inf, 0, 1, Inf], cpmean.jl:19
+
+
+def sif_doc_embeddings(tokens: DataFrame, word_vectors: DataFrame,
+                       lexicon: DataFrame, alpha: float = SIF_ALPHA,
+                       remove_pc: bool = True) -> DataFrame:
+    """E2 SIF (src/embedder/sif.jl:53-81, Arora et al. 2017):
+    dv = (1/W_d)·Σ_w α/(α+p_w)·v_w with p_w the corpus lexicon
+    probability (count/total), then the projection onto the first
+    principal component of the doc-vector matrix is removed.
+
+    Deviations from the reference, documented: (a) the reference scales
+    by ``1/length(s)`` where s is the dim×W Julia matrix (=1/(dim·W));
+    the paper's 1/W is used here — a per-document positive scalar, so
+    cosine ranks are unaffected; (b) the reference removes the PC per
+    document across its sentences (degenerate for single-sentence docs);
+    the paper's corpus-level removal is used — computed distributed as
+    the dim×dim Gram matrix via one aggregation (no per-doc collect)
+    plus a driver-side eigendecomposition of that tiny matrix.
+
+    ``lexicon``: (term, count) corpus frequencies (the reference passes
+    the searcher lexicon, sif.jl:60)."""
+    total = lexicon.agg(F.sum("count")).collect()[0][0] or 1
+    lx = lexicon.select("term", (F.col("count") / F.lit(float(total)))
+                        .alias("p"))
+    weighted = (tokens.join(F.broadcast(word_vectors), "term")
+                .join(F.broadcast(lx), "term", "left")
+                .withColumn("p", F.coalesce("p", F.lit(1e-12)))
+                .withColumn("wv", F.lit(alpha) / (F.lit(alpha) + F.col("p"))
+                            * F.col("v") * F.col("tf")))
+    wd = tokens.groupBy("doc_id").agg(F.sum("tf").alias("wcount"))
+    dv = (weighted.groupBy("doc_id", "i").agg(F.sum("wv").alias("dv"))
+          .join(wd, "doc_id")
+          .select("doc_id", "i", (F.col("dv") / F.col("wcount")).alias("dv")))
+    if not remove_pc:
+        return dv
+    # corpus-level first principal component: Gram = Σ_d x_d x_dᵀ is
+    # dim² aggregates (one shuffle); eigenvector on the driver
+    import numpy as np
+    a = dv.select("doc_id", F.col("i").alias("ii"), F.col("dv").alias("va"))
+    b = dv.select("doc_id", F.col("i").alias("jj"), F.col("dv").alias("vb"))
+    gram_rows = (a.join(b, "doc_id")
+                 .groupBy("ii", "jj").agg(F.sum(F.col("va") * F.col("vb"))
+                                          .alias("g")).collect())
+    dim = max(r["ii"] for r in gram_rows)
+    G = np.zeros((dim, dim))
+    for r in gram_rows:
+        G[r["ii"] - 1, r["jj"] - 1] = r["g"]
+    vals, vecs = np.linalg.eigh(G)
+    u = vecs[:, -1]
+    spark = dv.sparkSession
+    u_df = F.broadcast(spark.createDataFrame(
+        [(i + 1, float(u[i])) for i in range(dim)], "i INT, u DOUBLE"))
+    s = (dv.join(u_df, "i")
+         .groupBy("doc_id").agg(F.sum(F.col("dv") * F.col("u")).alias("s")))
+    return (dv.join(u_df, "i").join(s, "doc_id")
+            .select("doc_id", "i",
+                    (F.col("dv") - F.col("u") * F.col("s")).alias("dv")))
+
+
+def borep_projection(dim_in: int, dim_out: int, seed: int = 0) -> list[tuple]:
+    """Deterministic BOREP heuristic-init projection R (borep.jl:25-27):
+    entries ±1/sqrt(d) with the sign from md5(seed:out:in)'s high bit —
+    the same derandomization as the LSH hyperplanes."""
+    import math
+    rows = []
+    inv = 1.0 / math.sqrt(dim_in)
+    for o in range(1, dim_out + 1):
+        for i in range(1, dim_in + 1):
+            h = hashlib.md5(f"{seed}:R:{o}:{i}".encode()).hexdigest()
+            rows.append((o, i, inv if h[0] in "89abcdef" else -inv))
+    return rows
+
+
+def borep_doc_embeddings(tokens: DataFrame, word_vectors: DataFrame,
+                         dim_in: int = DEFAULT_DIM, dim_out: int = 64,
+                         pooling: str = BOREP_POOLING,
+                         seed: int = 0) -> DataFrame:
+    """E3 BOREP (src/embedder/borep.jl:25-60): random ±1/√d projection
+    of word vectors, pooled over the document.  ``sum`` pooling commutes
+    with the projection (R·Σv = ΣR·v) so it projects the BOE sum — one
+    tiny broadcast join; ``max`` pools per projected dimension and
+    needs the per-word projection first (|tokens|·dim_out rows)."""
+    spark = tokens.sparkSession
+    R = F.broadcast(spark.createDataFrame(
+        borep_projection(dim_in, dim_out, seed), "o INT, i INT, r DOUBLE"))
+    if pooling == "sum":
+        boe = (tokens.join(F.broadcast(word_vectors), "term")
+               .groupBy("doc_id", "i")
+               .agg(F.sum(F.col("tf") * F.col("v")).alias("dv")))
+        return (boe.join(R, "i")
+                .groupBy("doc_id", F.col("o"))
+                .agg(F.sum(F.col("r") * F.col("dv")).alias("dv"))
+                .select("doc_id", F.col("o").alias("i"), "dv"))
+    if pooling != "max":
+        raise ValueError(f"unknown BOREP pooling: {pooling!r}")
+    # max pooling: per-WORD projection, then max per projected dim.
+    # tf>1 repeats don't change a max; distinct terms suffice.
+    proj = (tokens.select("doc_id", "term").distinct()
+            .join(F.broadcast(word_vectors), "term")
+            .join(R, "i")
+            .groupBy("doc_id", "term", "o")
+            .agg(F.sum(F.col("r") * F.col("v")).alias("pw")))
+    return (proj.groupBy("doc_id", "o").agg(F.max("pw").alias("dv"))
+            .select("doc_id", F.col("o").alias("i"), "dv"))
+
+
+def cpmean_doc_embeddings(tokens: DataFrame, word_vectors: DataFrame,
+                          dim: int = DEFAULT_DIM,
+                          powers: tuple = CPMEAN_POWERS,
+                          znorm: bool = True) -> DataFrame:
+    """E4 CPMean (src/embedder/cpmean.jl:49-84, Rücklé et al. 2018):
+    per-dimension power means over the document's word-vector multiset
+    — p=-Inf (min), p=0 (signed geometric mean), p=1 (mean), p=Inf
+    (max) — concatenated block-wise; each block optionally
+    z-normalized (mean 0 / std 1 over its dim values, cpmean.jl:86-89).
+
+    The word multiset weights by tf (each occurrence counts, matching
+    hcat of per-word columns, cpmean.jl:55)."""
+    wv = (tokens.join(F.broadcast(word_vectors), "term")
+          .select("doc_id", "i", "v", "tf"))
+    n = tokens.groupBy("doc_id").agg(F.sum("tf").alias("n"))
+    per_dim = wv.groupBy("doc_id", "i").agg(
+        F.min("v").alias("p_min"), F.max("v").alias("p_max"),
+        F.sum(F.col("v") * F.col("tf")).alias("sum_v"),
+        # signed geomean: sign from the parity of negative multiplicity,
+        # magnitude from Σ tf·log|v|  (prod(A)^(1/n), cpmean.jl:66-68)
+        F.sum(F.when(F.col("v") < 0, F.col("tf")).otherwise(0)).alias("negs"),
+        F.sum(F.col("tf") * F.log(F.abs(F.col("v")) + F.lit(1e-300)))
+        .alias("loga"))
+    blocks = {
+        "min": F.col("p_min"),
+        "max": F.col("p_max"),
+        "mean": F.col("sum_v") / F.col("n"),
+        "geo": F.when(F.col("negs") % 2 == 1, F.lit(-1.0)).otherwise(F.lit(1.0))
+        * F.exp(F.col("loga") / F.col("n")),
+    }
+    parts = []
+    for bi, p in enumerate(powers):
+        if p not in blocks:
+            raise ValueError(f"unknown power: {p!r}")
+        parts.append(per_dim.join(n, "doc_id").select(
+            "doc_id", (F.col("i") + bi * dim).alias("i"),
+            blocks[p].alias("dv"), F.lit(bi).alias("_blk")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if znorm:
+        from pyspark.sql import Window
+        w = Window.partitionBy("doc_id", "_blk")
+        out = out.select(
+            "doc_id", "i",
+            ((F.col("dv") - F.avg("dv").over(w))
+             / (F.stddev_samp("dv").over(w) + F.lit(1e-16))).alias("dv"),
+            "_blk")
+    return out.drop("_blk")
+
+
+def disc_doc_embeddings(tokens_pos: DataFrame, word_vectors: DataFrame,
+                        dim: int = DEFAULT_DIM,
+                        n: int = DISC_NGRAM) -> DataFrame:
+    """E5 DisC (src/embedder/disc.jl:49-90): for each k in 1..n, the
+    element-wise products of k consecutive word vectors are summed and
+    scaled by 1/k; blocks concatenated.  Needs token ORDER:
+    ``tokens_pos`` is (doc_id, pos, term) with pos dense from 0.
+
+    Documented deviation: for documents shorter than k tokens the
+    reference clamps k down (disc.jl:81) so the k-block duplicates a
+    lower-order block; here the block is simply absent (contributes
+    nothing to a cosine), which avoids a per-doc conditional join."""
+    base = (tokens_pos.join(F.broadcast(word_vectors), "term")
+            .select("doc_id", "pos", "i", "v"))
+    parts = []
+    for k in range(1, n + 1):
+        prod = base
+        for off in range(1, k):
+            nxt = base.select("doc_id",
+                              (F.col("pos") - off).alias("pos"), "i",
+                              F.col("v").alias(f"v{off}"))
+            prod = (prod.join(nxt, ["doc_id", "pos", "i"])
+                    .withColumn("v", F.col("v") * F.col(f"v{off}"))
+                    .drop(f"v{off}"))
+        parts.append(prod.groupBy("doc_id", "i")
+                     .agg((F.sum("v") / F.lit(float(k))).alias("dv"))
+                     .select("doc_id",
+                             (F.col("i") + (k - 1) * dim).alias("i"), "dv"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def cosine_topk(dv: DataFrame, qv_rows: list[tuple[int, float]], k: int,
+                tiebreak_round: int | None = None) -> DataFrame:
+    """Generic cosine top-k of a long-form doc-embedding table against
+    one query vector [(i, qv)] — shared tail for every embedder."""
+    spark = dv.sparkSession
+    import math
+    nq = math.sqrt(sum(v * v for _, v in qv_rows))
+    if nq == 0.0 or not qv_rows:
+        return spark.createDataFrame([], "doc_id LONG, score DOUBLE, rank INT")
+    qv = F.broadcast(spark.createDataFrame(qv_rows, "i INT, qv DOUBLE"))
+    dn = dv.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("dv") ** 2)).alias("nd"))
+    dots = (dv.join(qv, "i")
+            .groupBy("doc_id").agg(F.sum(F.col("dv") * F.col("qv")).alias("dot")))
+    cosd = (dots.join(dn, "doc_id")
+            .select("doc_id",
+                    (F.col("dot") / (F.col("nd") * F.lit(nq))).alias("score")))
+    rank_on = (F.round(F.col("score"), tiebreak_round)
+               if tiebreak_round is not None else F.col("score"))
+    top = cosd.orderBy(rank_on.desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(rank_on.desc(), F.col("doc_id").asc())
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("doc_id", "score", "rank"))
+
+
 def boe_topk(spark: SparkSession, tokens: DataFrame,
              word_vectors: DataFrame, query: str, k: int = 10,
              tiebreak_round: int | None = None) -> DataFrame:

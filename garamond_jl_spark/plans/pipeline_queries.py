@@ -680,6 +680,277 @@ def semantic_boe_topk(spark, sf_dir):
                        F.col("rank").cast("long").alias("rnk"))
 
 
+# shared CTE chain: documents → tf → deterministic word vectors
+_BOE_WV_CTE = f"""
+tok AS (
+  SELECT d.doc_id, t.term FROM documents d,
+  unnest(string_split(d.text, ' ')) AS t(term) WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+vocab AS (SELECT DISTINCT term FROM tf),
+dims AS (SELECT unnest(range(1, {BOE_DIM + 1})) AS i),
+wvh AS (
+  SELECT term, i,
+         md5(cast({BOE_SEED} AS VARCHAR) || ':' || term || ':' ||
+             cast(i AS VARCHAR)) AS h
+  FROM vocab CROSS JOIN dims
+),
+wv AS (SELECT term, i, ({_SEM.component_sql()}) / 8388608.0 - 1.0 AS v
+       FROM wvh)
+"""
+
+_CPM_BLOCKS = """
+pd AS (SELECT t.doc_id, w.i, min(w.v) AS p_min, max(w.v) AS p_max,
+              sum(w.v * t.tf) AS sum_v,
+              sum(CASE WHEN w.v < 0 THEN t.tf ELSE 0 END) AS negs,
+              sum(t.tf * ln(abs(w.v) + 1e-300)) AS loga
+       FROM {tf} t JOIN wv w USING (term) GROUP BY 1, 2),
+nn AS (SELECT doc_id, sum(tf) AS n FROM {tf} GROUP BY 1),
+blk AS (
+  SELECT doc_id, i, p_min AS dv, 0 AS b FROM pd
+  UNION ALL
+  SELECT pd.doc_id, i + {dim},
+         (CASE WHEN negs % 2 = 1 THEN -1.0 ELSE 1.0 END)
+         * exp(loga / nn.n), 1 FROM pd JOIN nn USING (doc_id)
+  UNION ALL
+  SELECT pd.doc_id, i + 2 * {dim}, sum_v / nn.n, 2
+  FROM pd JOIN nn USING (doc_id)
+  UNION ALL
+  SELECT doc_id, i + 3 * {dim}, p_max, 3 FROM pd
+),
+z AS (SELECT doc_id, b, avg(dv) AS mu, stddev_samp(dv) AS sd
+      FROM blk GROUP BY 1, 2),
+{out} AS (SELECT blk.doc_id, blk.i, (dv - mu) / (sd + 1e-16) AS dv
+          FROM blk JOIN z USING (doc_id, b))
+"""
+
+
+@q("semantic_cpmean_topk", f"""
+WITH {_BOE_WV_CTE},
+{_CPM_BLOCKS.format(tf="tf", dim=BOE_DIM, out="dv")
+ .replace("pd AS", "pd AS").replace("nn AS", "nn AS")},
+qt(qdoc, term, tf) AS (VALUES {", ".join(f"(0, '{t}', {c})" for t, c in
+    sorted(__import__('collections').Counter(BOE_QUERY.split()).items()))}),
+qpd AS (SELECT q.qdoc AS doc_id, w.i, min(w.v) AS p_min, max(w.v) AS p_max,
+               sum(w.v * q.tf) AS sum_v,
+               sum(CASE WHEN w.v < 0 THEN q.tf ELSE 0 END) AS negs,
+               sum(q.tf * ln(abs(w.v) + 1e-300)) AS loga
+        FROM qt q JOIN wv w USING (term) GROUP BY 1, 2),
+qnn AS (SELECT qdoc AS doc_id, sum(tf) AS n FROM qt GROUP BY 1),
+qblk AS (
+  SELECT doc_id, i, p_min AS dv, 0 AS b FROM qpd
+  UNION ALL
+  SELECT qpd.doc_id, i + {BOE_DIM},
+         (CASE WHEN negs % 2 = 1 THEN -1.0 ELSE 1.0 END)
+         * exp(loga / qnn.n), 1 FROM qpd JOIN qnn USING (doc_id)
+  UNION ALL
+  SELECT qpd.doc_id, i + 2 * {BOE_DIM}, sum_v / qnn.n, 2
+  FROM qpd JOIN qnn USING (doc_id)
+  UNION ALL
+  SELECT doc_id, i + 3 * {BOE_DIM}, p_max, 3 FROM qpd
+),
+qz AS (SELECT doc_id, b, avg(dv) AS mu, stddev_samp(dv) AS sd
+       FROM qblk GROUP BY 1, 2),
+qv AS (SELECT qblk.i, (dv - mu) / (sd + 1e-16) AS qv
+       FROM qblk JOIN qz USING (doc_id, b)),
+qn AS (SELECT sqrt(sum(qv * qv)) AS nq FROM qv),
+dn AS (SELECT doc_id, sqrt(sum(dv * dv)) AS nd FROM dv GROUP BY 1),
+dots AS (SELECT dv.doc_id, sum(dv.dv * qv.qv) AS dot
+         FROM dv JOIN qv USING (i) GROUP BY 1),
+cosd AS (SELECT d.doc_id, d.dot / (n.nd * (SELECT nq FROM qn)) AS c
+         FROM dots d JOIN dn n USING (doc_id))
+SELECT doc_id, cast(round(c * 1e6) AS BIGINT) AS cos_e6,
+       cast(row_number() OVER (ORDER BY round(c, 6) DESC, doc_id ASC)
+            AS BIGINT) AS rnk
+FROM cosd QUALIFY rnk <= {BOE_K}
+""")
+def semantic_cpmean_topk(spark, sf_dir):
+    """E4 CPMean cosine top-k (cpmean.jl:49-89) — concatenated
+    min/geomean/mean/max power means, z-normalized per block, query
+    embedded the same way."""
+    from garamond_jl_spark.operators.semantic import (cosine_topk,
+                                                      cpmean_doc_embeddings,
+                                                      synthetic_word_vectors,
+                                                      word_vector_component)
+    d = load_testdata(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+           .where(F.col("term") != ""))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    wv = synthetic_word_vectors(tf.select("term"), dim=BOE_DIM, seed=BOE_SEED)
+    dv = cpmean_doc_embeddings(tf, wv, dim=BOE_DIM, znorm=True)
+    # query vector via the identical NumPy-side power means over only
+    # the query's own (in-corpus-vocab) terms
+    import numpy as np
+    from collections import Counter
+    vocab = {r["term"] for r in
+             wv.select("term").distinct().collect()}
+    qc = {t: c for t, c in Counter(BOE_QUERY.split()).items() if t in vocab}
+    if not qc:
+        return spark.createDataFrame([], "doc_id LONG, cos_e6 LONG, rnk LONG")
+    cols = []
+    for t, c in qc.items():
+        v = np.array([word_vector_component(t, i, BOE_SEED)
+                      for i in range(1, BOE_DIM + 1)])
+        cols.extend([v] * c)
+    A = np.stack(cols, axis=1)
+    n = A.shape[1]
+    blocks = [A.min(axis=1),
+              np.sign(np.prod(A, axis=1)) *
+              np.exp(np.sum(np.log(np.abs(A) + 1e-300), axis=1) / n),
+              A.mean(axis=1), A.max(axis=1)]
+    qv_rows = []
+    for bi, b in enumerate(blocks):
+        zb = (b - b.mean()) / (b.std(ddof=1) + 1e-16)
+        qv_rows.extend([(bi * BOE_DIM + i + 1, float(zb[i]))
+                        for i in range(BOE_DIM)])
+    hits = cosine_topk(dv, qv_rows, k=BOE_K, tiebreak_round=6)
+    return hits.select("doc_id", e6(F.col("score")).alias("cos_e6"),
+                       F.col("rank").cast("long").alias("rnk"))
+
+
+BOREP_OUT = 32
+_BOREP_INV = 0.25  # 1/sqrt(BOE_DIM=16), exactly representable
+
+
+@q("semantic_borep_topk", f"""
+WITH {_BOE_WV_CTE},
+boe AS (SELECT t.doc_id, w.i, sum(t.tf * w.v) AS dv
+        FROM tf t JOIN wv w USING (term) GROUP BY 1, 2),
+rmat AS (
+  SELECT o.o, i.i,
+         CASE WHEN substring(md5('{BOE_SEED}:R:' || cast(o.o AS VARCHAR)
+                   || ':' || cast(i.i AS VARCHAR)), 1, 1)
+              IN ('8','9','a','b','c','d','e','f')
+              THEN {_BOREP_INV} ELSE -{_BOREP_INV} END AS r
+  FROM (SELECT unnest(range(1, {BOREP_OUT + 1})) AS o) o
+  CROSS JOIN (SELECT unnest(range(1, {BOE_DIM + 1})) AS i) i
+),
+proj AS (SELECT b.doc_id, r.o AS i, sum(r.r * b.dv) AS dv
+         FROM boe b JOIN rmat r USING (i) GROUP BY 1, 2),
+qt(term, qtf) AS (VALUES {_boe_query_values()}),
+qboe AS (SELECT w.i, sum(q.qtf * w.v) AS dv
+         FROM qt q JOIN wv w USING (term) GROUP BY 1),
+qproj AS (SELECT r.o AS i, sum(r.r * b.dv) AS qv
+          FROM qboe b JOIN rmat r USING (i) GROUP BY 1),
+qn AS (SELECT sqrt(sum(qv * qv)) AS nq FROM qproj),
+dn AS (SELECT doc_id, sqrt(sum(dv * dv)) AS nd FROM proj GROUP BY 1),
+dots AS (SELECT p.doc_id, sum(p.dv * q.qv) AS dot
+         FROM proj p JOIN qproj q USING (i) GROUP BY 1),
+cosd AS (SELECT d.doc_id, d.dot / (n.nd * (SELECT nq FROM qn)) AS c
+         FROM dots d JOIN dn n USING (doc_id))
+SELECT doc_id, cast(round(c * 1e6) AS BIGINT) AS cos_e6,
+       cast(row_number() OVER (ORDER BY round(c, 6) DESC, doc_id ASC)
+            AS BIGINT) AS rnk
+FROM cosd QUALIFY rnk <= {BOE_K}
+""")
+def semantic_borep_topk(spark, sf_dir):
+    """E3 BOREP cosine top-k (borep.jl:25-60): deterministic ±1/√d
+    random projection of BOE sums (sum pooling commutes with R)."""
+    from garamond_jl_spark.operators.semantic import (borep_doc_embeddings,
+                                                      borep_projection,
+                                                      cosine_topk,
+                                                      synthetic_word_vectors,
+                                                      word_vector_component)
+    from collections import Counter
+    import numpy as np
+    d = load_testdata(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+           .where(F.col("term") != ""))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    wv = synthetic_word_vectors(tf.select("term"), dim=BOE_DIM, seed=BOE_SEED)
+    dv = borep_doc_embeddings(tf, wv, dim_in=BOE_DIM, dim_out=BOREP_OUT,
+                              pooling="sum", seed=BOE_SEED)
+    vocab = {r["term"] for r in wv.select("term").distinct().collect()}
+    qc = {t: c for t, c in Counter(BOE_QUERY.split()).items() if t in vocab}
+    if not qc:
+        return spark.createDataFrame([], "doc_id LONG, cos_e6 LONG, rnk LONG")
+    qboe = np.zeros(BOE_DIM)
+    for t, c in qc.items():
+        qboe += c * np.array([word_vector_component(t, i, BOE_SEED)
+                              for i in range(1, BOE_DIM + 1)])
+    R = np.zeros((BOREP_OUT, BOE_DIM))
+    for o, i, r in borep_projection(BOE_DIM, BOREP_OUT, seed=BOE_SEED):
+        R[o - 1, i - 1] = r
+    qp = R @ qboe
+    qv_rows = [(o + 1, float(qp[o])) for o in range(BOREP_OUT)]
+    hits = cosine_topk(dv, qv_rows, k=BOE_K, tiebreak_round=6)
+    return hits.select("doc_id", e6(F.col("score")).alias("cos_e6"),
+                       F.col("rank").cast("long").alias("rnk"))
+
+
+@q("semantic_sif_topk")  # PC removal is an eigen-decomposition —
+# rows-only driver check; NumPy value identity in test_semantic_embedders
+def semantic_sif_topk(spark, sf_dir):
+    """E2 SIF cosine top-k (sif.jl:53-81): frequency-weighted BOE with
+    corpus-level principal-component removal; query embedded without PC
+    removal (its single vector would vanish under its own projector)."""
+    from garamond_jl_spark.operators.semantic import (cosine_topk,
+                                                      sif_doc_embeddings,
+                                                      synthetic_word_vectors,
+                                                      word_vector_component)
+    from collections import Counter
+    import numpy as np
+    d = load_testdata(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+           .where(F.col("term") != ""))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    wv = synthetic_word_vectors(tf.select("term"), dim=BOE_DIM, seed=BOE_SEED)
+    lex = tf.groupBy("term").agg(F.sum("tf").alias("count"))
+    dv = sif_doc_embeddings(tf, wv, lex)
+    stats = {r["term"]: r["count"] for r in lex.collect()}
+    total = sum(stats.values())
+    qc = {t: c for t, c in Counter(BOE_QUERY.split()).items() if t in stats}
+    if not qc:
+        return spark.createDataFrame([], "doc_id LONG, cos_e6 LONG, rnk LONG")
+    q_arr = np.zeros(BOE_DIM)
+    w_total = sum(qc.values())
+    from garamond_jl_spark.operators.semantic import SIF_ALPHA
+    for t, c in qc.items():
+        p = stats[t] / total
+        v = np.array([word_vector_component(t, i, BOE_SEED)
+                      for i in range(1, BOE_DIM + 1)])
+        q_arr += c * SIF_ALPHA / (SIF_ALPHA + p) * v
+    q_arr /= w_total
+    qv_rows = [(i + 1, float(q_arr[i])) for i in range(BOE_DIM)]
+    hits = cosine_topk(dv, qv_rows, k=BOE_K, tiebreak_round=6)
+    return hits.select("doc_id", e6(F.col("score")).alias("cos_e6"),
+                       F.col("rank").cast("long").alias("rnk"))
+
+
+@q("semantic_disc_topk")  # order-dependent k-gram blocks; rows-only
+# driver check, NumPy value identity in test_semantic_embedders
+def semantic_disc_topk(spark, sf_dir):
+    """E5 DisC cosine top-k (disc.jl:49-90): concatenated k-gram
+    product-sum blocks (k=1,2) over ordered tokens."""
+    from garamond_jl_spark.operators.semantic import (cosine_topk,
+                                                      disc_doc_embeddings,
+                                                      synthetic_word_vectors,
+                                                      word_vector_component)
+    import numpy as np
+    d = load_testdata(spark, sf_dir, "documents")
+    tokp = (d.select("doc_id", F.posexplode(F.split("text", " "))
+                     .alias("pos", "term"))
+            .where(F.col("term") != ""))
+    wv = synthetic_word_vectors(tokp.select("term"), dim=BOE_DIM,
+                                seed=BOE_SEED)
+    dv = disc_doc_embeddings(tokp, wv, dim=BOE_DIM, n=2)
+    vocab = {r["term"] for r in wv.select("term").distinct().collect()}
+    seq = [t for t in BOE_QUERY.split() if t in vocab]
+    if not seq:
+        return spark.createDataFrame([], "doc_id LONG, cos_e6 LONG, rnk LONG")
+    vecs = [np.array([word_vector_component(t, i, BOE_SEED)
+                      for i in range(1, BOE_DIM + 1)]) for t in seq]
+    q1 = np.sum(vecs, axis=0)
+    qv_rows = [(i + 1, float(q1[i])) for i in range(BOE_DIM)]
+    if len(vecs) >= 2:
+        q2 = np.sum([vecs[j] * vecs[j + 1]
+                     for j in range(len(vecs) - 1)], axis=0) / 2.0
+        qv_rows += [(BOE_DIM + i + 1, float(q2[i])) for i in range(BOE_DIM)]
+    hits = cosine_topk(dv, qv_rows, k=BOE_K, tiebreak_round=6)
+    return hits.select("doc_id", e6(F.col("score")).alias("cos_e6"),
+                       F.col("rank").cast("long").alias("rnk"))
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------

@@ -1,0 +1,158 @@
+"""E2-E5 embedders vs NumPy oracles implementing the same documented
+semantics (value identity per (doc, dim), 1e-9) + a cosine_topk rank
+check.  Reference files: sif.jl, borep.jl, cpmean.jl, disc.jl."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from garamond_jl_spark.operators.semantic import (
+    CPMEAN_POWERS, DEFAULT_DIM, SIF_ALPHA, borep_doc_embeddings,
+    borep_projection, cosine_topk, cpmean_doc_embeddings,
+    disc_doc_embeddings, sif_doc_embeddings, synthetic_word_vectors,
+    word_vector_component)
+
+DIM = 4
+DOCS = [
+    (0, "red green blue"),
+    (1, "red red yellow"),
+    (2, "blue yellow yellow green"),
+    (3, "green"),
+    (4, "purple purple red"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    d = spark.createDataFrame(DOCS, "doc_id LONG, text STRING")
+    tok = (d.select("doc_id", F.posexplode(F.split("text", " "))
+                    .alias("pos", "term")))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    wv = synthetic_word_vectors(tf.select("term"), dim=DIM, seed=0)
+    vocab = sorted({t for _, text in DOCS for t in text.split()})
+    vecs = {t: np.array([word_vector_component(t, i, 0)
+                         for i in range(1, DIM + 1)]) for t in vocab}
+    return d, tok, tf, wv, vecs
+
+
+def _collect_dv(df):
+    return {(r["doc_id"], r["i"]): r["dv"] for r in df.collect()}
+
+
+def _assert_close(got, expect):
+    assert set(got) == set(expect), (sorted(got)[:5], sorted(expect)[:5])
+    for k in expect:
+        assert abs(got[k] - expect[k]) < 1e-9, (k, got[k], expect[k])
+
+
+def test_sif_matches_numpy(spark, corpus):
+    _, _, tf, wv, vecs = corpus
+    lex = tf.groupBy("term").agg(F.sum("tf").alias("count"))
+    got = _collect_dv(sif_doc_embeddings(tf, wv, lex, alpha=SIF_ALPHA))
+    # numpy oracle
+    counts = {}
+    for _, text in DOCS:
+        for t in text.split():
+            counts[t] = counts.get(t, 0) + 1
+    total = sum(counts.values())
+    X = np.zeros((len(DOCS), DIM))
+    for d, (_, text) in enumerate(DOCS):
+        toks = text.split()
+        for t in toks:
+            p = counts[t] / total
+            X[d] += SIF_ALPHA / (SIF_ALPHA + p) * vecs[t]
+        X[d] /= len(toks)
+    G = X.T @ X
+    _, V = np.linalg.eigh(G)
+    u = V[:, -1]
+    X = X - np.outer(X @ u, u)
+    expect = {(d, i + 1): X[d, i] for d in range(len(DOCS))
+              for i in range(DIM)}
+    _assert_close(got, expect)
+
+
+def test_borep_sum_and_max_match_numpy(spark, corpus):
+    _, _, tf, wv, vecs = corpus
+    R_rows = borep_projection(DIM, 8, seed=0)
+    R = np.zeros((8, DIM))
+    for o, i, r in R_rows:
+        R[o - 1, i - 1] = r
+    assert set(np.unique(np.abs(R))) == {1.0 / math.sqrt(DIM)}
+
+    got = _collect_dv(borep_doc_embeddings(tf, wv, dim_in=DIM, dim_out=8,
+                                           pooling="sum", seed=0))
+    expect = {}
+    for d, (_, text) in enumerate(DOCS):
+        boe = np.sum([vecs[t] for t in text.split()], axis=0)
+        proj = R @ boe
+        for o in range(8):
+            expect[(d, o + 1)] = proj[o]
+    _assert_close(got, expect)
+
+    got = _collect_dv(borep_doc_embeddings(tf, wv, dim_in=DIM, dim_out=8,
+                                           pooling="max", seed=0))
+    expect = {}
+    for d, (_, text) in enumerate(DOCS):
+        per_word = np.stack([R @ vecs[t] for t in set(text.split())])
+        mx = per_word.max(axis=0)
+        for o in range(8):
+            expect[(d, o + 1)] = mx[o]
+    _assert_close(got, expect)
+
+
+def test_cpmean_matches_numpy(spark, corpus):
+    _, _, tf, wv, vecs = corpus
+    got = _collect_dv(cpmean_doc_embeddings(tf, wv, dim=DIM, znorm=True))
+    expect = {}
+    for d, (_, text) in enumerate(DOCS):
+        A = np.stack([vecs[t] for t in text.split()], axis=1)  # dim × n
+        n = A.shape[1]
+        blocks = {
+            "min": A.min(axis=1), "max": A.max(axis=1),
+            "mean": A.mean(axis=1),
+            "geo": np.sign(np.prod(A, axis=1))
+            * np.abs(np.prod(A, axis=1)) ** (1.0 / n),
+        }
+        for bi, p in enumerate(CPMEAN_POWERS):
+            b = blocks[p]
+            mu, sd = b.mean(), b.std(ddof=1)
+            b = (b - mu) / (sd + 1e-16)
+            for i in range(DIM):
+                expect[(d, bi * DIM + i + 1)] = b[i]
+    _assert_close(got, expect)
+
+
+def test_disc_matches_numpy(spark, corpus):
+    _, tok, _, wv, vecs = corpus
+    got = _collect_dv(disc_doc_embeddings(tok, wv, dim=DIM, n=2))
+    expect = {}
+    for d, (_, text) in enumerate(DOCS):
+        seq = [vecs[t] for t in text.split()]
+        b1 = np.sum(seq, axis=0)                       # k=1
+        for i in range(DIM):
+            expect[(d, i + 1)] = b1[i]
+        if len(seq) >= 2:                              # k=2
+            b2 = np.sum([seq[j] * seq[j + 1]
+                         for j in range(len(seq) - 1)], axis=0) / 2.0
+            for i in range(DIM):
+                expect[(d, DIM + i + 1)] = b2[i]
+    _assert_close(got, expect)
+
+
+def test_cosine_topk_ranks(spark, corpus):
+    _, _, tf, wv, vecs = corpus
+    from garamond_jl_spark.operators.semantic import boe_doc_embeddings
+    dv = boe_doc_embeddings(tf, wv)
+    q = vecs["red"]
+    qv_rows = [(i + 1, float(q[i])) for i in range(DIM)]
+    got = sorted(cosine_topk(dv, qv_rows, k=3, tiebreak_round=9).collect(),
+                 key=lambda r: r["rank"])
+    mats = {d: np.sum([vecs[t] for t in text.split()], axis=0)
+            for d, (_, text) in enumerate(DOCS)}
+    scored = sorted(
+        ((d, float(m @ q / (np.linalg.norm(m) * np.linalg.norm(q))))
+         for d, m in mats.items()),
+        key=lambda x: (-round(x[1], 9), x[0]))[:3]
+    assert [r["doc_id"] for r in got] == [d for d, _ in scored]
