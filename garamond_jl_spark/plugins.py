@@ -87,3 +87,57 @@ def search_recommender(request: Any, env: Any) -> str:
 def get_recommender(name: str | None) -> Callable:
     return RECOMMENDERS.get(name or "search_recommender",
                             RECOMMENDERS["search_recommender"])
+
+
+# --- S3: loader / sampler registries ---------------------------------------
+# The reference registers custom data loaders and samplers the same way
+# it registers parsers (src/Garamond.jl:106-140 custom-file compile +
+# symbol dispatch; identity sampler src/data/samplers/identity.jl:1-4;
+# noop loader src/data/noop.jl).  Signatures:
+#   loader(spark, source, **kwargs) -> DataFrame
+#   sampler(df) -> DataFrame
+
+LOADERS: dict[str, Callable] = {}
+SAMPLERS: dict[str, Callable] = {}
+
+
+def register_loader(name: str):
+    def reg(fn):
+        LOADERS[name] = fn
+        return fn
+    return reg
+
+
+def register_sampler(name: str):
+    def reg(fn):
+        SAMPLERS[name] = fn
+        return fn
+    return reg
+
+
+@register_loader("noop_loader")
+def noop_loader(spark: Any, source: Any = None, **kwargs) -> Any:
+    """S2 noop loader (src/data/noop.jl): an empty frame with the
+    minimal id schema — the 'searchable env with no data' path."""
+    return spark.createDataFrame([], "doc_id LONG, content STRING")
+
+
+@register_loader("parquet_loader")
+def parquet_loader(spark: Any, source: str, **kwargs) -> Any:
+    """Default table loader (S1 scan through the registry)."""
+    return spark.read.parquet(source)
+
+
+@register_sampler("identity_sampler")
+def identity_sampler(df: Any) -> Any:
+    """S5 identity sampler (src/data/samplers/identity.jl:1-4)."""
+    return df
+
+
+def get_loader(name: str | None) -> Callable:
+    return LOADERS.get(name or "parquet_loader", LOADERS["parquet_loader"])
+
+
+def get_sampler(name: str | None) -> Callable:
+    return SAMPLERS.get(name or "identity_sampler",
+                        SAMPLERS["identity_sampler"])

@@ -79,7 +79,11 @@ def append_docs(spark: SparkSession, out_dir: str, new_docs: DataFrame,
     raw pushed records before indexing — the S5 data-sampler hook
     (reference identity/noop/custom samplers,
     /root/reference/src/data/samplers/identity.jl:1-4); None = identity.
+    A string resolves through the plugins SAMPLERS registry (S3).
     """
+    if isinstance(sampler, str):
+        from garamond_jl_spark.plugins import get_sampler
+        sampler = get_sampler(sampler)
     if sampler is not None:
         new_docs = sampler(new_docs)
     m, cfg = read_meta(out_dir)

@@ -178,3 +178,21 @@ def test_summarize_docs_spark(spark):
            summarize_docs(d, ns=1).collect()}
     assert got[1] == ["alpha beta gamma."]
     assert got[2] == ["solo sentence only"]
+
+
+def test_loader_sampler_registries(spark):
+    """S3: loaders/samplers resolve by name with safe fallbacks, like
+    rankers/recommenders (reference custom-symbol dispatch)."""
+    from garamond_jl_spark.plugins import (get_loader, get_sampler,
+                                           register_sampler)
+    assert get_loader("noop_loader")(spark).count() == 0
+    assert get_loader(None).__name__ == "parquet_loader"
+    assert get_loader("nonexistent").__name__ == "parquet_loader"
+
+    @register_sampler("first_two")
+    def first_two(df):
+        return df.limit(2)
+
+    d = spark.range(10)
+    assert get_sampler("first_two")(d).count() == 2
+    assert get_sampler(None)(d).count() == 10  # identity fallback
