@@ -100,11 +100,22 @@ def main() -> None:
 
     # --- pipeline operators ----------------------------------------------
     from garamond_jl_spark.plans.pipeline_queries import (ann_cosine_topk,
-                                                          dedup_minhash_lsh)
+                                                          ann_lsh_topk,
+                                                          dedup_minhash_lsh,
+                                                          dedup_simhash_pairs,
+                                                          semantic_boe_topk)
     t, _ = timed(lambda: dedup_minhash_lsh(spark, SF_DIR).count())
     times["dedup_minhash"] = round(t, 3)
     t, _ = timed(lambda: ann_cosine_topk(spark, SF_DIR).count())
     times["ann_cosine"] = round(t, 3)
+    # round-2 additions (BENCH.md notes the phase-set change for
+    # cross-round comparability; r1 phases above are unchanged)
+    t, _ = timed(lambda: ann_lsh_topk(spark, SF_DIR).count())
+    times["ann_lsh"] = round(t, 3)
+    t, _ = timed(lambda: dedup_simhash_pairs(spark, SF_DIR).count())
+    times["dedup_simhash64"] = round(t, 3)
+    t, _ = timed(lambda: semantic_boe_topk(spark, SF_DIR).count())
+    times["semantic_boe"] = round(t, 3)
 
     total = round(sum(times.values()), 3)
     print(json.dumps({

@@ -31,7 +31,12 @@ def get_spark(app: str = "garamond-spark", cpus: int | None = None,
         # Arrow everywhere: pandas UDFs are the only Python in the plan
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: the driver heap IS the executor memory.  Scale it
+        # with core count (2 GiB/core, like a real cluster where total
+        # memory grows with executor count); 8g floor for small runs
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEM",
+                               f"{max(8, 2 * cpus)}g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
