@@ -59,7 +59,8 @@ def main() -> None:
     n_shingles = shd.count()  # materialize (untimed vs the pair phases)
 
     t0 = time.time()
-    mh = minhash_lsh_pairs(shd)
+    mh = minhash_lsh_pairs(shd, int_hash=True, n_rows=2,
+                           bucket_cap=64)
     mh_pairs = mh.where(F.col("jacc") >= JACCARD_T).count()
     t_minhash = time.time() - t0
 

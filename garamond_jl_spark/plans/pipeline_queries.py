@@ -191,18 +191,53 @@ def dedup_minhash_lsh(spark, sf_dir):
             .select("doc_a", "doc_b", e6(F.col("jacc")).alias("jacc_e6")))
 
 
-def minhash_lsh_pairs(shd: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+def minhash_lsh_pairs(shd: DataFrame, n_bands: int = N_BANDS,
+                      int_hash: bool = False, n_rows: int = 1,
+                      bucket_cap: int | None = None) -> DataFrame:
     """shd(doc_id, s) → candidate near-dup pairs with exact Jaccard
-    (doc_a, doc_b, jacc).  Banded min-md5 signatures; candidates from
-    band-equality; verify over all shingles."""
+    (doc_a, doc_b, jacc).  b×r banded min-hash signatures; candidates
+    from band-equality; verify over all shingles.
+
+    Scale knobs (the 1M-doc bench found the r=1 default DEGENERATE on a
+    Zipf corpus — a df=250k boilerplate shingle becomes the band min of
+    every doc containing it, one bucket holds 240k docs, and the
+    self-join implies 5×10¹⁰ candidate pairs):
+
+    * ``n_rows=r``: r independent min-hashes per band, bucket key =
+      their concatenation — collision prob drops from J to J^r, which
+      collapses hot-shingle mega-buckets (both mins must coincide).
+    * ``bucket_cap``: buckets larger than this are excluded from pair
+      generation (docs sharing only a boilerplate min carry no
+      Jaccard≥t evidence; a true near-dup pair has n_bands−1 other
+      chances).
+    * ``int_hash=True``: xxhash64 (8 bytes) instead of md5 hex (32
+      chars) — ~4× less signature-shuffle IO.
+
+    md5/r=1 stay the parity defaults because the DuckDB oracle shares
+    them; the production entry point is
+    ``minhash_lsh_pairs(shd, int_hash=True, n_rows=2, bucket_cap=64)``
+    (benchmarked in BENCH.md)."""
     bands = F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("band")
-    sig = (shd.select("doc_id", "s", bands)
-           .withColumn("mh", F.md5(F.concat_ws(":", F.col("band"), F.col("s"))))
-           .groupBy("doc_id", "band").agg(F.min("mh").alias("mh")))
+    base = shd.select("doc_id", "s", bands)
+    mh_cols = []
+    for j in range(n_rows):
+        mh = (F.xxhash64("band", F.lit(j), "s") if int_hash
+              else F.md5(F.concat_ws(":", F.col("band"), F.lit(j), F.col("s")))
+              ) if (n_rows > 1 or j > 0) else (
+            F.xxhash64("band", "s") if int_hash
+            else F.md5(F.concat_ws(":", F.col("band"), F.col("s"))))
+        mh_cols.append(F.min(mh).alias(f"mh{j}"))
+    sig = base.groupBy("doc_id", "band").agg(*mh_cols)
+    keys = ["band"] + [f"mh{j}" for j in range(n_rows)]
+    if bucket_cap is not None:
+        ok = (sig.groupBy(*keys).agg(F.count("*").alias("_c"))
+              .where(F.col("_c") <= bucket_cap).drop("_c"))
+        sig = sig.join(ok, keys, "left_semi")
     a, b = sig.alias("a"), sig.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.mh") == F.col("b.mh"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+    cond = (F.col("a.doc_id") < F.col("b.doc_id"))
+    for kcol in keys:
+        cond = cond & (F.col(f"a.{kcol}") == F.col(f"b.{kcol}"))
+    cand = (a.join(b, cond)
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
