@@ -294,6 +294,54 @@ def disc_doc_embeddings(tokens_pos: DataFrame, word_vectors: DataFrame,
     return out
 
 
+RP_DIM_OUT = 64   # projection width knob (config_parser.jl:157-168);
+# 64 ⇒ entries ±1/√64 = ±0.125 exactly representable in IEEE doubles
+RP_INV = 0.125
+
+
+def rp_sign(term: str, o: int, seed: int = 0) -> float:
+    """Scalar (NumPy/driver side) of the deterministic RP entry sign:
+    +1 iff md5(seed:RP:term:o)'s high bit is set."""
+    h = hashlib.md5(f"{seed}:RP:{term}:{o}".encode()).hexdigest()
+    return 1.0 if h[0] in "89abcdef" else -1.0
+
+
+def rp_doc_embeddings(postings: DataFrame, dim_out: int = RP_DIM_OUT,
+                      seed: int = 0) -> DataFrame:
+    """E7 random-projection transform of weighted DTVs
+    (embedder/interface.jl:84-87 ``:rp`` path, config
+    config_parser.jl:157-168): project each document's |V|-dimensional
+    weighted term vector to ``dim_out`` dims through a sparse ±1/√m
+    sign matrix.  The reference draws R from Julia's RNG (documented
+    irreproducible, SURVEY §5.3); here every entry is the pure function
+    md5(seed:RP:term:o) — the same derandomization as the BOREP
+    projection and the LSH hyperplanes — so the projection is
+    rebuildable anywhere with no stored matrix.
+
+    Scale shape: JOIN-FREE.  R is never materialized or broadcast
+    (|V|·m rows would not broadcast at 10⁸-term vocabularies); each
+    posting row explodes into its m projected contributions and one
+    groupBy(doc_id, o) shuffle sums them.  Cost is |postings|·m rows of
+    embarrassingly-parallel codegen arithmetic — no skew (doc_id keys),
+    no second shuffle.
+
+    ``postings``: (term, doc_id, w) — any weighting scheme (count / tf
+    / tfidf / bm25), matching the reference where RP composes over the
+    configured DTV weighting."""
+    inv = 1.0 / (dim_out ** 0.5)
+    p = postings.select(
+        "term", "doc_id", "w",
+        F.explode(F.sequence(F.lit(1), F.lit(dim_out))).alias("o"))
+    r = F.when(
+        F.substring(F.md5(F.concat_ws(":", F.lit(seed), F.lit("RP"),
+                                      F.col("term"), F.col("o"))), 1, 1)
+        .isin(*"89abcdef"), F.lit(inv)).otherwise(F.lit(-inv))
+    return (p.withColumn("r", r)
+            .groupBy("doc_id", "o")
+            .agg(F.sum(F.col("w") * F.col("r")).alias("dv"))
+            .select("doc_id", F.col("o").alias("i"), "dv"))
+
+
 def cosine_topk(dv: DataFrame, qv_rows: list[tuple[int, float]], k: int,
                 tiebreak_round: int | None = None) -> DataFrame:
     """Generic cosine top-k of a long-form doc-embedding table against

@@ -986,6 +986,163 @@ def semantic_disc_topk(spark, sf_dir):
                        F.col("rank").cast("long").alias("rnk"))
 
 
+RP_OUT = 64                       # ±1/√64 = ±0.125, exact in IEEE doubles
+_RP_INV = repr(1.0 / RP_OUT ** 0.5)
+_RP_CASE = (f"CASE WHEN substring(md5('{{seed}}:RP:' || {{term}} || ':' || "
+            f"cast(dims.o AS VARCHAR)), 1, 1) IN "
+            f"('8','9','a','b','c','d','e','f') "
+            f"THEN {_RP_INV} ELSE -{_RP_INV} END")
+
+
+@q("semantic_rp_topk", f"""
+WITH tok AS (
+  SELECT d.doc_id, t.term FROM documents d,
+  unnest(string_split(d.text, ' ')) AS t(term) WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS cnt FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(cnt) AS doclen FROM tf GROUP BY 1),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+w AS (SELECT f.doc_id, f.term,
+             sqrt(f.cnt / greatest(l.doclen, 1.0))
+             * (ln((SELECT count(*) FROM documents)::DOUBLE / (d.df + 1)) + 1)
+             AS w
+      FROM tf f JOIN dl l USING (doc_id) JOIN dfreq d USING (term)),
+dims AS (SELECT unnest(range(1, {RP_OUT + 1})) AS o),
+dv AS (SELECT w.doc_id, dims.o,
+              sum(w.w * ({_RP_CASE.format(seed=BOE_SEED, term="w.term")}))
+              AS dv
+       FROM w CROSS JOIN dims GROUP BY 1, 2),
+qt(term, qtf) AS (VALUES {_boe_query_values()}),
+qiv AS (SELECT q.term, q.qtf::DOUBLE AS qtf, d.df
+        FROM qt q JOIN dfreq d USING (term)),
+qw AS (SELECT term,
+              sqrt(qtf / (SELECT sum(qtf) FROM qiv))
+              * (ln((SELECT count(*) FROM documents)::DOUBLE / (df + 1)) + 1)
+              AS w
+       FROM qiv),
+qv AS (SELECT dims.o,
+              sum(qw.w * ({_RP_CASE.format(seed=BOE_SEED, term="qw.term")}))
+              AS qv
+       FROM qw CROSS JOIN dims GROUP BY 1),
+qn AS (SELECT sqrt(sum(qv * qv)) AS nq FROM qv),
+dn AS (SELECT doc_id, sqrt(sum(dv * dv)) AS nd FROM dv GROUP BY 1),
+dots AS (SELECT dv.doc_id, sum(dv.dv * qv.qv) AS dot
+         FROM dv JOIN qv USING (o) GROUP BY 1),
+cosd AS (SELECT d.doc_id, d.dot / (n.nd * (SELECT nq FROM qn)) AS c
+         FROM dots d JOIN dn n USING (doc_id))
+SELECT doc_id, cast(round(c * 1e6) AS BIGINT) AS cos_e6,
+       cast(row_number() OVER (ORDER BY round(c, 6) DESC, doc_id ASC)
+            AS BIGINT) AS rnk
+FROM cosd QUALIFY rnk <= {BOE_K}
+""")
+def semantic_rp_topk(spark, sf_dir):
+    """E7 RP transform of tfidf DTVs → cosine top-k
+    (embedder/interface.jl:84-87 ``:rp``; projection derandomized via
+    md5, see operators/semantic.rp_doc_embeddings).  The query embeds
+    through the same dtv pseudo-document path (in-vocab qlen, pinned
+    convention) and projects through the same R — computed driver-side
+    (|q|·m scalars)."""
+    import math
+
+    from garamond_jl_spark.config import EngineConfig
+    from garamond_jl_spark.operators.build import build_index
+    from garamond_jl_spark.operators.semantic import (cosine_topk,
+                                                      rp_doc_embeddings,
+                                                      rp_sign)
+    from collections import Counter
+    docs = load_testdata(spark, sf_dir, "documents")
+    cfg = EngineConfig(weighting="tfidf")
+    idx = build_index(spark, docs, cfg, id_col="doc_id", text_col="text",
+                      tokenizer=lambda s: [t for t in (s or "").split(" ")
+                                           if t])
+    dv = rp_doc_embeddings(idx.postings, dim_out=RP_OUT, seed=BOE_SEED)
+    qc = Counter(BOE_QUERY.split())
+    dfs = {r["term"]: r["df"] for r in
+           idx.terms.where(F.col("term").isin(*qc)).select("term", "df")
+           .collect()}
+    if not dfs:
+        return spark.createDataFrame([], "doc_id LONG, cos_e6 LONG, rnk LONG")
+    n_docs = float(idx.meta["n_docs"])
+    ql = float(sum(c for t, c in qc.items() if t in dfs))
+    inv = 1.0 / RP_OUT ** 0.5
+    qw = {t: math.sqrt(qc[t] / ql) * (math.log(n_docs / (dfs[t] + 1.0)) + 1.0)
+          for t in dfs}
+    qv_rows = [(o, sum(qw[t] * (rp_sign(t, o, BOE_SEED) * inv) for t in
+                       sorted(qw)))
+               for o in range(1, RP_OUT + 1)]
+    hits = cosine_topk(dv, qv_rows, k=BOE_K, tiebreak_round=6)
+    return hits.select("doc_id", e6(F.col("score")).alias("cos_e6"),
+                       F.col("rank").cast("long").alias("rnk"))
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup (dedup family, 5th method)
+# --------------------------------------------------------------------------
+
+DEDUP_COS_T = 0.30  # corpus-calibrated: the parity embeddings are
+# uniform-random (cosines concentrate near 0); production near-dup at
+# τ≈0.9+ uses the same plan with more planes / banded bucket tables
+
+
+@q("dedup_embedding_cosine", f"""
+WITH {EMB_NORM_CTE},
+{LSH_BUCKET_CTE},
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT c.vec_a, c.vec_b, sum(x.v * y.v) AS dot
+  FROM cand c JOIN u x ON x.vec_id = c.vec_a
+  JOIN u y ON y.vec_id = c.vec_b AND y.i = x.i
+  GROUP BY 1, 2
+),
+cosd AS (
+  SELECT d.vec_a, d.vec_b, d.dot / (na.nv * nb.nv) AS c
+  FROM dots d JOIN nrm na ON na.vec_id = d.vec_a
+  JOIN nrm nb ON nb.vec_id = d.vec_b
+)
+SELECT vec_a, vec_b, cast(round(c * 1e6) AS BIGINT) AS cos_e6
+FROM cosd WHERE c >= {DEDUP_COS_T}
+""")
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup (dedup method #5 per the build brief):
+    hyperplane-LSH bucket → same-bucket candidate pairs → exact cosine
+    verify ≥ τ.  Same sublinear shape as dedup_minhash_lsh: candidate
+    generation is a bucket-equality self-join (never all-pairs), the
+    exact dot product runs on candidates only.  At production τ (≈0.95,
+    nearly-identical vectors) same-bucket probability per plane → 1, so
+    more planes only sharpen the buckets; hot buckets are bounded the
+    same way as minhash (bucket cap / banding over plane subsets)."""
+    return embedding_cosine_pairs(_emb_long(spark, sf_dir))
+
+
+def embedding_cosine_pairs(u: DataFrame, threshold: float = DEDUP_COS_T,
+                           n_planes: int = N_PLANES) -> DataFrame:
+    """(vec_id, i, v) long-form embeddings → near-dup pairs
+    (vec_a, vec_b, cos_e6) with cosine ≥ ``threshold``."""
+    bkt = _lsh_buckets_df(u, n_planes)
+    a = bkt.select(F.col("vec_id").alias("vec_a"), "bucket")
+    b = bkt.select(F.col("vec_id").alias("vec_b"), "bucket")
+    cand = (a.join(b, "bucket")
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b"))
+    x = u.select(F.col("vec_id").alias("vec_a"), "i", F.col("v").alias("va"))
+    y = u.select(F.col("vec_id").alias("vec_b"), "i", F.col("v").alias("vb"))
+    dots = (cand.join(x, "vec_a").join(y, ["vec_b", "i"])
+            .groupBy("vec_a", "vec_b")
+            .agg(F.sum(F.col("va") * F.col("vb")).alias("dot")))
+    nrm = u.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv"))
+    na = nrm.select(F.col("vec_id").alias("vec_a"), F.col("nv").alias("na"))
+    nb = nrm.select(F.col("vec_id").alias("vec_b"), F.col("nv").alias("nb"))
+    return (dots.join(na, "vec_a").join(nb, "vec_b")
+            .select("vec_a", "vec_b",
+                    (F.col("dot") / (F.col("na") * F.col("nb"))).alias("c"))
+            .where(F.col("c") >= F.lit(threshold))
+            .select("vec_a", "vec_b", e6(F.col("c")).alias("cos_e6")))
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------

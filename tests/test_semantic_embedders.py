@@ -156,3 +156,58 @@ def test_cosine_topk_ranks(spark, corpus):
          for d, m in mats.items()),
         key=lambda x: (-round(x[1], 9), x[0]))[:3]
     assert [r["doc_id"] for r in got] == [d for d, _ in scored]
+
+
+def test_rp_matches_numpy(spark, corpus):
+    """E7 RP of weighted DTVs ≡ NumPy w·R with the same md5-derived
+    signs (rp_doc_embeddings is join-free: explode + one shuffle)."""
+    from garamond_jl_spark.operators.semantic import (rp_doc_embeddings,
+                                                      rp_sign)
+    _, _, tf, _, _ = corpus
+    m = 8
+    postings = tf.select("term", "doc_id",
+                         F.col("tf").cast("double").alias("w"))
+    got = _collect_dv(rp_doc_embeddings(postings, dim_out=m, seed=0))
+    inv = 1.0 / math.sqrt(m)
+    expect = {}
+    for d, (_, text) in enumerate(DOCS):
+        cnt = {}
+        for t in text.split():
+            cnt[t] = cnt.get(t, 0) + 1
+        for o in range(1, m + 1):
+            expect[(d, o)] = sum(w * (rp_sign(t, o, 0) * inv)
+                                 for t, w in cnt.items())
+    _assert_close(got, expect)
+
+
+def test_embedding_cosine_pairs_near_dups(spark):
+    """dedup method #5: injected near-identical vector pairs are
+    recovered through the LSH-bucket candidate join with exact cosines
+    (vs NumPy, 1e-6 via the e6 encoding)."""
+    from garamond_jl_spark.plans.pipeline_queries import (
+        embedding_cosine_pairs)
+    rng = np.random.default_rng(7)
+    dim = 16
+    base = rng.normal(size=(20, dim))
+    rows = []
+    for vid, vec in enumerate(base):
+        rows.append((vid, [float(x) for x in vec]))
+    # near-dups: ids 100+j = tiny perturbation of j (cos ≈ 0.999+)
+    for j in range(5):
+        pert = base[j] + 0.01 * rng.normal(size=dim)
+        rows.append((100 + j, [float(x) for x in pert]))
+    e = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    u = (e.select("vec_id", F.posexplode("embedding").alias("i", "v"))
+         .withColumn("i", F.col("i") + 1))
+    got = {(r["vec_a"], r["vec_b"]): r["cos_e6"]
+           for r in embedding_cosine_pairs(u, threshold=0.95).collect()}
+    vecs = {vid: np.array(v) for vid, v in rows}
+    for j in range(5):
+        key = (j, 100 + j)
+        assert key in got, (j, sorted(got))
+        c = float(vecs[j] @ vecs[100 + j]
+                  / (np.linalg.norm(vecs[j]) * np.linalg.norm(vecs[100 + j])))
+        assert got[key] == round(c * 1e6), (key, got[key], c)
+    # no false positives among the unrelated gaussian base vectors
+    for (a, b) in got:
+        assert b - a == 100, (a, b)
