@@ -342,6 +342,62 @@ def rp_doc_embeddings(postings: DataFrame, dim_out: int = RP_DIM_OUT,
             .select("doc_id", F.col("o").alias("i"), "dv"))
 
 
+LSA_DIM_OUT = 16
+
+
+def lsa_projection(postings: DataFrame, dim_out: int = LSA_DIM_OUT
+                   ) -> tuple[DataFrame, list[float]]:
+    """E7 ``:lsa`` transform (embedder/interface.jl:86, dtv.jl:4-7 —
+    StringAnalysis.LSAModel): truncated SVD of the weighted DTM
+    X ≈ U·S·Vᵀ.  Returns (V_table, singular_values) where V_table is
+    the long-form projection (term, i, v), i in 1..dim_out — documents
+    AND queries fold in through the same broadcast join
+    (x̂ = Vᵀx), so cosine similarity in the latent space is invariant
+    to ARPACK's per-component sign indeterminacy (both sides flip
+    together; verified in test_lsa_rank_matches_numpy).
+
+    Spark shape: the DTM is never densified — docs are mllib sparse
+    vectors (one groupBy), the SVD is mllib's distributed
+    ARPACK/Lanczos on the IndexedRowMatrix (driver holds only the
+    |V|·k factor V, k small by construction).  Term ids are assigned
+    by a distributed sort + zipWithIndex — no global window."""
+    spark = postings.sparkSession
+    from pyspark.mllib.linalg import Vectors
+    from pyspark.mllib.linalg.distributed import (IndexedRow,
+                                                  IndexedRowMatrix)
+    terms = postings.select("term").distinct()
+    tid_rdd = (terms.orderBy("term").rdd.map(lambda r: r["term"])
+               .zipWithIndex())
+    tid_df = spark.createDataFrame(tid_rdd, "term STRING, tid LONG")
+    n_terms = tid_df.count()
+    rows = (postings.join(F.broadcast(tid_df), "term")
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list(F.struct("tid", "w")))
+                 .alias("tw")))
+    irm = IndexedRowMatrix(rows.rdd.map(lambda r: IndexedRow(
+        r["doc_id"], Vectors.sparse(n_terms,
+                                    [int(t["tid"]) for t in r["tw"]],
+                                    [float(t["w"]) for t in r["tw"]]))))
+    svd = irm.computeSVD(dim_out, computeU=False)
+    V = svd.V.toArray()          # n_terms × k, driver-local
+    s = [float(x) for x in svd.s]
+    v_rows = [(int(t), i + 1, float(V[t, i]))
+              for t in range(n_terms) for i in range(V.shape[1])]
+    v_df = (spark.createDataFrame(v_rows, "tid LONG, i INT, v DOUBLE")
+            .join(tid_df, "tid").select("term", "i", "v"))
+    return v_df, s
+
+
+def project_dtv(postings: DataFrame, v_table: DataFrame) -> DataFrame:
+    """Fold a weighted DTV table (term, doc_id, w) into the latent
+    space through the projection table (term, i, v): one broadcast
+    join + one groupBy(doc_id, i) shuffle — identical shape for LSA's
+    learned V and RP's hashed signs."""
+    return (postings.join(F.broadcast(v_table), "term")
+            .groupBy("doc_id", "i")
+            .agg(F.sum(F.col("w") * F.col("v")).alias("dv")))
+
+
 def cosine_topk(dv: DataFrame, qv_rows: list[tuple[int, float]], k: int,
                 tiebreak_round: int | None = None) -> DataFrame:
     """Generic cosine top-k of a long-form doc-embedding table against

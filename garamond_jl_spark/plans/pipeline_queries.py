@@ -1075,6 +1075,50 @@ def semantic_rp_topk(spark, sf_dir):
                        F.col("rank").cast("long").alias("rnk"))
 
 
+@q("semantic_lsa_topk")  # truncated SVD — rows-only driver check;
+# latent-space rank identity vs NumPy in test_semantic_embedders
+def semantic_lsa_topk(spark, sf_dir):
+    """E7 ``:lsa`` — truncated SVD of the tfidf DTM (mllib distributed
+    ARPACK), docs and query folded in through Vᵀ, cosine top-k
+    (embedder/interface.jl:86; latent cosines are sign-flip invariant,
+    see operators/semantic.lsa_projection)."""
+    import math
+
+    from collections import Counter
+
+    from garamond_jl_spark.config import EngineConfig
+    from garamond_jl_spark.operators.build import build_index
+    from garamond_jl_spark.operators.semantic import (LSA_DIM_OUT,
+                                                      cosine_topk,
+                                                      lsa_projection,
+                                                      project_dtv)
+    docs = load_testdata(spark, sf_dir, "documents")
+    cfg = EngineConfig(weighting="tfidf")
+    idx = build_index(spark, docs, cfg, id_col="doc_id", text_col="text",
+                      tokenizer=lambda s: [t for t in (s or "").split(" ")
+                                           if t])
+    v_table, _ = lsa_projection(idx.postings, dim_out=LSA_DIM_OUT)
+    dv = project_dtv(idx.postings, v_table)
+    qc = Counter(BOE_QUERY.split())
+    dfs = {r["term"]: r["df"] for r in
+           idx.terms.where(F.col("term").isin(*qc)).select("term", "df")
+           .collect()}
+    if not dfs:
+        return spark.createDataFrame([], "doc_id LONG, cos_e6 LONG, rnk LONG")
+    n_docs = float(idx.meta["n_docs"])
+    ql = float(sum(c for t, c in qc.items() if t in dfs))
+    qw = {t: math.sqrt(qc[t] / ql) * (math.log(n_docs / (dfs[t] + 1.0)) + 1.0)
+          for t in dfs}
+    vq = (v_table.where(F.col("term").isin(*qw))
+          .select("term", "i", "v").collect())
+    acc: dict[int, float] = {}
+    for r in vq:
+        acc[r["i"]] = acc.get(r["i"], 0.0) + qw[r["term"]] * r["v"]
+    hits = cosine_topk(dv, sorted(acc.items()), k=BOE_K, tiebreak_round=6)
+    return hits.select("doc_id", e6(F.col("score")).alias("cos_e6"),
+                       F.col("rank").cast("long").alias("rnk"))
+
+
 # --------------------------------------------------------------------------
 # Embedding-cosine near-dup (dedup family, 5th method)
 # --------------------------------------------------------------------------

@@ -211,3 +211,45 @@ def test_embedding_cosine_pairs_near_dups(spark):
     # no false positives among the unrelated gaussian base vectors
     for (a, b) in got:
         assert b - a == 100, (a, b)
+
+
+def test_lsa_rank_matches_numpy(spark, corpus):
+    """E7 :lsa — latent-space cosine ranking is sign-flip invariant, so
+    the mllib ARPACK factorization must rank-match a NumPy full SVD of
+    the same DTM (scores within 1e-6)."""
+    from garamond_jl_spark.operators.semantic import (cosine_topk,
+                                                      lsa_projection,
+                                                      project_dtv)
+    _, _, tf, _, _ = corpus
+    postings = tf.select("term", "doc_id",
+                         F.col("tf").cast("double").alias("w"))
+    k = 3
+    v_table, s = lsa_projection(postings, dim_out=k)
+    dv = project_dtv(postings, v_table)
+    vocab = sorted({t for _, text in DOCS for t in text.split()})
+    X = np.zeros((len(DOCS), len(vocab)))
+    for d, (_, text) in enumerate(DOCS):
+        for t in text.split():
+            X[d, vocab.index(t)] += 1.0
+    _, s_np, Vt = np.linalg.svd(X, full_matrices=False)
+    assert np.allclose(sorted(s, reverse=True), s_np[:k], atol=1e-8)
+    # query = doc 1's own term vector; fold in and rank
+    q = X[1]
+    qhat = Vt[:k] @ q
+    doc_hat = X @ Vt[:k].T
+    expect = sorted(
+        ((d, float(doc_hat[d] @ qhat
+                   / (np.linalg.norm(doc_hat[d]) * np.linalg.norm(qhat))))
+         for d in range(len(DOCS))),
+        key=lambda x: (-round(x[1], 6), x[0]))[:3]
+    qw = {t: float(q[vocab.index(t)]) for t in vocab if q[vocab.index(t)]}
+    vq = v_table.where(F.col("term").isin(*qw)).collect()
+    acc = {}
+    for r in vq:
+        acc[r["i"]] = acc.get(r["i"], 0.0) + qw[r["term"]] * r["v"]
+    got = sorted(cosine_topk(dv, sorted(acc.items()), k=3,
+                             tiebreak_round=6).collect(),
+                 key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in got] == [d for d, _ in expect]
+    for r, (_, c) in zip(got, expect):
+        assert abs(r["score"] - c) < 1e-6, (r, c)
