@@ -1284,11 +1284,16 @@ def _lang_id_df(d: DataFrame) -> DataFrame:
         _lang_trigram_profile(), "g STRING, lang STRING"))
     pt = d.select("doc_id", F.concat(F.lit(" "), F.col("text"), F.lit(" "))
                   .alias("p"), "text")
-    dt = (pt.select("doc_id", F.explode(F.when(
-        F.length("p") >= 3,
-        F.expr("transform(sequence(1, length(p) - 2), "
-               "i -> substring(p, i, 3))"))
-        .otherwise(F.array())).alias("g")))
+    # char trigrams via posexplode + windowed leads: the transform()
+    # lambda alternative runs interpreted (no codegen) AND re-scans the
+    # string per substring call — same fix as shingles_from
+    cw = Window.partitionBy("doc_id").orderBy("cp")
+    dt = (pt.select("doc_id", F.posexplode(F.split("p", "")).alias("cp", "c0"))
+          .select("doc_id", "c0",
+                  F.lead("c0", 1).over(cw).alias("c1"),
+                  F.lead("c0", 2).over(cw).alias("c2"))
+          .where(F.col("c2").isNotNull())
+          .select("doc_id", F.concat("c0", "c1", "c2").alias("g")))
     ntri = dt.groupBy("doc_id").agg(F.count("*").alias("n"))
     hits = dt.join(prof, "g").groupBy("doc_id", "lang") \
              .agg(F.count("*").alias("c"))
