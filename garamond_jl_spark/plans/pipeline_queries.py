@@ -154,6 +154,33 @@ def dedup_exact(spark, sf_dir):
                  F.count("*").alias("n")))
 
 
+@q("streaming_dedup_first_seen",
+   "SELECT md5(text) AS h, cast(min(doc_id) AS BIGINT) AS keep_doc_id "
+   "FROM documents GROUP BY 1")
+def streaming_dedup_first_seen(spark, sf_dir):
+    """Custom STATEFUL streaming operator (applyInPandasWithState,
+    streaming/stateful.py): first-seen dedup keyed by content hash —
+    drains the documents table as a file-source stream and emits one
+    survivor row per hash.  With a single micro-batch the survivor set
+    equals the batch dedup_exact semantics (min doc_id per md5 group),
+    which is what the oracle checks; the cross-batch suppression and
+    checkpoint-restart state persistence are covered by
+    tests/test_stateful_streaming.py."""
+    import os
+    import tempfile
+
+    from garamond_jl_spark.streaming.stateful import stream_dedup_first_seen
+    tmp = tempfile.mkdtemp(prefix="gjs_stream_dedup_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    os.symlink(os.path.join(sf_dir, "documents.parquet"),
+               os.path.join(src, "documents.parquet"))
+    schema = ("doc_id LONG, text STRING, lang STRING, source STRING, "
+              "n_chars LONG")
+    return stream_dedup_first_seen(spark, src, schema,
+                                   os.path.join(tmp, "out"))
+
+
 @q("dedup_ngram_jaccard", JACCARD_PAIRS_SQL)
 def dedup_ngram_jaccard(spark, sf_dir):
     """Near-dup pairs by word-3-gram Jaccard ≥ 0.8.  Candidates come
