@@ -1226,6 +1226,69 @@ def embedding_cosine_pairs(u: DataFrame, threshold: float = DEDUP_COS_T,
 
 
 # --------------------------------------------------------------------------
+# Multimodal plumbing (opaque binary columns; codec stubbed, shapes real)
+# --------------------------------------------------------------------------
+
+FRAME_CHUNK = 1024
+
+
+def _docs_as_media(spark, sf_dir):
+    d = load_testdata(spark, sf_dir, "documents")
+    return d.select(F.col("doc_id").alias("media_id"),
+                    F.lit("video").alias("modality"),
+                    F.lit("application/octet-stream").alias("mime"),
+                    F.lit(None).cast("int").alias("width"),
+                    F.lit(None).cast("int").alias("height"),
+                    F.lit(1000).alias("duration_ms"),
+                    F.col("text").cast("binary").alias("payload"))
+
+
+@q("multimodal_frames", f"""
+WITH m AS (SELECT doc_id AS media_id, strlen(text) AS n
+           FROM documents),
+fr AS (SELECT media_id, unnest(range(cast(ceil(n / {FRAME_CHUNK}.0) AS BIGINT)))
+              AS frame_idx, n
+       FROM m WHERE n > 0)
+SELECT media_id, cast(frame_idx AS BIGINT) AS frame_idx,
+       cast(least({FRAME_CHUNK}, n - frame_idx * {FRAME_CHUNK}) AS BIGINT)
+       AS frame_len
+FROM fr
+""")
+def multimodal_frames(spark, sf_dir):
+    """Frame-sampling fan-out through the real mapInPandas plumbing
+    (operators/multimodal.sample_frames) with the deterministic
+    byte-chunk stand-in splitter — one row per 1024-byte 'frame'.
+    The oracle checks the fan-out arithmetic exactly (chunk count and
+    per-frame byte length per media row); the codec itself stays a
+    documented stub (ffmpeg in production)."""
+    from garamond_jl_spark.operators.multimodal import (chunk_split_fn,
+                                                        sample_frames)
+    media = _docs_as_media(spark, sf_dir)
+    frames = sample_frames(media, every_ms=1000,
+                           split_fn=chunk_split_fn(FRAME_CHUNK))
+    return frames.select("media_id",
+                         F.col("frame_idx").cast("long").alias("frame_idx"),
+                         F.length("frame").cast("long").alias("frame_len"))
+
+
+@q("multimodal_features")  # sha256-byte float derivation — rows-only;
+# exact values covered by tests/test_aggregate_suggest_multimodal.py
+def multimodal_features(spark, sf_dir):
+    """Feature extraction through the Arrow batch boundary
+    (operators/multimodal.extract_features) with the deterministic fake
+    decoder: payload → sha256-derived unit-norm float vector.  A real
+    deployment swaps ONLY decode_fn (PIL/torchaudio embedding)."""
+    from garamond_jl_spark.operators.multimodal import (
+        deterministic_fake_decoder, extract_features)
+    media = _docs_as_media(spark, sf_dir)
+    feats = extract_features(media, deterministic_fake_decoder(dim=16))
+    return feats.select("media_id", "modality",
+                        F.size("feature").alias("dim"),
+                        e6(F.element_at("feature", 1).cast("double"))
+                        .alias("f0_e6"))
+
+
+# --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
 
