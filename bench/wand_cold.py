@@ -28,6 +28,8 @@ from garamond_jl_spark.operators.build import assign_dense_ids  # noqa: E402
 from garamond_jl_spark.operators.persist import (build_persistent,  # noqa: E402
                                                  load_index)
 from garamond_jl_spark.operators.query import embed_queries, topk_plan  # noqa: E402
+from garamond_jl_spark.operators.impact import (champion_lists,  # noqa: E402
+                                                impact_topk)
 from garamond_jl_spark.operators.wand import wand_topk  # noqa: E402
 from garamond_jl_spark.session import get_spark  # noqa: E402
 
@@ -38,6 +40,7 @@ def main() -> None:
     ap.add_argument("--queries", type=int, default=40)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--champ-p", type=int, default=1024)
     args = ap.parse_args()
 
     spark = get_spark(f"wand-cold-{args.cpus}", cpus=args.cpus,
@@ -64,14 +67,24 @@ def main() -> None:
                         .join(idx.terms, "term")
                         .agg(F.sum("df")).collect()[0][0])
 
+    # champion lists are an index-side build artifact (untimed, like
+    # the postings themselves)
+    champs = champion_lists(idx, args.champ_p).persist()
+    champs.count()
+
     # warm python/codegen on a tiny slice (untimed), keep storage cold-ish
     topk_plan(idx, embed_queries(spark, idx, [queries[0]]), 5).count()
+
+    stats: dict = {}
 
     res = {}
     for name, fn in [
         ("exact", lambda: topk_plan(idx, qt, args.k, pad_to_k=False).count()),
         ("wand", lambda: wand_topk(spark, idx, queries, k=args.k,
                                    scoring="flat").count()),
+        ("impact", lambda: impact_topk(spark, idx, queries, k=args.k,
+                                       p=args.champ_p, champions=champs,
+                                       pad_to_k=False, stats=stats).count()),
     ]:
         best = float("inf")
         for _ in range(2):
@@ -86,6 +99,10 @@ def main() -> None:
         "distinct_hot_terms": 12,
         "postings_of_query_terms": int(postings_scanned), **res,
         "speedup_wand_over_exact": round(res["exact_sec"] / res["wand_sec"], 2),
+        "impact_p": args.champ_p,
+        "impact_certified": len(stats.get("certified", [])),
+        "impact_fallback": len(stats.get("fallback", [])),
+        "speedup_impact_over_exact": round(res["exact_sec"] / res["impact_sec"], 2),
     }))
     spark.stop()
 

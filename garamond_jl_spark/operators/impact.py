@@ -1,0 +1,173 @@
+"""Impact-ordered early termination: champion-list candidate generation
+with an exactness certificate, batch-shaped for Spark.
+
+Addresses the tracked scale risk (PLANS.md): the exact plan's
+``broadcast(qterms) ⋈ postings`` inflates hot-term posting lists by the
+number of queries sharing the term — a Zipf-hot batch turns 5M postings
+into 200M+ aggregation rows.  Classic IR early termination (WAND,
+impact-ordered lists) is sequential per query; this is the batch
+re-derivation:
+
+1. **Champion lists** (public technique — the `fancy lists` of
+   Manning/Raghavan/Schütze IRBook §7.1.3): per term, the top-``p``
+   postings by impact (wnorm desc, doc_id asc), extracted with a
+   rank-window that Spark 4 prunes map-side (WindowGroupLimit) — no
+   hot-term single-partition sort survives in the plan.
+2. **Candidates** = union of the query's terms' champions.  Shared hot
+   terms across the batch share champions, so the candidate doc set is
+   ≤ |distinct query terms|·p regardless of batch size.
+3. **Exact re-score of candidates only**: postings of the query's terms
+   are semi-joined down to candidate docs BEFORE the per-query fan-out,
+   so the aggregation touches |candidate postings| · |queries sharing
+   the term| rows instead of |postings| · |queries|.
+4. **Certificate**: every non-candidate doc d satisfies, per term t,
+   wnorm(t, d) ≤ θ_t (the p-th champion's wnorm; 0 when df ≤ p, the
+   whole list is covered).  Hence cos(q, d) ≤ B_q = Σ_t qw_t·θ_t.  If
+   the query's k-th candidate cosine exceeds B_q (strictly, with a
+   float-noise margin), NO non-candidate can enter the top-k — the
+   result is provably rank-identical to the exact plan.
+5. **Fallback**: queries whose certificate fails re-run through the
+   exact plan (same output schema, same semantics, pad included).  The
+   certificate decision is a |queries|-row collect.
+
+Reference counterpart: the same capability as block-max WAND pruning
+(src/index/hnsw.jl's role is ANN; the scoring-side pruning analog is
+our operators/wand.py) but batch-friendly: WAND needs θ state per
+query; champions are a static index-side table shared by every query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from garamond_jl_spark.functions.scoring import score_transform_expr
+from garamond_jl_spark.operators.build import InvertedIndex
+from garamond_jl_spark.operators.query import embed_queries, topk_plan
+
+DEFAULT_P = 1024
+CERT_MARGIN = 1e-9   # float-summation safety on the B_q bound
+
+
+def champion_lists(index: InvertedIndex, p: int = DEFAULT_P) -> DataFrame:
+    """Per-term impact-ordered prefix: (term, doc_id, wnorm, imp_rank ≤ p).
+    Rank-window over (wnorm desc, doc_id asc) — the row_number ≤ p
+    pattern compiles to WindowGroupLimit, so every map partition is
+    pruned to p rows per term before the exchange.  Build once, persist
+    or store next to the postings table."""
+    w = Window.partitionBy("term").orderBy(F.col("wnorm").desc(),
+                                           F.col("doc_id").asc())
+    return (index.postings.select("term", "doc_id", "wnorm")
+            .withColumn("imp_rank", F.row_number().over(w))
+            .where(F.col("imp_rank") <= p))
+
+
+def term_thetas(champions: DataFrame, p: int) -> DataFrame:
+    """(term, theta): the prefix-boundary impact.  θ = p-th champion's
+    wnorm when the list was truncated (df > p — a non-candidate may
+    hide below the boundary), else 0 (list fully covered: every posting
+    of the term is a champion, nothing is hidden)."""
+    return (champions.groupBy("term")
+            .agg(F.count("*").alias("_n"), F.min("wnorm").alias("_min"))
+            .select("term", F.when(F.col("_n") >= p, F.col("_min"))
+                    .otherwise(F.lit(0.0)).alias("theta")))
+
+
+def impact_topk(spark: SparkSession, index: InvertedIndex,
+                queries: list[str], k: int = 10, p: int = DEFAULT_P,
+                champions: DataFrame | None = None,
+                tiebreak_round: int | None = None,
+                pad_to_k: bool = True,
+                stats: dict | None = None) -> DataFrame:
+    """Top-k identical to ``topk_plan`` (certificate-guaranteed), built
+    from champion candidates when possible, exact fallback otherwise.
+    Returns (query_id, doc_id, score, rank)."""
+    qterms = embed_queries(spark, index, queries)
+    qt_rows = qterms.collect()          # driver-built rows (tiny)
+    if not qt_rows:
+        return topk_plan(index, qterms, k, tiebreak_round, pad_to_k)
+    if champions is None:
+        champions = champion_lists(index, p)
+    q_terms = sorted({r["term"] for r in qt_rows})
+
+    # candidates: champions of the query's terms, fanned out per query
+    ch = champions.where(F.col("term").isin(q_terms))
+    cand = (F.broadcast(qterms.select("query_id", "term"))
+            .join(ch, "term")
+            .select("query_id", "doc_id").distinct())
+    cand_docs = cand.select("doc_id").distinct()
+
+    # exact re-score of candidate docs only: semi-join the postings of
+    # the query's terms down to candidate docs BEFORE the per-query join
+    post = (index.postings.select("term", "doc_id", "wnorm")
+            .where(F.col("term").isin(q_terms))
+            .join(F.broadcast(cand_docs), "doc_id", "left_semi"))
+    scored = (F.broadcast(qterms).join(post, "term")
+              .groupBy("query_id", "doc_id")
+              .agg(F.sum(F.col("qw") * F.col("wnorm")).alias("cos"))
+              .join(cand, ["query_id", "doc_id"], "left_semi"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("doc_id").asc())
+    topc = (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k).persist())
+
+    # certificate: k-th candidate cosine vs the hidden-mass bound B_q
+    thetas = {r["term"]: r["theta"] for r in
+              term_thetas(champions.where(F.col("term").isin(q_terms)), p)
+              .collect()}
+    bq: dict[int, float] = {}
+    for r in qt_rows:
+        bq[r["query_id"]] = (bq.get(r["query_id"], 0.0)
+                             + r["qw"] * thetas.get(r["term"], 0.0))
+    kth = {r["query_id"]: (r["cnt"], r["kth_cos"]) for r in
+           topc.groupBy("query_id")
+           .agg(F.count("*").alias("cnt"), F.min("cos").alias("kth_cos"))
+           .collect()}
+    cfg = index.cfg
+
+    def _score(c: float) -> float:
+        import math
+        return 1.0 - math.tanh(cfg.score_alpha * (1.0 - c))
+
+    def _ok(q: int) -> bool:
+        if q not in kth or kth[q][0] < k:
+            return False
+        kc, b = kth[q][1], bq[q] + CERT_MARGIN
+        if tiebreak_round is None:
+            return kc > b
+        # rounded-rank parity semantics: a non-candidate may TIE at the
+        # rounded precision and win the doc_id tiebreak, so require the
+        # ROUNDED scores to separate strictly
+        r = tiebreak_round
+        return round(_score(kc), r) > round(_score(b), r)
+
+    all_qids = sorted(bq)
+    certified = [q for q in all_qids if _ok(q)]
+    fallback = [q for q in all_qids if q not in set(certified)]
+    if stats is not None:
+        stats["certified"] = certified
+        stats["fallback"] = fallback
+    score = score_transform_expr(F.lit(1.0) - F.col("cos"), cfg.score_alpha)
+    parts = []
+    if certified:
+        cert_hits = (topc.where(F.col("query_id").isin(certified))
+                     .withColumn("score", score))
+        if tiebreak_round is not None:
+            # re-rank on the rounded score (parity-harness semantics)
+            wr = Window.partitionBy("query_id").orderBy(
+                F.round(F.col("score"), tiebreak_round).desc(),
+                F.col("doc_id").asc())
+            cert_hits = (cert_hits.drop("rank")
+                         .withColumn("rank", F.row_number().over(wr)))
+        parts.append(cert_hits.select("query_id", "doc_id", "score", "rank"))
+    if fallback:
+        fb_terms = qterms.where(F.col("query_id").isin(fallback))
+        parts.append(topk_plan(index, fb_terms, k, tiebreak_round, pad_to_k))
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    # materialize the ≤ |queries|·k result and release the cached
+    # candidate top-k (same leak-avoidance contract as wand_topk)
+    out = out.localCheckpoint(eager=True)
+    topc.unpersist()
+    return out

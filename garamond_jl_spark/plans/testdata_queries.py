@@ -152,6 +152,20 @@ def fulltext_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("rank").cast("long").alias("rnk"))
 
 
+@q("fulltext_bm25_topk_impact", _ft_oracle_sql(FT_QUERY.split(), FT_K))
+def fulltext_bm25_topk_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship query answered by the champion-list impact-ordered
+    plan (operators/impact.py) against the SAME DuckDB oracle: the
+    exactness certificate (or exact fallback) guarantees rank identity,
+    and the driver gate checks it independently of pytest."""
+    from garamond_jl_spark.operators.impact import impact_topk
+    idx = _ft_index(spark, sf_dir)
+    hits = impact_topk(spark, idx, [FT_QUERY], k=FT_K, p=64,
+                       tiebreak_round=6)
+    return hits.select("doc_id", e6(F.col("score")).alias("score_e6"),
+                       F.col("rank").cast("long").alias("rnk"))
+
+
 @q("lifecycle_combined_search_filter", f"""
 WITH {FT_STATS_CTE},
 qraw AS (SELECT term FROM (VALUES ('spark'), ('join'), ('data')) AS q(term)),
