@@ -162,10 +162,32 @@ def topk_plan(index: InvertedIndex, qterms: DataFrame, k: int,
 def search(spark: SparkSession, index: InvertedIndex, queries: list[str],
            k: int = 10, hydrate: bool = True,
            tiebreak_round: int | None = None,
-           pad_to_k: bool = True) -> DataFrame:
-    """Batched top-k search; optionally hydrates doc metadata (J2)."""
-    qterms = embed_queries(spark, index, queries)
-    hits = topk_plan(index, qterms, k, tiebreak_round, pad_to_k)
+           pad_to_k: bool = True, plan: str = "exact") -> DataFrame:
+    """Batched top-k search; optionally hydrates doc metadata (J2).
+
+    ``plan`` selects the physical strategy — all three are
+    rank-identical (certificate / proven):
+    * ``exact`` (default) — broadcast-join score of every posting of
+      the query's terms; best for warm columnar postings.
+    * ``impact`` — champion-list candidates + exactness certificate
+      (operators/impact.py); wins on hot-term batches (7.4× at 200 q /
+      1M docs, BENCH.md).
+    * ``wand`` — block-max pruning over packed blocks
+      (operators/wand.py); for cold compressed storage.
+    """
+    if plan == "impact":
+        from garamond_jl_spark.operators.impact import impact_topk
+        hits = impact_topk(spark, index, queries, k=k,
+                           tiebreak_round=tiebreak_round, pad_to_k=pad_to_k)
+    elif plan == "wand":
+        from garamond_jl_spark.operators.wand import wand_topk
+        hits = wand_topk(spark, index, queries, k=k,
+                         tiebreak_round=tiebreak_round)
+    elif plan == "exact":
+        qterms = embed_queries(spark, index, queries)
+        hits = topk_plan(index, qterms, k, tiebreak_round, pad_to_k)
+    else:
+        raise ValueError(f"unknown plan: {plan!r}")
     if not hydrate:
         return hits
     # J2 result hydration: hits are ≤ |queries|·k rows — broadcast them

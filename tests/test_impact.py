@@ -80,3 +80,17 @@ def test_impact_certified_path_matches_with_rounding(spark, idx, queries):
     got = _ranked(impact_topk(spark, idx, queries, k=K, p=256,
                               tiebreak_round=6))
     _assert_identical(got, exact)
+
+
+def test_search_plan_dispatch(spark, idx, queries):
+    """search(plan=) returns identical (query_id, doc_id, rank) for
+    exact and impact strategies."""
+    from garamond_jl_spark.operators.query import search
+    sub = queries[:6]
+    exact = _ranked(search(spark, idx, sub, k=K, hydrate=False,
+                           pad_to_k=False))
+    impact = _ranked(search(spark, idx, sub, k=K, hydrate=False,
+                            pad_to_k=False, plan="impact"))
+    _assert_identical(impact, exact)
+    with pytest.raises(ValueError):
+        search(spark, idx, sub, plan="nope")
