@@ -373,14 +373,23 @@ sh AS (SELECT doc_id, cast({hi} AS BIGINT) AS sh_hi,
 
 
 def _simhash64_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh_hi, sh_lo) — Spark mirror of :func:`_simhash64_cte`."""
+    """(doc_id, sh_hi, sh_lo) — Spark mirror of :func:`_simhash64_cte`.
+
+    Plan note: the 32 nibble parses are hoisted into columns BEFORE the
+    aggregation — inlining them into the 64 vote expressions makes every
+    row do 64 substring+locate string scans (Catalyst does not CSE
+    across aggregate expressions); hoisted, each row does 32 and the
+    votes are pure integer ops.  Same values, same oracle."""
     d = load_testdata(spark, sf_dir, "documents")
     tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
            .where(F.col("term") != ""))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    hashed = tf.select("doc_id", F.md5("term").alias("h"), "tf")
+    hashed = (tf.select("doc_id", F.md5("term").alias("h"), "tf")
+              .select("doc_id", "tf",
+                      *[F.expr(_nib_spark(i)).alias(f"n{i}")
+                        for i in range(1, 33)]))
     votes = [F.sum(F.when(
-        F.expr(f"(({_nib_spark(j // 2 + 1)}) & {1 << (j % 2)}) > 0"),
+        F.expr(f"(n{j // 2 + 1} & {1 << (j % 2)}) > 0"),
         F.col("tf")).otherwise(-F.col("tf"))).alias(f"v{j}")
         for j in range(64)]
     agg = hashed.groupBy("doc_id").agg(*votes)

@@ -31,16 +31,16 @@ def get_spark(app: str = "garamond-spark", cpus: int | None = None,
         # Arrow everywhere: pandas UDFs are the only Python in the plan
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # local mode: the driver heap IS the executor memory.  2 GiB/core
-        # like a real cluster's per-executor heap, CAPPED at 16 GiB: a
-        # single huge G1 heap is measurably SLOWER for everything that
-        # fits (64g made the sf0.1 dedup phase 3× slower standalone and
-        # 12× slower mid-suite — BENCH.md round-2 regression note).
-        # Workloads that genuinely need more (≥10M docs in one JVM) set
-        # SPARK_DRIVER_MEM explicitly.
+        # local mode: the driver heap IS the executor memory.  8g flat:
+        # G1 on this box degrades MONOTONICALLY with heap size at high
+        # thread counts (3M-doc build @32: 29.3 s at 8g, 58.6 s at 16g,
+        # and 64g was 3-12× slower across the sf0.1 suite — BENCH.md
+        # round-2 regression notes).  A real cluster sizes PER-EXECUTOR
+        # heaps (4-8g each); a single fat local heap has no cluster
+        # analog.  Workloads that genuinely need more (≥10M docs in one
+        # JVM) set SPARK_DRIVER_MEM explicitly.
         .config("spark.driver.memory",
-                os.environ.get("SPARK_DRIVER_MEM",
-                               f"{min(16, max(8, 2 * cpus))}g"))
+                os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
