@@ -21,14 +21,27 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def run_level(cpus: int, docs: int, queries: int) -> dict:
-    out = subprocess.run(
-        [sys.executable, os.path.join(HERE, "scaling_job.py"),
-         "--cpus", str(cpus), "--docs", str(docs),
-         "--queries", str(queries)],
-        capture_output=True, text=True, check=True)
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+def run_level(cpus: int, docs: int, queries: int, attempts: int = 2) -> dict:
+    """One fresh-JVM leg; a transiently-failed JVM (host pressure) is
+    retried once with the failing leg's stderr surfaced, so a crash in
+    the second leg cannot silently discard the first leg's 20+ minutes."""
+    last = None
+    for _ in range(attempts):
+        out = subprocess.run(
+            [sys.executable, os.path.join(HERE, "scaling_job.py"),
+             "--cpus", str(cpus), "--docs", str(docs),
+             "--queries", str(queries)],
+            capture_output=True, text=True)
+        if out.returncode == 0:
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            return json.loads(line)
+        last = out
+        print(f"# leg cpus={cpus} failed (rc={out.returncode}); retrying\n"
+              f"{out.stderr[-2000:]}", file=sys.stderr)
+    raise RuntimeError(
+        f"scaling leg cpus={cpus} failed after {attempts} attempts:\n"
+        f"{(last.stderr or '')[-2000:]}")
 
 
 def main() -> None:

@@ -87,6 +87,10 @@ class InvertedIndex:
     # the same one or query terms miss the vocabulary (None = the
     # canonical prepare_and_tokenize(cfg) pipeline)
     tokenizer: object = None
+    # optional per-term impact-ordered prefixes (term, doc_id, wnorm,
+    # imp_rank) for the champion-list plan (operators/impact.py);
+    # attached by load_index when the persistent index stored them
+    champions: "DataFrame | None" = None
 
     @property
     def cfg(self) -> EngineConfig:

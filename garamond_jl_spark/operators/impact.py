@@ -87,7 +87,12 @@ def impact_topk(spark: SparkSession, index: InvertedIndex,
     if not qt_rows:
         return topk_plan(index, qterms, k, tiebreak_round, pad_to_k)
     if champions is None:
-        champions = champion_lists(index, p)
+        stored_p = index.meta.get("champion_p") if index.meta else None
+        if index.champions is not None and stored_p and stored_p >= p:
+            # persisted prefix serves any smaller p by rank filter
+            champions = index.champions.where(F.col("imp_rank") <= p)
+        else:
+            champions = champion_lists(index, p)
     q_terms = sorted({r["term"] for r in qt_rows})
 
     # candidates: champions of the query's terms, fanned out per query

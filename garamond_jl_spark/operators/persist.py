@@ -52,7 +52,8 @@ def build_persistent(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
                      text_col: str = "content",
                      carry_cols: list[str] | None = None,
                      n_buckets: int = 8, resume: bool = False,
-                     tokenizer=None, retain_content: bool = False) -> InvertedIndex:
+                     tokenizer=None, retain_content: bool = False,
+                     champion_p: int = 8192) -> InvertedIndex:
     """Build the index into ``out_dir/{postings_raw,terms,postings,docs,
     blocks,meta,lineage}``.  ``resume=True`` skips completed buckets and
     completed downstream stages.  ``retain_content=True`` keeps the text
@@ -129,6 +130,17 @@ def build_persistent(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
             .write.mode("overwrite").parquet(tmax_dir)
     terms_full = terms.join(spark.read.parquet(tmax_dir), "term")
 
+    champ_dir = os.path.join(out_dir, "champions")
+    if champion_p and not (resume and _done(champ_dir)):
+        # per-term impact-ordered prefix for the champion-list plan
+        # (operators/impact.py) — any query-time p ≤ champion_p is
+        # served by filtering imp_rank ≤ p
+        from garamond_jl_spark.operators.impact import champion_lists
+        champion_lists(
+            InvertedIndex(docs=docs, terms=terms, postings=pw),
+            champion_p).write.mode("overwrite").parquet(champ_dir)
+    champs = spark.read.parquet(champ_dir) if champion_p else None
+
     docs_dir = os.path.join(out_dir, "docs")
     if not (resume and _done(docs_dir)):
         doc_table(docs, pw, id_col, carry_cols).write.mode("overwrite") \
@@ -144,6 +156,7 @@ def build_persistent(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
             "min_block_df": cfg.min_block_df,
             "cfg": cfg_to_dict(cfg), "id_col": id_col, "text_col": text_col,
             "retain_content": retain_content,
+            "champion_p": champion_p,
             "tokenizer_id": (getattr(tokenizer, "__name__", "custom")
                              if tokenizer is not None else None)}
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
@@ -151,8 +164,9 @@ def build_persistent(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
 
     return InvertedIndex(docs=dtab, terms=terms_full, postings=pw,
                          blocks=blocks,
-                         meta={"n_docs": n_docs, "avgdl": avgdl, "cfg": cfg},
-                         tokenizer=tokenizer)
+                         meta={"n_docs": n_docs, "avgdl": avgdl, "cfg": cfg,
+                               "champion_p": champion_p},
+                         tokenizer=tokenizer, champions=champs)
 
 
 def read_meta(out_dir: str) -> tuple[dict, EngineConfig]:
@@ -188,13 +202,18 @@ def load_index(spark: SparkSession, out_dir: str,
     _check_tokenizer(m, tokenizer)
     terms = spark.read.parquet(os.path.join(out_dir, "terms"))
     tmax = spark.read.parquet(os.path.join(out_dir, "term_max"))
+    champ_dir = os.path.join(out_dir, "champions")
+    champs = (spark.read.parquet(champ_dir)
+              if os.path.exists(os.path.join(champ_dir, "_SUCCESS"))
+              else None)
     return InvertedIndex(
         docs=spark.read.parquet(os.path.join(out_dir, "docs")),
         terms=terms.join(tmax, "term"),
         postings=spark.read.parquet(os.path.join(out_dir, "postings")),
         blocks=spark.read.parquet(os.path.join(out_dir, "blocks")),
-        meta={"n_docs": m["n_docs"], "avgdl": m["avgdl"], "cfg": cfg},
-        tokenizer=tokenizer)
+        meta={"n_docs": m["n_docs"], "avgdl": m["avgdl"], "cfg": cfg,
+              "champion_p": m.get("champion_p")},
+        tokenizer=tokenizer, champions=champs)
 
 
 def lineage(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -200,3 +200,28 @@ def test_custom_tokenizer_guard(spark, tmp_path):
     idx = load_index(spark, out, tokenizer=shouty_tokenizer)
     assert search(spark, idx, ["main run"], k=3, hydrate=False,
                   pad_to_k=False).count() > 0
+
+
+def test_persisted_champions_serve_impact_plan(spark, pindex, out_dir):
+    """build_persistent stores impact-ordered champion prefixes;
+    load_index attaches them and impact_topk answers through the STORED
+    table (no recompute) rank-identically to the exact plan."""
+    from pyspark.sql import functions as F
+
+    from garamond_jl_spark.operators.impact import impact_topk
+    from garamond_jl_spark.operators.persist import load_index
+    from garamond_jl_spark.operators.query import embed_queries, topk_plan
+
+    idx = load_index(spark, out_dir)
+    assert idx.champions is not None
+    assert idx.meta["champion_p"] == 8192
+    over = (idx.champions.groupBy("term").count()
+            .where(F.col("count") > 8192).count())
+    assert over == 0
+
+    queries = query_set(seed=3, n=8)
+    exact = topk_plan(idx, embed_queries(spark, idx, queries), 10).collect()
+    got = impact_topk(spark, idx, queries, k=10, p=64).collect()
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["doc_id"])
+                              for r in rows)
+    assert key(got) == key(exact)
