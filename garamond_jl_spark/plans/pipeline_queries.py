@@ -1415,6 +1415,92 @@ def _lang_id_df(d: DataFrame) -> DataFrame:
                 .otherwise(F.lit("und")).alias("pred_lang")))
 
 
+PIPE_QUALITY_E6 = 300000          # keep quality ≥ 0.3 (integer compare on
+# the already-e6-rounded score — engine-exact, no float boundary)
+PIPE_LANGS = ("en", "es", "und")
+
+
+@q("pipeline_clean_corpus", f"""
+WITH surv AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+tok AS (
+  SELECT d.doc_id, t.term FROM documents d,
+  unnest(string_split(d.text, ' ')) AS t(term) WHERE t.term <> ''
+),
+st AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT term) AS n_uniq
+       FROM tok GROUP BY 1),
+qual AS (
+  SELECT d.doc_id, coalesce(st.n_tok, 0) AS n_tok,
+         cast(round(coalesce(st.n_uniq * 1.0 / st.n_tok, 0)
+                    * least(1.0, coalesce(st.n_tok, 0) / 50.0) * 1e6)
+              AS BIGINT) AS quality_e6
+  FROM documents d LEFT JOIN st USING (doc_id)
+),
+pt AS (SELECT doc_id, ' ' || text || ' ' AS p, text FROM documents),
+dt AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(p) - 1),
+                               i -> substring(p, i, 3))) AS g
+  FROM pt
+),
+ntri AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY 1),
+prof(g, lang) AS (VALUES {_PROFILE_VALUES}),
+hits AS (SELECT dt.doc_id, p.lang, count(*) AS c
+         FROM dt JOIN prof p USING (g) GROUP BY 1, 2),
+sc AS (SELECT h.doc_id, h.lang, h.c * 1.0 / n.n AS score
+       FROM hits h JOIN ntri n USING (doc_id)),
+best AS (SELECT doc_id, lang, score,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, lang ASC) AS rn
+         FROM sc),
+cjk AS (SELECT doc_id,
+               len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]'))
+               AS nc, len(text) AS lt
+        FROM documents),
+langp AS (
+  SELECT d.doc_id,
+         CASE WHEN c.nc * {CJK_FRAC_DEN} >= c.lt * {CJK_FRAC_NUM}
+                   AND c.nc > 0 THEN 'zh'
+              WHEN b.score >= {LANG_CONF_FLOOR} THEN b.lang
+              ELSE 'und' END AS pred_lang
+  FROM documents d JOIN cjk c USING (doc_id)
+  LEFT JOIN (SELECT doc_id, lang, score FROM best WHERE rn = 1) b
+  USING (doc_id)
+)
+SELECT s.doc_id, q.n_tok, q.quality_e6, l.pred_lang
+FROM surv s JOIN qual q USING (doc_id) JOIN langp l USING (doc_id)
+WHERE q.quality_e6 >= {PIPE_QUALITY_E6}
+  AND l.pred_lang IN {PIPE_LANGS!r}
+""")
+def pipeline_clean_corpus(spark, sf_dir):
+    """END-TO-END training-data cleaning pipeline — the composition the
+    engine exists for at 100 TB: exact-dedup survivors ∩ quality floor
+    ∩ language filter, emitted as a cleaned-corpus manifest
+    (doc_id, n_tok, quality_e6, pred_lang).  One declarative plan: the
+    three per-doc metric subplans share the documents scan, the filters
+    are Catalyst predicates, and every stage is the already-verified
+    parity operator (dedup_exact / text_quality_score / text_lang_id)."""
+    d = load_testdata(spark, sf_dir, "documents")
+    surv = (d.groupBy(F.md5("text").alias("_h"))
+            .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
+    tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+           .where(F.col("term") != ""))
+    st = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"),
+                                   F.countDistinct("term").alias("n_uniq"))
+    qv = ((F.col("n_uniq") / F.col("n_tok"))
+          * F.least(F.lit(1.0), F.col("n_tok") / F.lit(50.0)))
+    qual = (d.select("doc_id").join(st, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_tok", F.lit(0)).cast("long").alias("n_tok"),
+                    F.coalesce(e6(qv), F.lit(0)).alias("quality_e6")))
+    langp = _lang_id_df(d).select("doc_id", "pred_lang")
+    return (surv.join(qual, "doc_id").join(langp, "doc_id")
+            .where((F.col("quality_e6") >= PIPE_QUALITY_E6)
+                   & F.col("pred_lang").isin(*PIPE_LANGS))
+            .select("doc_id", "n_tok", "quality_e6", "pred_lang"))
+
+
 @q("text_quality_score", """
 WITH tok AS (
   SELECT d.doc_id, t.term FROM documents d,
