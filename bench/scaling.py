@@ -33,15 +33,20 @@ def run_level(cpus: int, docs: int, queries: int, attempts: int = 2) -> dict:
              "--queries", str(queries)],
             capture_output=True, text=True)
         if out.returncode == 0:
-            line = [ln for ln in out.stdout.splitlines()
-                    if ln.startswith("{")][-1]
-            return json.loads(line)
+            lines = [ln for ln in out.stdout.splitlines()
+                     if ln.startswith("{")]
+            if lines:
+                return json.loads(lines[-1])
+            print(f"# leg cpus={cpus} exited 0 but printed no JSON; "
+                  f"retrying\nstdout tail: {out.stdout[-1000:]}\n"
+                  f"stderr tail: {out.stderr[-1000:]}", file=sys.stderr)
         last = out
         print(f"# leg cpus={cpus} failed (rc={out.returncode}); retrying\n"
               f"{out.stderr[-2000:]}", file=sys.stderr)
     raise RuntimeError(
         f"scaling leg cpus={cpus} failed after {attempts} attempts:\n"
-        f"{(last.stderr or '')[-2000:]}")
+        f"stdout tail: {(last.stdout or '')[-1000:]}\n"
+        f"stderr tail: {(last.stderr or '')[-2000:]}")
 
 
 def main() -> None:

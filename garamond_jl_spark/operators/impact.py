@@ -93,6 +93,15 @@ def impact_topk(spark: SparkSession, index: InvertedIndex,
             champions = index.champions.where(F.col("imp_rank") <= p)
         else:
             champions = champion_lists(index, p)
+    else:
+        # caller-supplied table: derive the effective prefix depth so a
+        # table built with p' < p cannot falsely certify (theta=0 via the
+        # "_n < p ⇒ fully covered" rule).  Clamping p to max(imp_rank) is
+        # always SOUND: it can only treat a fully-covered term as
+        # truncated (conservative theta), never the reverse.
+        row = champions.agg(F.max("imp_rank").alias("m")).collect()[0]
+        if row["m"] is not None:
+            p = min(p, int(row["m"]))
     q_terms = sorted({r["term"] for r in qt_rows})
 
     # candidates: champions of the query's terms, fanned out per query
@@ -111,12 +120,22 @@ def impact_topk(spark: SparkSession, index: InvertedIndex,
               .groupBy("query_id", "doc_id")
               .agg(F.sum(F.col("qw") * F.col("wnorm")).alias("cos"))
               .join(cand, ["query_id", "doc_id"], "left_semi"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+    cfg = index.cfg
+    score = score_transform_expr(F.lit(1.0) - F.col("cos"), cfg.score_alpha)
+    scored = scored.withColumn("score", score)
+    # cut to k with the SAME ranking key the exact plan uses: the rounded
+    # score when tiebreak_round is set (a raw-cosine cut could drop a
+    # candidate that ties at the rounded precision yet wins the doc_id
+    # tiebreak — the exact plan would keep it)
+    rank_on = (F.round(F.col("score"), tiebreak_round)
+               if tiebreak_round is not None else F.col("score"))
+    w = Window.partitionBy("query_id").orderBy(rank_on.desc(),
                                                F.col("doc_id").asc())
     topc = (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k).persist())
 
-    # certificate: k-th candidate cosine vs the hidden-mass bound B_q
+    # certificate: k-th candidate (by the ranking key) vs the
+    # hidden-mass bound B_q
     thetas = {r["term"]: r["theta"] for r in
               term_thetas(champions.where(F.col("term").isin(q_terms)), p)
               .collect()}
@@ -124,11 +143,10 @@ def impact_topk(spark: SparkSession, index: InvertedIndex,
     for r in qt_rows:
         bq[r["query_id"]] = (bq.get(r["query_id"], 0.0)
                              + r["qw"] * thetas.get(r["term"], 0.0))
-    kth = {r["query_id"]: (r["cnt"], r["kth_cos"]) for r in
+    kth = {r["query_id"]: (r["cnt"], r["kth_key"]) for r in
            topc.groupBy("query_id")
-           .agg(F.count("*").alias("cnt"), F.min("cos").alias("kth_cos"))
+           .agg(F.count("*").alias("cnt"), F.min(rank_on).alias("kth_key"))
            .collect()}
-    cfg = index.cfg
 
     def _score(c: float) -> float:
         import math
@@ -137,14 +155,15 @@ def impact_topk(spark: SparkSession, index: InvertedIndex,
     def _ok(q: int) -> bool:
         if q not in kth or kth[q][0] < k:
             return False
-        kc, b = kth[q][1], bq[q] + CERT_MARGIN
+        kth_key, b_score = kth[q][1], _score(bq[q] + CERT_MARGIN)
         if tiebreak_round is None:
-            return kc > b
+            # score transform is strictly monotone in cos, so comparing
+            # transformed scores ⟺ comparing cosines
+            return kth_key > b_score
         # rounded-rank parity semantics: a non-candidate may TIE at the
         # rounded precision and win the doc_id tiebreak, so require the
-        # ROUNDED scores to separate strictly
-        r = tiebreak_round
-        return round(_score(kc), r) > round(_score(b), r)
+        # ROUNDED keys to separate strictly
+        return kth_key > round(b_score, tiebreak_round)
 
     all_qids = sorted(bq)
     certified = [q for q in all_qids if _ok(q)]
@@ -152,19 +171,11 @@ def impact_topk(spark: SparkSession, index: InvertedIndex,
     if stats is not None:
         stats["certified"] = certified
         stats["fallback"] = fallback
-    score = score_transform_expr(F.lit(1.0) - F.col("cos"), cfg.score_alpha)
     parts = []
     if certified:
-        cert_hits = (topc.where(F.col("query_id").isin(certified))
-                     .withColumn("score", score))
-        if tiebreak_round is not None:
-            # re-rank on the rounded score (parity-harness semantics)
-            wr = Window.partitionBy("query_id").orderBy(
-                F.round(F.col("score"), tiebreak_round).desc(),
-                F.col("doc_id").asc())
-            cert_hits = (cert_hits.drop("rank")
-                         .withColumn("rank", F.row_number().over(wr)))
-        parts.append(cert_hits.select("query_id", "doc_id", "score", "rank"))
+        # ranks were assigned with the correct key above — no re-rank
+        parts.append(topc.where(F.col("query_id").isin(certified))
+                     .select("query_id", "doc_id", "score", "rank"))
     if fallback:
         fb_terms = qterms.where(F.col("query_id").isin(fallback))
         parts.append(topk_plan(index, fb_terms, k, tiebreak_round, pad_to_k))

@@ -182,7 +182,7 @@ def search(spark: SparkSession, index: InvertedIndex, queries: list[str],
     elif plan == "wand":
         from garamond_jl_spark.operators.wand import wand_topk
         hits = wand_topk(spark, index, queries, k=k,
-                         tiebreak_round=tiebreak_round)
+                         tiebreak_round=tiebreak_round, pad_to_k=pad_to_k)
     elif plan == "exact":
         qterms = embed_queries(spark, index, queries)
         hits = topk_plan(index, qterms, k, tiebreak_round, pad_to_k)

@@ -87,9 +87,17 @@ def _unpack_blocks(blocks: DataFrame) -> DataFrame:
 def wand_topk(spark: SparkSession, index: InvertedIndex,
               queries: list[str], k: int = 10,
               tiebreak_round: int | None = None,
-              scoring: str = "flat") -> DataFrame:
+              scoring: str = "flat", pad_to_k: bool = True) -> DataFrame:
     """Batched block-max WAND top-k → (query_id, doc_id, score, rank).
     Requires ``index.blocks`` (build with with_blocks=True / persistent).
+
+    ``pad_to_k`` appends the dense-knn fill rows exactly as
+    ``topk_plan`` does.  Soundness with pruning: a query prunes blocks
+    only when θ > 0, which requires ≥ k seed docs with partial cosine
+    ≥ θ — those k docs all survive (true ≥ partial ≥ θ), so whenever
+    pruning removed anything the query already has ≥ k real hits and no
+    pad row can enter its top-k; when matches < k, θ = 0, nothing is
+    pruned, and padding is identical to the exact plan's.
 
     ``scoring``:
     * ``"flat"`` (default) — hybrid: blocks serve only as the pruning
@@ -189,6 +197,16 @@ def wand_topk(spark: SparkSession, index: InvertedIndex,
     hits = (posts.join(qt.select("query_id", "term", "qw"), "term")
             .groupBy("query_id", "doc_id")
             .agg(F.sum(F.col("qw") * F.col("wnorm")).alias("cos")))
+    if pad_to_k:
+        # same fill construction as topk_plan (query.py): the globally
+        # lowest 2k doc_ids cover every pad slot
+        qids = qterms.select("query_id").distinct()
+        low = index.docs.orderBy("doc_id").limit(2 * k).select("doc_id")
+        pad = (qids.crossJoin(low)
+               .join(hits.select("query_id", "doc_id"),
+                     ["query_id", "doc_id"], "left_anti")
+               .withColumn("cos", F.lit(0.0)))
+        hits = hits.unionByName(pad)
     score = score_transform_expr(F.lit(1.0) - F.col("cos"), cfg.score_alpha)
     hits = hits.withColumn("score", score)
     rank_on = (F.round(F.col("score"), tiebreak_round)

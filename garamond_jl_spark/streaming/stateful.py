@@ -77,7 +77,16 @@ def stream_dedup_first_seen(spark: SparkSession, source_dir: str,
     ``out_dir`` as parquet; returns the survivors table.  A production
     deployment drops the trigger and runs continuously — state persists
     in the checkpoint, so a restart resumes with every
-    previously-seen hash still suppressed."""
+    previously-seen hash still suppressed.
+
+    Semantics: FIRST-SEEN wins — the emitted doc_id is the minimum
+    within the first micro-batch containing the hash.  That equals
+    ``dedup_exact``'s global-min only when the drain lands in a single
+    micro-batch (the availableNow file source splits on
+    ``maxFilesPerTrigger``); a multi-batch drain keeps the earlier
+    batch's min, which is the intended streaming-arrival-order
+    semantics, not a bug — but batch-parity tests must keep the input
+    in one trigger."""
     ckpt = checkpoint_dir or os.path.join(out_dir, "_dedup_checkpoint")
     src = spark.readStream.schema(schema).parquet(source_dir)
     hashed = src.select(F.md5(F.col(text_col)).alias("h"),
@@ -87,4 +96,10 @@ def stream_dedup_first_seen(spark: SparkSession, source_dir: str,
      .option("path", out_dir)
      .option("checkpointLocation", ckpt)
      .trigger(availableNow=True).start().awaitTermination())
+    if not any(f.endswith(".parquet") for f in
+               (os.listdir(out_dir) if os.path.isdir(out_dir) else [])):
+        # a drain with zero survivors may never create data files —
+        # return an empty frame with the output schema instead of
+        # letting the read throw
+        return spark.createDataFrame([], OUTPUT_SCHEMA)
     return spark.read.parquet(out_dir)

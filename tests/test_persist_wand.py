@@ -106,7 +106,8 @@ def test_wand_rank_identity_vs_exact(spark, pindex, out_dir, scoring):
     queries = [q for q in query_set(seed=42, n=16) if q]
     exact = search(spark, idx, queries, k=10, hydrate=False,
                    pad_to_k=False).collect()
-    wand = wand_topk(spark, idx, queries, k=10, scoring=scoring).collect()
+    wand = wand_topk(spark, idx, queries, k=10, scoring=scoring,
+                     pad_to_k=False).collect()
     def by_q(rows):
         d = {}
         for r in rows:
@@ -133,7 +134,7 @@ def test_wand_mixed_blocked_unblocked(spark, tmp_path):
     queries = ["get", "get parse_1", "parse_1 merge_2", "main run data get"]
     exact = search(spark, idx, queries, k=8, hydrate=False,
                    pad_to_k=False).collect()
-    wand = wand_topk(spark, idx, queries, k=8).collect()
+    wand = wand_topk(spark, idx, queries, k=8, pad_to_k=False).collect()
     key = lambda rows: sorted((r["query_id"], r["rank"], r["doc_id"],
                                round(r["score"], 9)) for r in rows)
     assert key(exact) == key(wand)
@@ -141,6 +142,24 @@ def test_wand_mixed_blocked_unblocked(spark, tmp_path):
     blocked = {r["term"] for r in idx.blocks.select("term").distinct().collect()}
     vocab = {r["term"] for r in idx.terms.select("term").collect()}
     assert blocked < vocab
+
+
+def test_wand_pad_identity_sparse_query(spark, pindex, out_dir):
+    """A query matching fewer than k docs must return the SAME padded
+    result from the wand plan as from the exact plan (pad_to_k default
+    True — previously wand silently dropped padding)."""
+    idx = load_index(spark, out_dir)
+    # find a rare term (df < k) so the query has < k true matches
+    rare = (idx.terms.orderBy(F.col("df").asc(), F.col("term").asc())
+            .limit(1).collect()[0])
+    assert rare["df"] < 10
+    queries = [rare["term"]]
+    exact = search(spark, idx, queries, k=10, hydrate=False).collect()
+    wand = wand_topk(spark, idx, queries, k=10).collect()
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["doc_id"],
+                               round(r["score"], 9)) for r in rows)
+    assert len(exact) == 10          # padded to k
+    assert key(exact) == key(wand)
 
 
 def test_wand_prunes_blocks(spark, pindex, out_dir):
