@@ -107,6 +107,17 @@ class EngineConfig:
     strip_accents: bool = True
     strip_stopwords: bool = False
     token_pattern: str = r"[a-z0-9_]+"  # post-lowercase token shape
+    # F3: index tokens of every order 1..n (TextAnalysis-style cumulative
+    # ngramize; reference config_parser.jl:142-146 + dtv.jl:36-39,
+    # DEFAULT_NGRAM_COMPLEXITY=1 defaults.jl:9)
+    ngram_complexity: int = 1
+    # E8 OOV policy (defaults.jl:26-27): "none" ⇒ an all-OOV document is
+    # the zero vector (cos 0 with every query); "large_vector" ⇒ it
+    # embeds as the constant DEFAULT_OOV_VAL vector (dtv.jl:53-58),
+    # which after L2-normalization scores cos = Σ qw / √|V| against any
+    # query.  Queries stay gated by is_embedded regardless of policy
+    # (search/index.jl:106-113 `if first(status)`).
+    oov_policy: str = "none"
     extra: dict = field(default_factory=dict)
 
 

@@ -80,6 +80,28 @@ def ngrams(tokens: list[str], n: int) -> list[str]:
     return [" ".join(tokens[i:i + n]) for i in range(len(tokens) - n + 1)]
 
 
+def ngrams_upto(tokens: list[str], n: int) -> list[str]:
+    """Cumulative n-gramization: every order 1..n, matching the
+    TextAnalysis/StringAnalysis ``ngramize`` the reference's dtv path
+    delegates to (dtv.jl:36-39 ``ngram_complexity`` — the vocabulary and
+    the query pseudo-document both contain unigrams AND higher-order
+    grams)."""
+    if n <= 1:
+        return tokens
+    out = list(tokens)
+    for m in range(2, n + 1):
+        out.extend(ngrams(tokens, m))
+    return out
+
+
+def tokenize_with_config(text: str | None, cfg: EngineConfig) -> list[str]:
+    """THE canonical config-driven tokenizer used by index build, query
+    embedding, and the NumPy oracle alike: prepare + tokenize + the
+    configured cumulative n-gramization."""
+    return ngrams_upto(prepare_and_tokenize(text, cfg),
+                       cfg.ngram_complexity)
+
+
 def tokenize_udf(cfg: EngineConfig, ngram: int = 1):
     """Arrow-vectorized pandas UDF: content → array<string> of tokens.
 

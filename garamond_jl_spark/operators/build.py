@@ -52,7 +52,8 @@ from pyspark.sql.types import (BinaryType, DoubleType, IntegerType, LongType,
 from garamond_jl_spark.config import EngineConfig
 from garamond_jl_spark.functions.codec import pack_f32, pack_ids, varbyte_encode
 from garamond_jl_spark.functions.scoring import idf_expr, weight_expr
-from garamond_jl_spark.functions.textprep import prepare_and_tokenize
+from garamond_jl_spark.functions.textprep import (prepare_and_tokenize,
+                                                  tokenize_with_config)
 
 POSTINGS_SCHEMA = StructType([
     StructField("term", StringType(), False),
@@ -146,7 +147,7 @@ def tokenize_to_postings(docs: DataFrame, cfg: EngineConfig,
     ``tokenizer``: optional ``str -> list[str]`` override (default: the
     canonical prepare+tokenize pipeline under ``cfg``).
     """
-    tok = tokenizer or (lambda s: prepare_and_tokenize(s, cfg))
+    tok = tokenizer or (lambda s: tokenize_with_config(s, cfg))
     import pyarrow as pa
     arrow_schema = pa.schema([("term", pa.string()), ("doc_id", pa.int64()),
                               ("tf", pa.int32()), ("doclen", pa.int32())])

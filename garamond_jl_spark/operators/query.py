@@ -36,7 +36,7 @@ from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
 
 from garamond_jl_spark.config import EngineConfig, bm25_weight, idf_weight, tf_weight
 from garamond_jl_spark.functions.scoring import score_transform_expr
-from garamond_jl_spark.functions.textprep import prepare_and_tokenize
+from garamond_jl_spark.functions.textprep import tokenize_with_config
 from garamond_jl_spark.operators.build import InvertedIndex
 
 QTERMS_SCHEMA = StructType([
@@ -55,7 +55,7 @@ def embed_queries(spark: SparkSession, index: InvertedIndex,
     read of the terms table (Catalyst pushes the isin filter into the
     scan) — never a full-dictionary collect."""
     cfg = index.cfg
-    tok = index.tokenizer or (lambda s: prepare_and_tokenize(s, cfg))
+    tok = index.tokenizer or (lambda s: tokenize_with_config(s, cfg))
     tokenized = [tok(q) for q in queries]
     all_terms = sorted({t for toks in tokenized for t in toks})
     if not all_terms:
@@ -147,6 +147,27 @@ def topk_plan(index: InvertedIndex, qterms: DataFrame, k: int,
                .join(hits.select("query_id", "doc_id"),
                      ["query_id", "doc_id"], "left_anti")
                .withColumn("cos", F.lit(0.0)))
+        if cfg.oov_policy == "large_vector":
+            # E8 :large_vector (dtv.jl:53-58 + defaults.jl:26-27): an
+            # all-OOV document embeds as the constant DEFAULT_OOV_VAL
+            # vector over the |V|-term space; L2-normalized that is
+            # 1/√|V| in every component, so against the normalized query
+            # it scores cos = Σ qw / √|V| — a per-query scalar.  These
+            # docs tie among themselves (doc_id asc), so the 2k lowest
+            # all-OOV ids cover every slot they could take.  (The cos=0
+            # pad above skips them via the doclen>0 restriction below.)
+            n_terms = float(index.meta.get("n_terms")
+                            or index.terms.count())
+            oov_cos = (qterms.groupBy("query_id")
+                       .agg((F.sum("qw") / F.lit(n_terms ** 0.5))
+                            .alias("cos")))
+            oov_low = (index.docs.where(F.col("doclen") == 0)
+                       .orderBy("doc_id").limit(2 * k).select("doc_id"))
+            oov_pad = oov_cos.crossJoin(oov_low) \
+                .select("query_id", "doc_id", "cos")
+            pad = (pad.join(index.docs.where(F.col("doclen") > 0)
+                            .select("doc_id"), "doc_id", "left_semi")
+                   .unionByName(oov_pad))
         hits = hits.unionByName(pad)
     score = score_transform_expr(F.lit(1.0) - F.col("cos"), cfg.score_alpha)
     hits = hits.withColumn("score", score)
@@ -175,6 +196,11 @@ def search(spark: SparkSession, index: InvertedIndex, queries: list[str],
     * ``wand`` — block-max pruning over packed blocks
       (operators/wand.py); for cold compressed storage.
     """
+    if index.cfg.oov_policy == "large_vector" and plan != "exact":
+        # the impact certificate and WAND θ-pruning do not model the
+        # constant OOV fill vectors — route to the exact plan, which
+        # implements the E8 semantics in its pad
+        plan = "exact"
     if plan == "impact":
         from garamond_jl_spark.operators.impact import impact_topk
         hits = impact_topk(spark, index, queries, k=k,

@@ -398,6 +398,177 @@ def project_dtv(postings: DataFrame, v_table: DataFrame) -> DataFrame:
             .agg(F.sum(F.col("w") * F.col("v")).alias("dv")))
 
 
+class DenseVectorSearcher:
+    """A dense-embedding searcher conforming to the lifecycle's
+    sparse-hits interface, so it can participate in a heterogeneous
+    ``SearchEnv.searchers`` list next to classic BM25 indexes and be
+    merged by the A6 aggregation strategies — the reference's config-2
+    environment (test/configs/configgenerator.jl:54-116: a Word2Vec/BOE
+    searcher and a classic searcher sharing one ``id_aggregation``,
+    merged by src/search/results.jl:54-145).
+
+    Scoring matches the reference searcher pipeline: the NaiveIndex
+    cosine DISTANCE (1 − cos, src/index/naive.jl:15-32) goes through the
+    same ``score_transform`` (1 − tanh(α·dist), src/search/index.jl:
+    186-202) as the classic path, so scores from both searcher kinds
+    live on the same scale before aggregation.
+
+    Contract (same as lifecycle's per-index ``sparse_hits``):
+    * ``sparse_hits(spark, query)`` → (doc_id, score) over every
+      EMBEDDED doc, or ``None`` when the query has no in-vocab token
+      (per-searcher ``is_embedded`` gate — an OOV searcher contributes
+      nothing to the aggregation, dtv.jl:53-58 analog boe.jl:19-24);
+    * ``fill_score()`` → the score of a doc this searcher did not embed
+      (dist = 1, the zero-vector convention the classic path uses).
+
+    Note dense cosines may be NEGATIVE (unlike BM25), so an embedded doc
+    can score BELOW ``fill_score`` — the lifecycle's multi-searcher pad
+    selects fill candidates with an anti-join BEFORE the low-id limit
+    for exactly this reason.
+
+    Subclasses supply :meth:`embed_query` → long-form (i, qv) DataFrame,
+    or ``None``/empty when the query is OOV for the embedder."""
+
+    def __init__(self, doc_embeddings: DataFrame, score_alpha: float = 0.4):
+        self.doc_embeddings = doc_embeddings
+        self.score_alpha = float(score_alpha)
+        self._norms: DataFrame | None = None
+
+    def embed_query(self, spark: SparkSession, query: str
+                    ) -> DataFrame | None:
+        raise NotImplementedError
+
+    def _doc_norms(self) -> DataFrame:
+        if self._norms is None:
+            self._norms = (self.doc_embeddings.groupBy("doc_id")
+                           .agg(F.sqrt(F.sum(F.col("dv") ** 2)).alias("nd")))
+        return self._norms
+
+    def fill_score(self) -> float:
+        import math
+        return 1.0 - math.tanh(self.score_alpha)
+
+    def sparse_hits(self, spark: SparkSession, query: str
+                    ) -> DataFrame | None:
+        from garamond_jl_spark.functions.scoring import score_transform_expr
+        qv = self.embed_query(spark, query)
+        if qv is None:
+            return None
+        qn_rows = (qv.agg(F.sqrt(F.sum(F.col("qv") ** 2)).alias("nq"))
+                   .collect())
+        nq = float(qn_rows[0]["nq"]) if qn_rows and qn_rows[0]["nq"] else 0.0
+        if nq == 0.0:
+            return None                      # OOV for this searcher
+        dots = (self.doc_embeddings.join(F.broadcast(qv), "i")
+                .groupBy("doc_id")
+                .agg(F.sum(F.col("dv") * F.col("qv")).alias("dot")))
+        cosd = (dots.join(self._doc_norms(), "doc_id")
+                .select("doc_id", (F.col("dot")
+                                   / (F.col("nd") * F.lit(nq))).alias("cos")))
+        score = score_transform_expr(F.lit(1.0) - F.col("cos"),
+                                     self.score_alpha)
+        return cosd.select("doc_id", score.alias("score"))
+
+
+class BOESearcher(DenseVectorSearcher):
+    """E1 BOE (word-vector sum) dense searcher — the reference config-2
+    ``doc2vec_method=boe`` searcher (src/embedder/boe.jl:1-27)."""
+
+    def __init__(self, word_vectors: DataFrame, doc_embeddings: DataFrame,
+                 score_alpha: float = 0.4):
+        super().__init__(doc_embeddings, score_alpha)
+        self.word_vectors = word_vectors
+
+    @classmethod
+    def from_tokens(cls, tokens: DataFrame, word_vectors: DataFrame,
+                    score_alpha: float = 0.4) -> "BOESearcher":
+        """tokens (doc_id, term, tf) → searcher with BOE embeddings."""
+        return cls(word_vectors, boe_doc_embeddings(tokens, word_vectors),
+                   score_alpha)
+
+    def embed_query(self, spark: SparkSession, query: str
+                    ) -> DataFrame | None:
+        return boe_embed_query(spark, query, self.word_vectors)
+
+
+class RPSearcher(DenseVectorSearcher):
+    """E7 ``:rp``-transformed classic DTV as an env searcher — the
+    reference config-2 ``embedder_1`` ("BM25+RP": ``vectors=bm25``,
+    ``vectors_transform=rp``, config_parser.jl:157-168).  Documents
+    project through :func:`rp_doc_embeddings` (join-free hashed signs);
+    the query embeds as the classic pseudo-document (embed_queries, same
+    corpus stats) and projects through the SAME signs driver-side
+    (|query terms|·m multiply-adds — tiny)."""
+
+    def __init__(self, index, dim_out: int = RP_DIM_OUT, seed: int = 0,
+                 score_alpha: float = 0.4):
+        dv = rp_doc_embeddings(
+            index.postings.select("term", "doc_id",
+                                  F.col("wnorm").alias("w")),
+            dim_out=dim_out, seed=seed)
+        super().__init__(dv, score_alpha)
+        self.index = index
+        self.dim_out = int(dim_out)
+        self.seed = int(seed)
+
+    def embed_query(self, spark: SparkSession, query: str
+                    ) -> DataFrame | None:
+        from garamond_jl_spark.operators.query import embed_queries
+        rows = embed_queries(spark, self.index, [query]).collect()
+        if not rows:
+            return None
+        inv = 1.0 / (self.dim_out ** 0.5)
+        comps = [0.0] * self.dim_out
+        for r in rows:
+            for o in range(1, self.dim_out + 1):
+                comps[o - 1] += (r["qw"] * inv
+                                 * rp_sign(r["term"], o, self.seed))
+        return spark.createDataFrame(
+            [(o + 1, c) for o, c in enumerate(comps)], "i INT, qv DOUBLE")
+
+
+class LSASearcher(DenseVectorSearcher):
+    """E7 ``:lsa``-transformed classic DTV as an env searcher
+    (embedder/interface.jl:86): documents fold into the latent space
+    through the learned V (:func:`project_dtv`); queries fold in
+    driver-side using only their own terms' V rows (a filtered collect,
+    |query terms|·k values)."""
+
+    def __init__(self, index, v_table: DataFrame, score_alpha: float = 0.4):
+        dv = project_dtv(
+            index.postings.select("term", "doc_id",
+                                  F.col("wnorm").alias("w")), v_table)
+        super().__init__(dv, score_alpha)
+        self.index = index
+        self.v_table = v_table
+
+    @classmethod
+    def from_index(cls, index, dim_out: int = LSA_DIM_OUT,
+                   score_alpha: float = 0.4) -> "LSASearcher":
+        v_table, _ = lsa_projection(
+            index.postings.select("term", "doc_id",
+                                  F.col("wnorm").alias("w")),
+            dim_out=dim_out)
+        return cls(index, v_table, score_alpha)
+
+    def embed_query(self, spark: SparkSession, query: str
+                    ) -> DataFrame | None:
+        from garamond_jl_spark.operators.query import embed_queries
+        rows = embed_queries(spark, self.index, [query]).collect()
+        if not rows:
+            return None
+        qw = {r["term"]: r["qw"] for r in rows}
+        v_rows = (self.v_table.where(F.col("term").isin(sorted(qw)))
+                  .collect())
+        comps: dict[int, float] = {}
+        for r in v_rows:
+            comps[r["i"]] = comps.get(r["i"], 0.0) + qw[r["term"]] * r["v"]
+        if not comps:
+            return None
+        return spark.createDataFrame(sorted(comps.items()),
+                                     "i INT, qv DOUBLE")
+
+
 def cosine_topk(dv: DataFrame, qv_rows: list[tuple[int, float]], k: int,
                 tiebreak_round: int | None = None) -> DataFrame:
     """Generic cosine top-k of a long-form doc-embedding table against

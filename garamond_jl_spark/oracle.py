@@ -28,7 +28,7 @@ from __future__ import annotations
 import numpy as np
 
 from garamond_jl_spark.config import EngineConfig, bm25_weight, idf_weight, tf_weight
-from garamond_jl_spark.functions.textprep import prepare_and_tokenize
+from garamond_jl_spark.functions.textprep import tokenize_with_config
 
 
 class OracleIndex:
@@ -38,7 +38,7 @@ class OracleIndex:
                  doc_ids: list[int] | None = None):
         self.cfg = cfg
         self.doc_ids = list(doc_ids) if doc_ids is not None else list(range(len(docs)))
-        token_lists = [prepare_and_tokenize(d, cfg) for d in docs]
+        token_lists = [tokenize_with_config(d, cfg) for d in docs]
         vocab: dict[str, int] = {}
         for toks in token_lists:
             for t in toks:
@@ -58,6 +58,12 @@ class OracleIndex:
         norms = np.linalg.norm(self.weights, axis=1)
         norms[norms == 0.0] = 1.0
         self.normed = self.weights / norms[:, None]
+        if cfg.oov_policy == "large_vector" and n_terms:
+            # E8 (dtv.jl:53-58): an all-OOV document embeds as the
+            # constant DEFAULT_OOV_VAL vector; after L2 normalization
+            # that is 1/√|V| in every component
+            for i in np.nonzero(self.doclen == 0)[0]:
+                self.normed[i, :] = 1.0 / np.sqrt(n_terms)
 
     def _weigh(self, counts: np.ndarray, doclen: np.ndarray) -> np.ndarray:
         cfg = self.cfg
@@ -80,7 +86,7 @@ class OracleIndex:
         """Query as pseudo-document (dtv.jl:29-41): count in-vocab tokens,
         doclen_q = total in-vocab count, same weighting, L2-normalize.
         Returns None when nothing embeds (OOV-only ⇒ 0 hits)."""
-        toks = prepare_and_tokenize(query, self.cfg)
+        toks = tokenize_with_config(query, self.cfg)
         qcounts = np.zeros(len(self.vocab), dtype=np.float64)
         for t in toks:
             j = self.vocab.get(t)
@@ -124,7 +130,7 @@ class OracleIndex:
         cosine normalization): score(d) = Σ_{t∈q} bm25(t, d) · qtf(t).
         Kept alongside the cosine path so both scoring contracts are
         oracle-covered."""
-        toks = prepare_and_tokenize(query, self.cfg)
+        toks = tokenize_with_config(query, self.cfg)
         qtf: dict[int, float] = {}
         for t in toks:
             j = self.vocab.get(t)

@@ -59,17 +59,24 @@ class InternalRequest:
 class SearchEnv:
     """env.jl:5-12 analog: data + index + config handles.
 
-    ``searchers``: optional additional (index, score_weight) pairs — the
-    reference's multi-searcher environment (searchers built over
+    ``searchers``: optional additional (searcher, score_weight) pairs —
+    the reference's multi-searcher environment (searchers built over
     different embeddable fields / weighting configs share one data
     table and their results aggregate, src/search/results.jl:54-145).
-    ``index`` is searcher 0 with weight ``score_weight``.
+    ``index`` is searcher 0 with weight ``score_weight``.  A searcher is
+    either an :class:`InvertedIndex` (classic BM25) or any object with
+    the ``sparse_hits(spark, query) -> DataFrame|None`` /
+    ``fill_score() -> float`` interface — e.g.
+    :class:`~garamond_jl_spark.operators.semantic.BOESearcher`, giving
+    the reference's HETEROGENEOUS config-2 env (a classic searcher and
+    a Word2Vec/BOE searcher under one ``id_aggregation``,
+    test/configs/configgenerator.jl:54-116).
     """
     spark: SparkSession
     index: InvertedIndex
     id_key: str = "doc_id"
     score_weight: float = 1.0
-    searchers: list[tuple[InvertedIndex, float]] = field(default_factory=list)
+    searchers: list[tuple[object, float]] = field(default_factory=list)
     aggregation: str = "mean"   # defaults.jl:29 DEFAULT strategy :mean
 
     @property
@@ -160,7 +167,17 @@ def search(env: SearchEnv, request: InternalRequest) -> DataFrame:
 
     pool = docs.select(F.col(env.id_key).alias("doc_id")) \
         if ids is None else ids
-    low = pool.orderBy("doc_id").limit(2 * k)
+
+    def searcher_hits(s) -> tuple[DataFrame | None, float]:
+        """Uniform (sparse hits, fill) over both searcher kinds: a
+        classic InvertedIndex or any sparse_hits/fill_score object
+        (e.g. semantic.BOESearcher)."""
+        if isinstance(s, InvertedIndex):
+            return sparse_hits(s), fill_score(s.cfg)
+        h = s.sparse_hits(env.spark, parsed.search)
+        if h is not None and has_filter:
+            h = h.join(ids, "doc_id", "left_semi")
+        return h, s.fill_score()
 
     if multi:
         # §3.1 step 7: per-searcher result sets, weighted and merged by
@@ -169,9 +186,8 @@ def search(env: SearchEnv, request: InternalRequest) -> DataFrame:
         # round-1 behavior where its full set was empty.
         from garamond_jl_spark.operators.aggregate import aggregate_results
         all_sets = [(env.index, env.score_weight)] + list(env.searchers)
-        sets = [(sparse_hits(ix), wgt, fill_score(ix.cfg))
-                for ix, wgt in all_sets]
-        sets = [(h, wgt, s0) for h, wgt, s0 in sets if h is not None]
+        sets = [(*searcher_hits(ix), wgt) for ix, wgt in all_sets]
+        sets = [(h, wgt, s0) for h, s0, wgt in sets if h is not None]
         if not sets:
             return env.spark.createDataFrame(
                 [], "doc_id LONG, score DOUBLE, rank INT")
@@ -203,6 +219,14 @@ def search(env: SearchEnv, request: InternalRequest) -> DataFrame:
         else:  # mean (defaults.jl:29)
             pad_score = sum(fills) / len(fills)
         pad_cands = cands
+        # heterogeneous searchers (semantic cosines can be negative) may
+        # score an embedded doc BELOW pad_score, so the usual
+        # "limit 2k lowest ids, then anti-join" shortcut is unsound —
+        # anti-join the candidates FIRST, then take the 2k lowest
+        # non-candidate ids (≤ k pads can ever enter the top-k)
+        low = (pool.join(pad_cands, "doc_id", "left_anti")
+               .orderBy("doc_id").limit(2 * k))
+        pad = low.withColumn("score", F.lit(float(pad_score)))
     else:
         hits = sparse_hits(env.index)
         if hits is None:  # OOV query ⇒ no results (is_embedded gate)
@@ -210,10 +234,13 @@ def search(env: SearchEnv, request: InternalRequest) -> DataFrame:
                 [], "doc_id LONG, score DOUBLE, rank INT")
         pad_score = fill_score(env.index.cfg)
         pad_cands = hits.select("doc_id")
-
-    if pad_score > 0:  # zero-score drop applies to fill rows too
+        # BM25 cosine ≥ 0 ⇒ every match outranks every fill row, so the
+        # cheap limit-then-anti construction is exact here
+        low = pool.orderBy("doc_id").limit(2 * k)
         pad = (low.join(pad_cands, "doc_id", "left_anti")
                .withColumn("score", F.lit(float(pad_score))))
+
+    if pad_score > 0:  # zero-score drop applies to fill rows too
         hits = hits.unionByName(pad)
     rank_on = (F.round(F.col("score"), request.tiebreak_round)
                if request.tiebreak_round is not None else F.col("score"))

@@ -214,6 +214,99 @@ def lifecycle_combined_search_filter(spark, sf_dir):
                        F.col("rank").cast("long").alias("rnk"))
 
 
+def _mixed_env_oracle_sql() -> str:
+    """Oracle for the heterogeneous two-searcher env: BM25 score and BOE
+    score per doc (each through the same 1−tanh(α·(1−cos)) transform),
+    weighted 0.8 each, merged :mean.  Docs outside a searcher's sparse
+    hit set take that searcher's fill (cos=0) via coalesce — exactly the
+    engine's densify-over-candidates + pad semantics."""
+    from garamond_jl_spark.operators.semantic import component_sql
+    tr = "2 / (exp(2 * 0.4 * (1 - {c})) + 1)"
+    return f"""
+WITH {FT_STATS_CTE},
+qraw AS (SELECT term FROM (VALUES ('spark'), ('join'), ('data')) AS q(term)),
+qtf AS (
+  SELECT q.term, count(*)::DOUBLE AS cnt FROM qraw q
+  JOIN dfreq USING (term) GROUP BY 1
+),
+qst AS (SELECT coalesce(sum(cnt), 0) AS qlen FROM qtf),
+qw AS (
+  SELECT t.term,
+         (ln(s.n / (d.df + 1)) + 1)
+         * ((2.0 + 1) * sqrt(t.cnt / greatest(q.qlen, 1.0)))
+         / (2.0 * (1 - 0.75 + 0.75 * q.qlen / s.avgdl)
+            + sqrt(t.cnt / greatest(q.qlen, 1.0))) AS wq
+  FROM qtf t JOIN dfreq d USING (term) CROSS JOIN stat s CROSS JOIN qst q
+),
+qn AS (SELECT sqrt(sum(wq * wq)) AS qn FROM qw),
+sc AS (
+  SELECT w.doc_id, sum((w.w / n.nrm) * (qw.wq / (SELECT qn FROM qn))) AS cosv
+  FROM w JOIN nrm n USING (doc_id) JOIN qw USING (term) GROUP BY 1
+),
+dims AS (SELECT unnest(range(1, 17)) AS i),
+wvh AS (
+  SELECT term, i,
+         md5(cast(0 AS VARCHAR) || ':' || term || ':' ||
+             cast(i AS VARCHAR)) AS h
+  FROM dfreq CROSS JOIN dims
+),
+wv2 AS (SELECT term, i, ({component_sql()}) / 8388608.0 - 1.0 AS v
+        FROM wvh),
+bdv AS (SELECT doc_id, i, sum(cnt * v) AS dv
+        FROM tf JOIN wv2 USING (term) GROUP BY 1, 2),
+bdn AS (SELECT doc_id, sqrt(sum(dv * dv)) AS nd FROM bdv GROUP BY 1),
+bqt(term, qc) AS (VALUES ('spark', 1), ('join', 1), ('data', 1)),
+bqv AS (SELECT i, sum(qc * v) AS qv FROM bqt JOIN wv2 USING (term)
+        GROUP BY 1),
+bqn AS (SELECT sqrt(sum(qv * qv)) AS nq FROM bqv),
+bdots AS (SELECT v.doc_id, sum(v.dv * q.qv) AS dot
+          FROM bdv v JOIN bqv q USING (i) GROUP BY 1),
+bcos AS (SELECT t.doc_id, t.dot / (n.nd * (SELECT nq FROM bqn)) AS c
+         FROM bdots t JOIN bdn n USING (doc_id)),
+merged AS (
+  SELECT d.doc_id,
+         (0.8 * ({tr.format(c='coalesce(sc.cosv, 0)')})
+          + 0.8 * ({tr.format(c='coalesce(bc.c, 0)')})) / 2 AS score
+  FROM documents d
+  LEFT JOIN sc ON sc.doc_id = d.doc_id
+  LEFT JOIN bcos bc ON bc.doc_id = d.doc_id
+)
+SELECT doc_id, cast(round(score * 1e6) AS BIGINT) AS score_e6,
+       cast(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC)
+            AS BIGINT) AS rnk
+FROM merged QUALIFY rnk <= 10
+"""
+
+
+@q("lifecycle_multi_searcher_mixed", _mixed_env_oracle_sql())
+def lifecycle_multi_searcher_mixed(spark, sf_dir):
+    """HETEROGENEOUS multi-searcher environment (the reference's test
+    config 2: a classic BM25 searcher and a Word2Vec/BOE searcher under
+    one id_aggregation, test/configs/configgenerator.jl:54-116, merged
+    by src/search/results.jl:54-145 with the default :mean strategy).
+    Both searchers weight 0.8 (config-2 score_weight) and share
+    score_alpha 0.4; the BOE side uses the deterministic synthetic word
+    vectors (operators/semantic.py)."""
+    from garamond_jl_spark.operators.semantic import (BOESearcher,
+                                                      synthetic_word_vectors)
+    from garamond_jl_spark.plans.lifecycle import (InternalRequest,
+                                                   SearchEnv as LSE)
+    from garamond_jl_spark.plans.lifecycle import search as lsearch
+    idx = _ft_index(spark, sf_dir)
+    d = load_testdata(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+           .where(F.col("term") != ""))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    wv = synthetic_word_vectors(tf.select("term"), dim=16, seed=0)
+    boe = BOESearcher.from_tokens(tf, wv, score_alpha=0.4)
+    env = LSE(spark=spark, index=idx, score_weight=0.8,
+              searchers=[(boe, 0.8)], aggregation="mean")
+    req = InternalRequest(query=FT_QUERY, max_matches=10, tiebreak_round=6)
+    hits = lsearch(env, req)
+    return hits.select("doc_id", e6(F.col("score")).alias("score_e6"),
+                       F.col("rank").cast("long").alias("rnk"))
+
+
 @q("fulltext_oov_empty", "SELECT CAST(NULL AS BIGINT) AS doc_id, "
                          "CAST(NULL AS BIGINT) AS score_e6 WHERE FALSE")
 def fulltext_oov_empty(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -169,6 +169,71 @@ def test_multi_searcher_env(spark, env):
     assert top["score"] == pytest.approx(want, abs=1e-9)
 
 
+def test_heterogeneous_env_boe_plus_bm25(spark, env):
+    """Reference config-2 shape: a classic BM25 searcher and a BOE
+    semantic searcher in ONE env, :mean-aggregated (results.jl:54-145).
+    Verifies the merged score is the mean of the weighted per-searcher
+    scores, with the BOE side going through the same score transform."""
+    import math
+    from garamond_jl_spark.operators.semantic import (BOESearcher,
+                                                      synthetic_word_vectors)
+    from garamond_jl_spark.plans.lifecycle import SearchEnv as SE
+    from garamond_jl_spark.operators.build import assign_dense_ids
+    docs = assign_dense_ids(corpus_df(spark, 120, seed=42, partitions=4),
+                            ["repo", "path", "commit"])
+    tok = (docs.select("doc_id", F.explode(F.split("content", " "))
+                       .alias("term")).where(F.col("term") != ""))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    wv = synthetic_word_vectors(tf.select("term"), dim=16, seed=0)
+    boe = BOESearcher.from_tokens(tf, wv, score_alpha=CFG.score_alpha)
+    menv = SE(spark=spark, index=env.index, score_weight=0.8,
+              searchers=[(boe, 0.8)], aggregation="mean")
+    req = InternalRequest(query="main run data", max_matches=8)
+    got = sorted(search(menv, req).collect(), key=lambda r: r["rank"])
+    assert len(got) == 8
+    s1 = {r["doc_id"]: r["score"] for r in search(env, InternalRequest(
+        query="main run data", max_matches=120)).collect()}
+    bh = {r["doc_id"]: r["score"]
+          for r in boe.sparse_hits(spark, "main run data").collect()}
+    fill = 1.0 - math.tanh(CFG.score_alpha)
+    top = got[0]
+    want = (0.8 * s1.get(top["doc_id"], fill)
+            + 0.8 * bh.get(top["doc_id"], fill)) / 2
+    assert top["score"] == pytest.approx(want, abs=1e-9)
+
+
+def test_heterogeneous_env_oov_gate_per_searcher(spark, env):
+    """The is_embedded gate applies PER SEARCHER: a query OOV for the
+    BOE searcher's (restricted) vocabulary but in-vocab for BM25 must
+    silently drop the BOE contribution (dtv.jl:53-58 semantics carried
+    into the aggregation) — the merged result equals the single-searcher
+    BM25 result; and a query OOV for EVERY searcher returns no rows."""
+    from garamond_jl_spark.operators.semantic import (BOESearcher,
+                                                      synthetic_word_vectors)
+    from garamond_jl_spark.plans.lifecycle import SearchEnv as SE
+    from garamond_jl_spark.operators.build import assign_dense_ids
+    docs = assign_dense_ids(corpus_df(spark, 120, seed=42, partitions=4),
+                            ["repo", "path", "commit"])
+    tok = (docs.select("doc_id", F.explode(F.split("content", " "))
+                       .alias("term")).where(F.col("term") != ""))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # restrict the BOE vocabulary so "main"/"run"/"data" are OOV for it
+    tf_r = tf.where(~F.col("term").isin("main", "run", "data"))
+    wv = synthetic_word_vectors(tf_r.select("term"), dim=16, seed=0)
+    boe = BOESearcher.from_tokens(tf_r, wv, score_alpha=CFG.score_alpha)
+    assert boe.sparse_hits(spark, "main run data") is None  # the gate
+    menv = SE(spark=spark, index=env.index, score_weight=1.0,
+              searchers=[(boe, 0.8)], aggregation="mean")
+    req = InternalRequest(query="main run data", max_matches=8)
+    merged = sorted(search(menv, req).collect(), key=lambda r: r["rank"])
+    solo = sorted(search(env, req).collect(), key=lambda r: r["rank"])
+    assert [(r["doc_id"], r["score"]) for r in merged] == \
+           [(r["doc_id"], r["score"]) for r in solo]
+    # OOV for both searchers ⇒ empty
+    req2 = InternalRequest(query="zzzz_nowhere", max_matches=8)
+    assert search(menv, req2).count() == 0
+
+
 def test_suggestions_in_response(spark, env):
     import json
     from garamond_jl_spark.plans.lifecycle import response_json

@@ -186,7 +186,8 @@ def test_meta_roundtrips_full_config(spark, tmp_path):
     out = str(tmp_path / "idx_cfg")
     # hyphenated tokens survive only under this custom pattern
     cfg = EngineConfig(block_size=64, min_block_df=1, lowercase=True,
-                       strip_accents=False, token_pattern=r"[a-z0-9_\-]+")
+                       strip_accents=False, token_pattern=r"[a-z0-9_\-]+",
+                       ngram_complexity=2, oov_policy="large_vector")
     docs = corpus_df(spark, 40, seed=9, partitions=2).withColumn(
         "content", F.concat(F.col("content"), F.lit(" spe-cial spe-cial")))
     from garamond_jl_spark.operators.build import assign_dense_ids

@@ -102,3 +102,67 @@ def test_weighting_schemes_rank_identity(spark, built):
                 f"{scheme}: mismatch for {q!r}"
             for r, (_, s) in zip(act, exp):
                 assert r["score"] == pytest.approx(s, abs=1e-5)
+
+
+def test_rank_identity_ngram_complexity_2(spark):
+    """F3 as a config knob: ngram_complexity=2 indexes unigrams AND
+    bigrams (cumulative ngramize, dtv.jl:36-39 + config_parser.jl:
+    142-146); engine stays rank-identical to the oracle running the
+    same tokenization."""
+    cfg = EngineConfig(score_alpha=TEST_SCORE_ALPHA, ngram_complexity=2)
+    rows = generate_corpus(80, seed=7)
+    df = corpus_df(spark, 80, seed=7, partitions=4)
+    index = build_index(spark, df, cfg, id_col=None)
+    # the vocabulary really contains bigrams
+    assert index.terms.where("term LIKE '% %'").count() > 0
+    id_rows = index.docs.select("doc_id", "content_sha256").collect()
+    sha2docid = {r["content_sha256"]: r["doc_id"] for r in id_rows}
+    ordered = sorted(rows, key=lambda r: sha2docid[r["content_sha256"]])
+    oracle = OracleIndex([r["content"] for r in ordered], cfg)
+    assert any(" " in t for t in oracle.vocab)
+    queries = query_set(seed=7, n=12)
+    got = search(spark, index, queries, k=K, hydrate=False).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    nonempty = 0
+    for qid, q in enumerate(queries):
+        expected = oracle.search(q, K)
+        actual = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in actual] == [d for d, _ in expected], \
+            f"ngram=2 mismatch for query {qid!r}: {q!r}"
+        for r, (_, s) in zip(actual, expected):
+            assert r["score"] == pytest.approx(s, abs=1e-5)
+        nonempty += bool(expected)
+    assert nonempty >= 8
+
+
+def test_oov_policy_large_vector(spark):
+    """E8 :large_vector (dtv.jl:53-58, defaults.jl:26-27): an all-OOV
+    document embeds as the constant fill vector and scores
+    cos = Σqw/√|V| against every embedded query — rank- and
+    score-identical to the oracle; the QUERY-side is_embedded gate is
+    unaffected (an all-OOV query still returns nothing)."""
+    texts = ["alpha beta gamma", "beta gamma delta", "!!! ??? ...",
+             "alpha alpha beta"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id LONG, content STRING")
+    for policy in ("none", "large_vector"):
+        cfg = EngineConfig(score_alpha=TEST_SCORE_ALPHA, oov_policy=policy)
+        index = build_index(spark, df, cfg, id_col="doc_id")
+        oracle = OracleIndex(texts, cfg)
+        got = sorted(search(spark, index, ["alpha"], k=4,
+                            hydrate=False).collect(),
+                     key=lambda r: r["rank"])
+        expected = oracle.search("alpha", 4)
+        assert [r["doc_id"] for r in got] == [d for d, _ in expected], policy
+        for r, (_, s) in zip(got, expected):
+            assert r["score"] == pytest.approx(s, abs=1e-12), policy
+        if policy == "large_vector":
+            # the all-OOV doc (id 2) outscores plain zero-overlap fill
+            s2 = next(r["score"] for r in got if r["doc_id"] == 2)
+            import math
+            assert s2 > 1.0 - math.tanh(cfg.score_alpha)
+        # query-side gate regardless of policy
+        assert search(spark, index, ["zzz_oov"], k=4,
+                      hydrate=False).count() == 0
