@@ -180,10 +180,52 @@ def topk_plan(index: InvertedIndex, qterms: DataFrame, k: int,
             .select("query_id", "doc_id", "score", "rank"))
 
 
+AUTO_MIN_EXACT_ROWS = 2_000_000   # below this the exact plan is cheap
+AUTO_ADVANTAGE = 4.0              # required modeled-cost ratio for impact
+
+
+def choose_plan(index: InvertedIndex, queries: list[str],
+                p: int = 1024) -> str:
+    """Batch-statistics plan selection for ``search(plan="auto")``.
+
+    The exact plan's aggregation input is Σ_t df_t · q_t rows (q_t =
+    queries sharing term t — hot terms inflate multiplicatively; the
+    tracked round-1 risk).  The impact plan touches ≤ |terms|·p champion
+    rows plus Σ_t min(df_t, p) · q_t candidate-rescore rows, at the cost
+    of a few driver round-trips (certificate).  Pick impact only when
+    the modeled exact cost is large in absolute terms AND dominates the
+    impact cost by :data:`AUTO_ADVANTAGE` — both thresholds calibrated
+    in bench/plan_auto.py (BENCH.md round 3).
+
+    One extra filtered read of the terms table (the same statistics scan
+    ``embed_queries`` performs); tokenization is driver-side and tiny.
+    """
+    from garamond_jl_spark.functions.textprep import tokenize_with_config
+    tok = index.tokenizer or (lambda s: tokenize_with_config(s, index.cfg))
+    q_count: dict[str, int] = {}
+    for q in queries:
+        for t in set(tok(q)):
+            q_count[t] = q_count.get(t, 0) + 1
+    if not q_count:
+        return "exact"
+    stats = {r["term"]: r["df"] for r in
+             index.terms.where(F.col("term").isin(sorted(q_count)))
+             .select("term", "df").collect()}
+    exact_rows = sum(stats[t] * q for t, q in q_count.items()
+                     if t in stats)
+    impact_rows = (len(stats) * p
+                   + sum(min(stats[t], p) * q for t, q in q_count.items()
+                         if t in stats))
+    if exact_rows < AUTO_MIN_EXACT_ROWS:
+        return "exact"
+    return "impact" if exact_rows > AUTO_ADVANTAGE * impact_rows else "exact"
+
+
 def search(spark: SparkSession, index: InvertedIndex, queries: list[str],
            k: int = 10, hydrate: bool = True,
            tiebreak_round: int | None = None,
-           pad_to_k: bool = True, plan: str = "exact") -> DataFrame:
+           pad_to_k: bool = True, plan: str = "exact",
+           stats: dict | None = None) -> DataFrame:
     """Batched top-k search; optionally hydrates doc metadata (J2).
 
     ``plan`` selects the physical strategy — all three are
@@ -195,16 +237,26 @@ def search(spark: SparkSession, index: InvertedIndex, queries: list[str],
       1M docs, BENCH.md).
     * ``wand`` — block-max pruning over packed blocks
       (operators/wand.py); for cold compressed storage.
+    * ``auto`` — :func:`choose_plan` picks exact/impact from the batch's
+      term statistics (hot-shared-term batches route to impact).
+
+    ``stats``: optional dict populated with {"plan": chosen} (and the
+    impact certificate counters when that plan runs).
     """
+    if plan == "auto":
+        plan = choose_plan(index, queries)
     if index.cfg.oov_policy == "large_vector" and plan != "exact":
         # the impact certificate and WAND θ-pruning do not model the
         # constant OOV fill vectors — route to the exact plan, which
         # implements the E8 semantics in its pad
         plan = "exact"
+    if stats is not None:
+        stats["plan"] = plan
     if plan == "impact":
         from garamond_jl_spark.operators.impact import impact_topk
         hits = impact_topk(spark, index, queries, k=k,
-                           tiebreak_round=tiebreak_round, pad_to_k=pad_to_k)
+                           tiebreak_round=tiebreak_round, pad_to_k=pad_to_k,
+                           stats=stats)
     elif plan == "wand":
         from garamond_jl_spark.operators.wand import wand_topk
         hits = wand_topk(spark, index, queries, k=k,

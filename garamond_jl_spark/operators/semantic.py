@@ -83,11 +83,24 @@ def boe_doc_embeddings(tokens: DataFrame, word_vectors: DataFrame) -> DataFrame:
 
 
 def boe_embed_query(spark: SparkSession, query: str,
-                    word_vectors: DataFrame) -> DataFrame:
+                    word_vectors: DataFrame,
+                    compound_word_separator: str | None = None,
+                    max_compound_word_length: int = 2,
+                    wildcard_matching: bool = False) -> DataFrame:
     """Query → (i, qv) by the same sum; whitespace tokens with
     multiplicity; empty result ⇔ every token is OOV (is_embedded
-    gate)."""
+    gate).
+
+    With ``compound_word_separator`` set (and/or ``wildcard_matching``),
+    tokens first pass through the ConceptNet-style matcher
+    (:func:`lookup_tokens` — compound joins consumed greedily,
+    prefix-wildcard fallback for OOV tokens; wordvectors.jl:142-158)."""
     toks = [t for t in (query or "").split(" ") if t]
+    if toks and (compound_word_separator is not None or wildcard_matching):
+        toks = lookup_tokens(spark, word_vectors, toks,
+                             separator=compound_word_separator or "_",
+                             max_compound_word_length=max_compound_word_length,
+                             wildcard_matching=wildcard_matching)
     if not toks:
         return spark.createDataFrame([], "i INT, qv DOUBLE")
     counts: dict[str, int] = {}
@@ -97,6 +110,72 @@ def boe_embed_query(spark: SparkSession, query: str,
         list(counts.items()), "term STRING, qtf INT"))
     return (qt.join(word_vectors, "term")
             .groupBy("i").agg(F.sum(F.col("qtf") * F.col("v")).alias("qv")))
+
+
+def conceptnet_match_tokens(tokens: list[str], vocab: set,
+                            separator: str = "_",
+                            max_compound_word_length: int = 2,
+                            wildcard_matching: bool = False) -> list[str]:
+    """E6 ConceptNet-style token → vocab-entry matching
+    (reference src/embedder/wordvectors.jl:142-158, delegating to
+    ConceptnetNumberbatch.embed_document): greedy LONGEST-FIRST compound
+    lookup — consecutive tokens joined by ``separator`` (up to
+    ``max_compound_word_length`` tokens) matched against the vocabulary
+    and consumed together ("new york" → "new_york") — with an optional
+    wildcard fallback for unmatched tokens: the longest vocabulary entry
+    that is a proper prefix (≥3 chars) of the token ("runnning" →
+    "run").  Pure function over a membership set; tiny by construction
+    on the query side (|tokens| · max_len candidate keys)."""
+    out: list[str] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        matched = False
+        for L in range(min(max_compound_word_length, n - i), 0, -1):
+            key = separator.join(tokens[i:i + L])
+            if key in vocab:
+                out.append(key)
+                i += L
+                matched = True
+                break
+        if matched:
+            continue
+        if wildcard_matching:
+            t = tokens[i]
+            for j in range(len(t) - 1, 2, -1):
+                if t[:j] in vocab:
+                    out.append(t[:j])
+                    break
+        i += 1
+    return out
+
+
+def lookup_tokens(spark: SparkSession, word_vectors: DataFrame,
+                  tokens: list[str], separator: str = "_",
+                  max_compound_word_length: int = 2,
+                  wildcard_matching: bool = False) -> list[str]:
+    """Distributed-vocabulary front end of
+    :func:`conceptnet_match_tokens`: builds every candidate key (the
+    compound joins and, under wildcard matching, every ≥3-char token
+    prefix) and resolves membership with ONE ``isin``-filtered read of
+    the word-vector table — never a full-vocabulary collect."""
+    cands: set[str] = set()
+    n = len(tokens)
+    for i in range(n):
+        for L in range(1, max_compound_word_length + 1):
+            if i + L <= n:
+                cands.add(separator.join(tokens[i:i + L]))
+        if wildcard_matching:
+            t = tokens[i]
+            for j in range(3, len(t)):
+                cands.add(t[:j])
+    if not cands:
+        return []
+    vocab = {r["term"] for r in
+             word_vectors.select("term").where(
+                 F.col("term").isin(sorted(cands))).distinct().collect()}
+    return conceptnet_match_tokens(tokens, vocab, separator,
+                                   max_compound_word_length,
+                                   wildcard_matching)
 
 
 SIF_ALPHA = 0.01          # DEFAULT_SIF_ALPHA, defaults.jl:21

@@ -224,14 +224,17 @@ def dedup_minhash_lsh(spark, sf_dir):
     The scale path: candidate generation is |bands|·|docs| rows, the
     quadratic verify only touches bucket-colliding pairs."""
     shd = _shingles(spark, sf_dir).persist()
-    jacc = minhash_lsh_pairs(shd)
+    # legacy md5/r=1 knobs passed explicitly: this wrapper exists for
+    # DuckDB hash parity only (see minhash_lsh_pairs docstring)
+    jacc = minhash_lsh_pairs(shd, int_hash=False, n_rows=1,
+                             bucket_cap=None)
     return (jacc.where(F.col("jacc") >= JACCARD_T)
             .select("doc_a", "doc_b", e6(F.col("jacc")).alias("jacc_e6")))
 
 
 def minhash_lsh_pairs(shd: DataFrame, n_bands: int = N_BANDS,
-                      int_hash: bool = False, n_rows: int = 1,
-                      bucket_cap: int | None = None) -> DataFrame:
+                      int_hash: bool = True, n_rows: int = 2,
+                      bucket_cap: int | None = 64) -> DataFrame:
     """shd(doc_id, s) → candidate near-dup pairs with exact Jaccard
     (doc_a, doc_b, jacc).  b×r banded min-hash signatures; candidates
     from band-equality; verify over all shingles.
@@ -251,10 +254,12 @@ def minhash_lsh_pairs(shd: DataFrame, n_bands: int = N_BANDS,
     * ``int_hash=True``: xxhash64 (8 bytes) instead of md5 hex (32
       chars) — ~4× less signature-shuffle IO.
 
-    md5/r=1 stay the parity defaults because the DuckDB oracle shares
-    them; the production entry point is
-    ``minhash_lsh_pairs(shd, int_hash=True, n_rows=2, bucket_cap=64)``
-    (benchmarked in BENCH.md)."""
+    The DEFAULTS are the production knobs (int_hash=True, n_rows=2,
+    bucket_cap=64 — the shape the 1M-doc bench verified survives the
+    degenerate corpus, BENCH.md); the DuckDB parity wrapper passes the
+    legacy md5/r=1/no-cap values EXPLICITLY because its oracle shares
+    that arithmetic — no non-parity caller should inherit the shape the
+    bench proved dies at 1M docs."""
     bands = F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("band")
     base = shd.select("doc_id", "s", bands)
     mh_cols = []
@@ -1179,8 +1184,10 @@ DEDUP_COS_T = 0.30  # corpus-calibrated: the parity embeddings are
 WITH {EMB_NORM_CTE},
 {LSH_BUCKET_CTE},
 cand AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bkt a
+  CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m) mm
+  JOIN bkt b ON xor(a.bucket, mm.m) = b.bucket AND a.vec_id < b.vec_id
 ),
 dots AS (
   SELECT c.vec_a, c.vec_b, sum(x.v * y.v) AS dot
@@ -1198,26 +1205,41 @@ FROM cosd WHERE c >= {DEDUP_COS_T}
 """)
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup (dedup method #5 per the build brief):
-    hyperplane-LSH bucket → same-bucket candidate pairs → exact cosine
-    verify ≥ τ.  Same sublinear shape as dedup_minhash_lsh: candidate
-    generation is a bucket-equality self-join (never all-pairs), the
-    exact dot product runs on candidates only.  At production τ (≈0.95,
-    nearly-identical vectors) same-bucket probability per plane → 1, so
-    more planes only sharpen the buckets; hot buckets are bounded the
-    same way as minhash (bucket cap / banding over plane subsets)."""
+    hyperplane-LSH bucket → Hamming≤1 multiprobe candidate pairs →
+    exact cosine verify ≥ τ.  Same sublinear shape as dedup_minhash_lsh:
+    candidate generation is a bucket equi-join over the probe-mask
+    fan-out (never all-pairs), the exact dot product runs on candidates
+    only.  The oracle SQL enumerates the identical XOR masks."""
     return embedding_cosine_pairs(_emb_long(spark, sf_dir))
 
 
 def embedding_cosine_pairs(u: DataFrame, threshold: float = DEDUP_COS_T,
-                           n_planes: int = N_PLANES) -> DataFrame:
+                           n_planes: int = N_PLANES,
+                           probe_radius: int = 1) -> DataFrame:
     """(vec_id, i, v) long-form embeddings → near-dup pairs
-    (vec_a, vec_b, cos_e6) with cosine ≥ ``threshold``."""
+    (vec_a, vec_b, cos_e6) with cosine ≥ ``threshold``.
+
+    Candidate generation is MULTIPROBE (same trick as ann_lsh_search's
+    Hamming-ball probing, reused for the symmetric pair case): side A
+    fans out over the XOR masks of every bucket within Hamming
+    ``probe_radius`` and equi-joins side B's bucket — a true near-dup
+    pair split by up to ``probe_radius`` hyperplanes (each a
+    low-probability event at near-identical cosine, but n_planes
+    independent chances) still collides.  ``probe_radius=0`` recovers
+    the plain same-bucket join; the fan-out costs |docs|·|masks| rows
+    (radius 1 ⇒ n_planes+1 masks), still an equi-join — never
+    all-pairs.  Injected-near-dup recall at τ=0.95 is asserted ≥0.99 in
+    test_pipeline_ops."""
     bkt = _lsh_buckets_df(u, n_planes)
-    a = bkt.select(F.col("vec_id").alias("vec_a"), "bucket")
+    masks = F.explode(F.array(*[
+        F.lit(m) for m in _probe_masks(n_planes, probe_radius)])).alias("m")
+    a = (bkt.select(F.col("vec_id").alias("vec_a"), "bucket", masks)
+         .select("vec_a",
+                 F.col("bucket").bitwiseXOR(F.col("m")).alias("bucket")))
     b = bkt.select(F.col("vec_id").alias("vec_b"), "bucket")
     cand = (a.join(b, "bucket")
             .where(F.col("vec_a") < F.col("vec_b"))
-            .select("vec_a", "vec_b"))
+            .select("vec_a", "vec_b").distinct())
     x = u.select(F.col("vec_id").alias("vec_a"), "i", F.col("v").alias("va"))
     y = u.select(F.col("vec_id").alias("vec_b"), "i", F.col("v").alias("vb"))
     dots = (cand.join(x, "vec_a").join(y, ["vec_b", "i"])

@@ -42,6 +42,37 @@ def test_ann_clustered_recall(spark):
     assert sum(recalls) / len(recalls) >= 0.9, recalls
 
 
+def test_embedding_cosine_dedup_recall_injected(spark):
+    """Multiprobe pair recall (the round-2 gap: a true near-dup pair
+    split by ONE hyperplane was missed by the same-bucket join).  Inject
+    near-identical vector pairs (cos > 0.95) into background noise and
+    require >=0.99 recall at tau=0.95 from the DEFAULT probe radius."""
+    from garamond_jl_spark.plans.pipeline_queries import \
+        embedding_cosine_pairs
+    rng = np.random.default_rng(11)
+    dim, n_bg, n_pairs = 16, 300, 120
+    bg = rng.normal(size=(n_bg, dim))
+    base = rng.normal(size=(n_pairs, dim))
+    # tiny perturbation => cosine ~0.997+, the near-identical regime
+    twin = base + rng.normal(size=(n_pairs, dim)) * 0.03
+    mat = np.vstack([bg, base, twin])
+    u = _long_form(spark, mat)
+    got = {(r["vec_a"], r["vec_b"])
+           for r in embedding_cosine_pairs(u, threshold=0.95).collect()}
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    want = set()
+    for j in range(n_pairs):
+        a, b = n_bg + j, n_bg + n_pairs + j
+        if float(norm[a] @ norm[b]) >= 0.95:
+            want.add((a, b))
+    assert len(want) >= 100            # the injection actually qualifies
+    hit = len(want & got)
+    assert hit / len(want) >= 0.99, (hit, len(want))
+    # no false positives: every reported pair truly clears tau
+    for a, b in got:
+        assert float(norm[a] @ norm[b]) >= 0.95 - 1e-9
+
+
 def test_ann_search_rank_matches_exact_on_candidates(spark):
     """Within its candidate set the LSH rerank is EXACT: every returned
     neighbor's cosine matches the NumPy value and ranks descend."""

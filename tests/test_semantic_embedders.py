@@ -253,3 +253,44 @@ def test_lsa_rank_matches_numpy(spark, corpus):
     assert [r["doc_id"] for r in got] == [d for d, _ in expect]
     for r, (_, c) in zip(got, expect):
         assert abs(r["score"] - c) < 1e-6, (r, c)
+
+
+def test_conceptnet_compound_and_wildcard_matching(spark):
+    """E6 compound-word / wildcard lookup goldens
+    (reference wordvectors.jl:142-158 ConceptNet embed_document
+    semantics: greedy longest-first compound consumption, prefix
+    fallback for OOV tokens)."""
+    from garamond_jl_spark.operators.semantic import (
+        boe_embed_query, conceptnet_match_tokens, lookup_tokens)
+    vocab = {"new_york", "york", "city", "run", "big_apple", "apple",
+             "data_frame"}
+    # greedy compound wins over the unigram; leftovers match singly
+    assert conceptnet_match_tokens(["new", "york", "city"], vocab) == \
+        ["new_york", "city"]
+    # max length 1 disables compounds
+    assert conceptnet_match_tokens(["new", "york", "city"], vocab,
+                                   max_compound_word_length=1) == \
+        ["york", "city"]
+    # wildcard: longest >=3-char vocab prefix of an OOV token
+    assert conceptnet_match_tokens(["running", "fast"], vocab,
+                                   wildcard_matching=True) == ["run"]
+    # no wildcard => OOV token dropped
+    assert conceptnet_match_tokens(["running", "fast"], vocab) == []
+    # overlap resolution is sequential: big_apple consumes both tokens
+    assert conceptnet_match_tokens(["big", "apple"], vocab) == ["big_apple"]
+
+    # distributed front end resolves against the actual wv table
+    wv = spark.createDataFrame(
+        [(t, 1, 0.5) for t in sorted(vocab)], "term STRING, i INT, v DOUBLE")
+    assert lookup_tokens(spark, wv, ["new", "york", "city"]) == \
+        ["new_york", "city"]
+    assert lookup_tokens(spark, wv, ["running"],
+                         wildcard_matching=True) == ["run"]
+    # end-to-end: the embedded query equals the one built from the
+    # matched entries directly
+    got = {(r["i"], r["qv"]) for r in
+           boe_embed_query(spark, "new york city", wv,
+                           compound_word_separator="_").collect()}
+    want = {(r["i"], r["qv"]) for r in
+            boe_embed_query(spark, "new_york city", wv).collect()}
+    assert got == want and got
