@@ -22,7 +22,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 
 def run_level(cpus: int, docs: int, queries: int, attempts: int = 2,
-              partitions: int = 64) -> dict:
+              partitions: int = 64, mode: str = "flat") -> dict:
     """One fresh-JVM leg; a transiently-failed JVM (host pressure) is
     retried once with the failing leg's stderr surfaced, so a crash in
     the second leg cannot silently discard the first leg's 20+ minutes."""
@@ -31,7 +31,8 @@ def run_level(cpus: int, docs: int, queries: int, attempts: int = 2,
         out = subprocess.run(
             [sys.executable, os.path.join(HERE, "scaling_job.py"),
              "--cpus", str(cpus), "--docs", str(docs),
-             "--queries", str(queries), "--partitions", str(partitions)],
+             "--queries", str(queries), "--partitions", str(partitions),
+             "--mode", mode],
             capture_output=True, text=True)
         if out.returncode == 0:
             lines = [ln for ln in out.stdout.splitlines()
@@ -57,12 +58,14 @@ def main() -> None:
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--partitions", type=int, default=64)
+    ap.add_argument("--mode", choices=("flat", "persistent"),
+                    default="flat")
     args = ap.parse_args()
 
     lo = run_level(args.low, args.docs, args.queries,
-                   partitions=args.partitions)
+                   partitions=args.partitions, mode=args.mode)
     hi = run_level(args.high, args.docs, args.queries,
-                   partitions=args.partitions)
+                   partitions=args.partitions, mode=args.mode)
     ratio = args.low / args.high
     eff_build = (lo["build_sec"] / hi["build_sec"]) * ratio
     eff_query = (lo["query_sec"] / hi["query_sec"]) * ratio

@@ -28,6 +28,13 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=64)
     ap.add_argument("--repeat", type=int, default=2,
                     help="repetitions; min is reported (variance control)")
+    ap.add_argument("--mode", choices=("flat", "persistent"),
+                    default="flat",
+                    help="flat = in-memory build_index (postings cached "
+                         "in the JVM); persistent = build_persistent "
+                         "(postings written as parquet tables — the "
+                         "north-star production shape, no 600M-row "
+                         "executor cache)")
     args = ap.parse_args()
 
     spark = get_spark(f"scaling-{args.cpus}", cpus=args.cpus,
@@ -55,16 +62,37 @@ def main() -> None:
 
     t_build, t_query, n_postings, n_hits = None, None, 0, 0
     queries = query_set(seed=42, n=args.queries)
-    for _ in range(args.repeat):
-        t0 = time.time()
-        idx = build_index(spark, docs, cfg, id_col=None)
-        n_postings = idx.postings.count()
-        tb = time.time() - t0
-        t0 = time.time()
-        n_hits = search(spark, idx, queries, k=10, hydrate=False,
-                        pad_to_k=False).count()
-        tq = time.time() - t0
-        idx.postings.unpersist()
+    for rep in range(args.repeat):
+        if args.mode == "persistent":
+            import shutil
+            from garamond_jl_spark.operators.build import assign_dense_ids
+            from garamond_jl_spark.operators.persist import (build_persistent,
+                                                             load_index)
+            out_dir = f"/tmp/garamond_scaling_pidx_{args.cpus}_{rep}"
+            shutil.rmtree(out_dir, ignore_errors=True)
+            ddocs = assign_dense_ids(docs, ["repo", "path", "commit"])
+            t0 = time.time()
+            # n_buckets fixed across legs (identical work per leg)
+            build_persistent(spark, ddocs, cfg, out_dir,
+                             n_buckets=32, champion_p=0)
+            tb = time.time() - t0
+            idx = load_index(spark, out_dir)
+            n_postings = idx.postings.count()
+            t0 = time.time()
+            n_hits = search(spark, idx, queries, k=10, hydrate=False,
+                            pad_to_k=False).count()
+            tq = time.time() - t0
+            shutil.rmtree(out_dir, ignore_errors=True)
+        else:
+            t0 = time.time()
+            idx = build_index(spark, docs, cfg, id_col=None)
+            n_postings = idx.postings.count()
+            tb = time.time() - t0
+            t0 = time.time()
+            n_hits = search(spark, idx, queries, k=10, hydrate=False,
+                            pad_to_k=False).count()
+            tq = time.time() - t0
+            idx.postings.unpersist()
         t_build = tb if t_build is None else min(t_build, tb)
         t_query = tq if t_query is None else min(t_query, tq)
 

@@ -123,12 +123,23 @@ def suggest_terms(terms: DataFrame, needles: list[str],
     if not needles:
         return spark.createDataFrame(
             [], "needle STRING, suggestion STRING, distance DOUBLE, rank INT")
-    ndf = F.broadcast(spark.createDataFrame([(n,) for n in needles],
-                                            "needle STRING"))
-    cand = terms.select("term").crossJoin(ndf)
-    if metric != "jaro":  # |len diff| ≤ d is a lower bound for edit families
-        cand = cand.where(F.abs(F.length("term") - F.length("needle"))
-                          <= max_distance)
+    ndf = spark.createDataFrame([(n,) for n in needles], "needle STRING")
+    if metric != "jaro":
+        # |len diff| ≤ d lower-bounds every edit-family metric, and as a
+        # banded EQUI-join key (needle fans out over its length band,
+        # terms join on their length) it stays a hash join — the round-2
+        # nested-loop crossJoin-then-filter shape degraded to |vocab| ×
+        # |needles| comparisons for large suggestion batches
+        d = int(max_distance)
+        nband = ndf.select(
+            "needle",
+            F.explode(F.sequence(F.greatest(F.length("needle") - d,
+                                            F.lit(1)),
+                                 F.length("needle") + d)).alias("_len"))
+        cand = (terms.select("term", F.length("term").alias("_len"))
+                .join(F.broadcast(nband), "_len").drop("_len"))
+    else:
+        cand = terms.select("term").crossJoin(F.broadcast(ndf))
     cand = (cand.withColumn("distance", _distance_col(metric))
             .where(F.col("distance") <= max_distance))
     from pyspark.sql import Window

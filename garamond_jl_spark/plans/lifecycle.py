@@ -158,11 +158,29 @@ def search(env: SearchEnv, request: InternalRequest) -> DataFrame:
         """None ⇔ the query is OOV for this searcher (is_embedded gate);
         an embedded query with zero (filtered) matches returns an EMPTY
         frame — downstream it still yields fill-scored docs, exactly as
-        the reference's dense scan would."""
+        the reference's dense scan would.
+
+        Under ``oov_policy="large_vector"`` (E8, dtv.jl:53-58) the
+        all-OOV documents are REAL hits at the constant-fill-vector
+        score transform(1 − Σqw/√|V|) — appended here so both the
+        single- and multi-searcher branches inherit the semantics; that
+        score is ≥ the :none fill, so the pad invariants are
+        unchanged."""
         qt = embed_queries(env.spark, index, [parsed.search])
-        if not qt.take(1):
+        rows = qt.collect()                 # |query terms| rows — tiny
+        if not rows:
             return None
         h = score_all(index, qt).drop("query_id")  # single request query
+        if index.cfg.oov_policy == "large_vector":
+            import math
+            n_terms = float(index.meta.get("n_terms")
+                            or index.terms.count())
+            cos_oov = sum(r["qw"] for r in rows) / math.sqrt(n_terms)
+            s_oov = 1.0 - math.tanh(index.cfg.score_alpha * (1.0 - cos_oov))
+            oov = (index.docs.where(F.col("doclen") == 0)
+                   .select(F.col(env.id_key).alias("doc_id"))
+                   .withColumn("score", F.lit(s_oov)))
+            h = h.unionByName(oov)
         return h.join(ids, "doc_id", "left_semi") if has_filter else h
 
     pool = docs.select(F.col(env.id_key).alias("doc_id")) \

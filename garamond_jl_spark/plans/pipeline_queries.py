@@ -701,6 +701,137 @@ def ann_lsh_topk(spark, sf_dir):
                           list(ANN_QUERY_IDS), ANN_K)
 
 
+IVF_CENTROIDS = 16
+IVF_PROBE = 4
+
+
+def ann_ivf_search(u: DataFrame, query_ids: list[int], k: int,
+                   n_centroids: int = IVF_CENTROIDS,
+                   n_probe: int = IVF_PROBE,
+                   centroids: DataFrame | None = None) -> DataFrame:
+    """END-TO-END IVF (inverted-file) ANN search — the coarse-quantizer
+    half of reference/src/index/ivfadc.jl:22-39 in the Spark-native
+    idiom, and the second scale path of the build brief ("an IVF or
+    LSH-bucketed variant") next to :func:`ann_lsh_search`:
+
+    1. every vector is ASSIGNED to its nearest centroid by cosine (one
+       broadcast join against the k·dim centroid table + an argmax
+       window) — the inverted lists;
+    2. a query probes its ``n_probe`` nearest centroids and scans only
+       those lists (a centroid-id equi-join — at scale the assignment
+       table is bucketed/partitioned by cid so a probe touches 1/k of
+       the corpus per list);
+    3. exact cosine rerank of the candidates, top-k.
+
+    ``centroids`` (cid, i, cv): the coarse quantizer.  Real deployments
+    train it offline (k-means) and pass it in; the DEFAULT is the
+    deterministic fixed quantizer "embeddings of the ``n_centroids``
+    lowest vec_ids" so the whole plan is reproducible and
+    DuckDB-parity-checkable (same trick as the md5 hyperplanes — swap
+    the one table for trained centroids, every downstream plan
+    unchanged)."""
+    if centroids is None:
+        centroids = (u.where(F.col("vec_id") < n_centroids)
+                     .select(F.col("vec_id").alias("cid"), "i",
+                             F.col("v").alias("cv")))
+    nrm = u.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv"))
+    cnrm = centroids.groupBy("cid").agg(
+        F.sqrt(F.sum(F.col("cv") * F.col("cv"))).alias("nc"))
+    cdots = (u.join(F.broadcast(centroids), "i")
+             .groupBy("vec_id", "cid")
+             .agg(F.sum(F.col("v") * F.col("cv")).alias("dot")))
+    ccos = (cdots.join(nrm, "vec_id").join(F.broadcast(cnrm), "cid")
+            .select("vec_id", "cid",
+                    (F.col("dot") / (F.col("nv") * F.col("nc")))
+                    .alias("c")))
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.round(F.col("c"), 6).desc(), F.col("cid").asc())
+    ranked = ccos.withColumn("_r", F.row_number().over(wa))
+    asg = ranked.where(F.col("_r") == 1).select("vec_id", "cid")
+    probes = (ranked.where(F.col("_r") <= n_probe)
+              .where(F.col("vec_id").isin(*query_ids))
+              .select(F.col("vec_id").alias("query_id"), "cid"))
+    cand = (F.broadcast(probes).join(asg, "cid")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id").distinct())
+    uq = u.select(F.col("vec_id").alias("query_id"), "i",
+                  F.col("v").alias("qv"))
+    dots = (cand.join(u, "vec_id")
+            .join(uq, ["query_id", "i"])
+            .groupBy("query_id", "vec_id")
+            .agg(F.sum(F.col("v") * F.col("qv")).alias("dot")))
+    nq = nrm.select(F.col("vec_id").alias("query_id"),
+                    F.col("nv").alias("nq"))
+    cosd = (dots.join(nrm, "vec_id").join(F.broadcast(nq), "query_id")
+            .select("query_id", "vec_id",
+                    (F.col("dot") / (F.col("nv") * F.col("nq")))
+                    .alias("c")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("c"), 6).desc(), F.col("vec_id").asc())
+    return (cosd.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .where(F.col("rnk") <= k)
+            .select("query_id", "vec_id", e6(F.col("c")).alias("cos_e6"),
+                    "rnk"))
+
+
+_IVF_QUERY_VALUES = ", ".join(f"({q})" for q in ANN_QUERY_IDS)
+
+
+@q("ann_ivf_topk", f"""
+WITH {EMB_NORM_CTE},
+cent AS (
+  SELECT vec_id AS cid, i, v AS cv FROM u WHERE vec_id < {IVF_CENTROIDS}
+),
+cnrm AS (SELECT cid, sqrt(sum(cv * cv)) AS nc FROM cent GROUP BY 1),
+cdots AS (
+  SELECT u.vec_id, c.cid, sum(u.v * c.cv) AS dot
+  FROM u JOIN cent c USING (i) GROUP BY 1, 2
+),
+ccos AS (
+  SELECT d.vec_id, d.cid, d.dot / (n.nv * cn.nc) AS c
+  FROM cdots d JOIN nrm n USING (vec_id) JOIN cnrm cn USING (cid)
+),
+ranked AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY round(c, 6) DESC, cid ASC) AS r
+  FROM ccos
+),
+asg AS (SELECT vec_id, cid FROM ranked WHERE r = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM ranked
+  WHERE r <= {IVF_PROBE}
+    AND vec_id IN (SELECT q FROM (VALUES {_IVF_QUERY_VALUES}) AS qq(q))
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id
+  FROM probes p JOIN asg a USING (cid)
+  WHERE a.vec_id <> p.query_id
+),
+dots AS (
+  SELECT c.query_id, c.vec_id, sum(x.v * y.v) AS dot
+  FROM cand c JOIN u x ON x.vec_id = c.vec_id
+  JOIN u y ON y.vec_id = c.query_id AND y.i = x.i
+  GROUP BY 1, 2
+),
+cosd AS (
+  SELECT d.query_id, d.vec_id, d.dot / (n.nv * nq.nv) AS c
+  FROM dots d JOIN nrm n ON n.vec_id = d.vec_id
+  JOIN nrm nq ON nq.vec_id = d.query_id
+)
+SELECT query_id, vec_id, cast(round(c * 1e6) AS BIGINT) AS cos_e6,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(c, 6) DESC, vec_id ASC) AS rnk
+FROM cosd QUALIFY rnk <= {ANN_K}
+""")
+def ann_ivf_topk(spark, sf_dir):
+    """Parity wrapper: IVF coarse-quantizer ANN over the embeddings
+    table (see :func:`ann_ivf_search`)."""
+    return ann_ivf_search(_emb_long(spark, sf_dir),
+                          list(ANN_QUERY_IDS), ANN_K)
+
+
 # --------------------------------------------------------------------------
 # Semantic search (BOE over deterministic synthetic word vectors, E1+E6)
 # --------------------------------------------------------------------------

@@ -241,3 +241,29 @@ def test_suggestions_in_response(spark, env):
     out = json.loads(response_json(env, req))
     assert "mainx" in out["suggestions"]
     assert "main" in out["suggestions"]["mainx"]
+
+
+def test_lifecycle_large_vector_oov_docs(spark):
+    """E8 through the LIFECYCLE sparse path: with
+    oov_policy='large_vector' an all-OOV document is a real hit at the
+    constant-fill-vector score (identical to the plain search path's
+    result, which is oracle-verified in test_rank_identity)."""
+    from garamond_jl_spark.operators.query import search as qsearch
+    texts = ["alpha beta gamma", "beta gamma delta", "!!! ??? ...",
+             "alpha alpha beta"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id LONG, content STRING")
+    cfg = EngineConfig(score_alpha=0.4, oov_policy="large_vector")
+    idx = build_index(spark, df, cfg, id_col="doc_id")
+    env = SearchEnv(spark=spark, index=idx)
+    got = sorted(search(env, InternalRequest(query="alpha",
+                                             max_matches=4)).collect(),
+                 key=lambda r: r["rank"])
+    want = sorted(qsearch(spark, idx, ["alpha"], k=4,
+                          hydrate=False).collect(),
+                  key=lambda r: r["rank"])
+    assert [(r["doc_id"], r["rank"]) for r in got] == \
+        [(r["doc_id"], r["rank"]) for r in want]
+    for a, b in zip(got, want):
+        assert a["score"] == pytest.approx(b["score"], abs=1e-12)
+    assert any(r["doc_id"] == 2 for r in got)  # the all-OOV doc is a hit
