@@ -22,7 +22,9 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 
 def run_level(cpus: int, docs: int, queries: int, attempts: int = 2,
-              partitions: int = 64, mode: str = "flat") -> dict:
+              partitions: int = 64, mode: str = "flat",
+              executors: int = 0, exec_cores: int = 4,
+              shuffle: int = 0) -> dict:
     """One fresh-JVM leg; a transiently-failed JVM (host pressure) is
     retried once with the failing leg's stderr surfaced, so a crash in
     the second leg cannot silently discard the first leg's 20+ minutes."""
@@ -32,7 +34,8 @@ def run_level(cpus: int, docs: int, queries: int, attempts: int = 2,
             [sys.executable, os.path.join(HERE, "scaling_job.py"),
              "--cpus", str(cpus), "--docs", str(docs),
              "--queries", str(queries), "--partitions", str(partitions),
-             "--mode", mode],
+             "--mode", mode, "--executors", str(executors),
+             "--exec-cores", str(exec_cores), "--shuffle", str(shuffle)],
             capture_output=True, text=True)
         if out.returncode == 0:
             lines = [ln for ln in out.stdout.splitlines()
@@ -60,12 +63,22 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=64)
     ap.add_argument("--mode", choices=("flat", "persistent"),
                     default="flat")
+    ap.add_argument("--executors-low", type=int, default=0,
+                    help="N > 0: local-cluster topology — N vs "
+                         "executors-high SEPARATE executor JVMs")
+    ap.add_argument("--executors-high", type=int, default=0)
+    ap.add_argument("--exec-cores", type=int, default=4)
+    ap.add_argument("--shuffle", type=int, default=0)
     args = ap.parse_args()
 
     lo = run_level(args.low, args.docs, args.queries,
-                   partitions=args.partitions, mode=args.mode)
+                   partitions=args.partitions, mode=args.mode,
+                   executors=args.executors_low,
+                   exec_cores=args.exec_cores, shuffle=args.shuffle)
     hi = run_level(args.high, args.docs, args.queries,
-                   partitions=args.partitions, mode=args.mode)
+                   partitions=args.partitions, mode=args.mode,
+                   executors=args.executors_high,
+                   exec_cores=args.exec_cores, shuffle=args.shuffle)
     ratio = args.low / args.high
     eff_build = (lo["build_sec"] / hi["build_sec"]) * ratio
     eff_query = (lo["query_sec"] / hi["query_sec"]) * ratio

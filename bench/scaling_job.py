@@ -28,6 +28,21 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=64)
     ap.add_argument("--repeat", type=int, default=2,
                     help="repetitions; min is reported (variance control)")
+    ap.add_argument("--executors", type=int, default=0,
+                    help="N > 0 switches to local-cluster[N, exec-cores, "
+                         "exec-mem-mb]: N SEPARATE executor JVMs — the "
+                         "faithful multi-executor topology (constant "
+                         "per-executor heap as executors are added, no "
+                         "shared-GC artifact; package shipped via the "
+                         "spark-submit --py-files mechanism)")
+    ap.add_argument("--exec-cores", type=int, default=4)
+    ap.add_argument("--exec-mem-mb", type=int, default=6144)
+    ap.add_argument("--shuffle", type=int, default=0,
+                    help="fixed shuffle partition count (0 = the "
+                         "session default 8x cores). Pin it when "
+                         "comparing legs at large inputs so per-task "
+                         "shuffle state is identical AND small enough "
+                         "for the per-executor heap")
     ap.add_argument("--mode", choices=("flat", "persistent"),
                     default="flat",
                     help="flat = in-memory build_index (postings cached "
@@ -37,8 +52,26 @@ def main() -> None:
                          "executor cache)")
     args = ap.parse_args()
 
-    spark = get_spark(f"scaling-{args.cpus}", cpus=args.cpus,
-                      shuffle_partitions=None)
+    if args.executors:
+        import subprocess
+        import tempfile
+        total = args.executors * args.exec_cores
+        zip_path = os.path.join(tempfile.gettempdir(), "garamond_pkg.zip")
+        if not os.path.exists(zip_path):
+            repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            subprocess.run(["zip", "-qr", zip_path, "garamond_jl_spark"],
+                           cwd=repo, check=True)
+        spark = get_spark(
+            f"scaling-exec{args.executors}", cpus=total,
+            shuffle_partitions=args.shuffle or None,
+            master=f"local-cluster[{args.executors}, {args.exec_cores}, "
+                   f"{args.exec_mem_mb}]",
+            executor_memory=f"{args.exec_mem_mb - 1024}m")
+        spark.sparkContext.addPyFile(zip_path)
+        args.cpus = total
+    else:
+        spark = get_spark(f"scaling-{args.cpus}", cpus=args.cpus,
+                          shuffle_partitions=args.shuffle or None)
     spark.sparkContext.setLogLevel("ERROR")
     cfg = EngineConfig()
 

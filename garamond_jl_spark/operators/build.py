@@ -112,7 +112,13 @@ def assign_dense_ids(df: DataFrame, order_cols: list[str],
     part = df.repartitionByRange(*[F.col(c) for c in order_cols]) \
              .sortWithinPartitions(*order_cols) \
              .withColumn("_pid", F.spark_partition_id())
-    part = part.persist()
+    # DISK_ONLY: the snapshot is read exactly twice (partition counts,
+    # then the offset join) — caching the FULL corpus as in-memory row
+    # objects evicted everything else and OOM'd 5g executors at 30M docs
+    # (round-3 local-cluster protocol); disk-backed persistence costs
+    # one sequential write/read and holds at any corpus size
+    from pyspark import StorageLevel
+    part = part.persist(StorageLevel.DISK_ONLY)
     counts = part.groupBy("_pid").count().collect()
     offsets, acc = [], 0
     for r in sorted(counts, key=lambda r: r["_pid"]):

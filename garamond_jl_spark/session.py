@@ -13,16 +13,28 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app: str = "garamond-spark", cpus: int | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              master: str | None = None,
+              executor_memory: str | None = None) -> SparkSession:
+    """``master`` overrides the default ``local[cpus]`` — e.g.
+    ``local-cluster[4, 8, 6144]`` spawns 4 SEPARATE executor JVMs × 8
+    cores × 6 GiB each, the faithful N-executor topology for scaling
+    measurements (per-executor heap constant as executors are added,
+    like a real cluster; no shared-GC artifact).  ``cpus`` should then
+    be the TOTAL core count so shuffle sizing stays right."""
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # default 8× the core count: the batched score aggregation's hash
     # tables spill at 1 partition/core (measured 3× slowdown at 1M docs,
     # PLANS.md); AQE coalesces the excess away on small stages
     shuffle_partitions = shuffle_partitions or max(8 * cpus, 64)
-    return (
+    builder = (
         SparkSession.builder
         .appName(app)
-        .master(f"local[{cpus}]")
+        .master(master or f"local[{cpus}]"))
+    if executor_memory:
+        builder = builder.config("spark.executor.memory", executor_memory)
+    return (
+        builder
         # AQE: runtime coalescing + skew-join splitting (SURVEY.md §4.2)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
