@@ -51,3 +51,12 @@ def weight_expr(scheme: str, cnt: Column, doclen: Column,
 def score_transform_expr(dist: Column, alpha: float) -> Column:
     """F11: score = 1 − tanh(α · dist)  (src/search/index.jl:186-202)."""
     return F.lit(1.0) - F.tanh(F.lit(alpha) * dist)
+
+
+def score_transform(dist: float, alpha: float) -> float:
+    """Scalar twin of :func:`score_transform_expr` — the ONE definition
+    every driver-side fill/certificate computation must route through so
+    the pinned transform cannot silently diverge between the
+    oracle-checked column path and scalar call sites."""
+    import math
+    return 1.0 - math.tanh(alpha * dist)

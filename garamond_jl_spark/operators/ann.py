@@ -1,0 +1,487 @@
+"""Sublinear ANN candidate generation + quantizer training for the
+dense searchers (T2 scale path; the searcher-owns-an-index design).
+
+Reference counterparts:
+* ``IVFADCIndex`` — /root/reference/src/index/ivfadc.jl:1-39: a coarse
+  k-means quantizer (inverted lists) with product-quantized RESIDUAL
+  compression and asymmetric-distance (ADC) scoring; searchers attach
+  to an index object (src/searchable/searcher.jl:120-125) instead of
+  scanning the corpus per request (the NaiveIndex fallback,
+  src/index/naive.jl:15-32).
+* ``HNSWIndex`` — src/index/hnsw.jl:28-45: the other sublinear option;
+  a graph walk is driver-sequential by nature, so the Spark-native
+  stand-in for that capability is the hyperplane-LSH bucket index here
+  (same role: narrow the corpus to a candidate set, exact-rerank).
+
+Public techniques: random-hyperplane LSH (Charikar 2002), IVF + PQ +
+ADC (Jégou, Douze, Schmid: "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011), k-means with deterministic seeding.
+
+Spark shape — everything is candidate-set algebra over DataFrames:
+
+* build time: one assignment pass over the corpus (broadcast the tiny
+  quantizer, shuffle by id), output partitioned/bucketable by list id
+  so a probe prunes partitions at scale;
+* query time: the query side is DRIVER-side math on one dim-sized
+  vector (bucket bits / centroid distances / ADC tables are all
+  O(dim·K) scalars), turned into an ``isin``/broadcast join against
+  the assignment table — the corpus is touched only on the probed
+  lists, never scanned.
+
+Determinism: hyperplanes and k-means/PQ initialization derive from md5
+of (seed, tag, key) — the repo-wide derandomization trick — so every
+index is rebuildable anywhere with no stored RNG state; trained
+centroids are float-sum order-dependent across cluster topologies
+(documented), which is why the DuckDB parity rows keep the fixed
+deterministic quantizers and the trained paths are recall-tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from itertools import combinations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_HEX_HIGH = set("89abcdef")
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane LSH candidate index
+# ---------------------------------------------------------------------------
+
+def lsh_sign(p: int, i: int, seed: int = 0) -> float:
+    """Scalar (driver-side) hyperplane entry: ±1 from the high bit of
+    md5('{seed}:L:{p}:{i}')."""
+    h = hashlib.md5(f"{seed}:L:{p}:{i}".encode()).hexdigest()
+    return 1.0 if h[0] in _HEX_HIGH else -1.0
+
+
+def _lsh_sign_expr(seed: int) -> F.Column:
+    return F.when(
+        F.substring(F.md5(F.concat_ws(":", F.lit(seed), F.lit("L"),
+                                      F.col("p"), F.col("i"))), 1, 1)
+        .isin(*sorted(_HEX_HIGH)), F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def lsh_buckets(dv: DataFrame, n_planes: int, seed: int = 0) -> DataFrame:
+    """Long-form embeddings (doc_id, i, dv) → (doc_id, bucket): the
+    sign pattern of ``n_planes`` deterministic ±1 hyperplane dots.  One
+    broadcast of the |dims|·n_planes sign table + one shuffle by
+    (doc_id, p); at scale the output is written bucketed BY bucket so a
+    probe reads only its buckets' files."""
+    spark = dv.sparkSession
+    planes = (dv.select("i").distinct()
+              .crossJoin(F.broadcast(
+                  spark.range(n_planes).select(F.col("id").alias("p"))))
+              .withColumn("sgn", _lsh_sign_expr(seed)))
+    proj = (dv.join(F.broadcast(planes), "i")
+            .groupBy("doc_id", "p")
+            .agg(F.sum(F.col("dv") * F.col("sgn")).alias("dot")))
+    return (proj.groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("dot") >= 0,
+                              F.pow(F.lit(2.0), F.col("p")))
+                       .otherwise(F.lit(0.0)))
+                 .cast("long").alias("bucket")))
+
+
+def probe_masks(n_planes: int, radius: int) -> list[int]:
+    """All XOR masks flipping ≤ ``radius`` of ``n_planes`` bits —
+    multiprobe neighborhood of a bucket (sorted for determinism)."""
+    masks = [0]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_planes), r):
+            masks.append(sum(1 << b for b in bits))
+    return sorted(masks)
+
+
+class LSHCandidateIndex:
+    """Bucketed candidate generator over a long-form doc-embedding
+    table: ``candidates(qv_rows)`` returns the doc_ids in every bucket
+    within Hamming ``radius`` of the query's bucket.  Query-side cost
+    is driver math (n_planes · dim multiply-adds) + one isin-pruned
+    read of the (doc_id, bucket) table — the corpus is never scanned.
+    """
+
+    def __init__(self, buckets: DataFrame, n_planes: int, radius: int,
+                 seed: int = 0):
+        self.buckets = buckets
+        self.n_planes = int(n_planes)
+        self.radius = int(radius)
+        self.seed = int(seed)
+        self._masks = probe_masks(self.n_planes, self.radius)
+
+    @classmethod
+    def build(cls, doc_embeddings: DataFrame, n_planes: int = 8,
+              radius: int = 2, seed: int = 0,
+              persist: bool = True) -> "LSHCandidateIndex":
+        b = lsh_buckets(doc_embeddings, n_planes, seed)
+        if persist:
+            b = b.persist()
+        return cls(b, n_planes, radius, seed)
+
+    def query_bucket(self, qv_rows: list[tuple[int, float]]) -> int:
+        bucket = 0
+        for p in range(self.n_planes):
+            dot = sum(qv * lsh_sign(p, i, self.seed) for i, qv in qv_rows)
+            if dot >= 0:
+                bucket |= 1 << p
+        return bucket
+
+    def candidates(self, qv_rows: list[tuple[int, float]]) -> DataFrame:
+        """(doc_id) — union of the probed buckets."""
+        qb = self.query_bucket(qv_rows)
+        probes = [qb ^ m for m in self._masks]
+        return (self.buckets.where(F.col("bucket").isin(probes))
+                .select("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (the IVF coarse-quantizer trainer, ivfadc.jl:22-27)
+# ---------------------------------------------------------------------------
+
+def _hash_order(tag: str, seed: int, key_col: str = "doc_id") -> F.Column:
+    return F.md5(F.concat_ws(":", F.lit(seed), F.lit(tag), F.col(key_col)))
+
+
+def train_kmeans(dv: DataFrame, k: int, n_iter: int = 5, seed: int = 0,
+                 sample_ratio: float | None = None) -> DataFrame:
+    """Lloyd k-means over a long-form table (doc_id, i, dv) →
+    centroids (cid, i, cv), cid in 0..k-1.
+
+    Distributed shape per iteration: broadcast the K·dim centroid table,
+    one join on i + groupBy(doc_id, cid) for the L2 argmin assignment,
+    one groupBy(cid, i) mean for the update — centroids round-trip
+    through the driver between iterations (K·dim scalars) so the plan
+    lineage stays flat.  Initialization is the deterministic hash-order
+    sample: the k doc_ids with the smallest md5(seed:KM:doc_id) —
+    rebuildable anywhere, no RNG state (the reference trains its coarse
+    quantizer the same offline way, ivfadc.jl:22-27).
+
+    ``sample_ratio`` trains on a deterministic hash-subset of documents
+    (md5 threshold, not ``.sample()`` — reproducible across partition
+    layouts); assignment of the full corpus is the caller's separate
+    pass (:func:`assign_lists` / :meth:`IVFCandidateIndex.build`)."""
+    spark = dv.sparkSession
+    if sample_ratio is not None and sample_ratio < 1.0:
+        cut = format(int(sample_ratio * 16 ** 8), "08x")
+        dv = dv.where(F.substring(_hash_order("KMS", seed), 1, 8) < cut)
+    dv = dv.select("doc_id", "i", "dv")
+
+    init_ids = (dv.select("doc_id").distinct()
+                .orderBy(_hash_order("KM", seed), F.col("doc_id"))
+                .limit(k))
+    w = Window.orderBy(_hash_order("KM", seed), F.col("doc_id"))
+    init = (init_ids.withColumn("cid", F.row_number().over(w) - 1)
+            .join(dv, "doc_id")
+            .select("cid", "i", F.col("dv").alias("cv")))
+    cent_rows = init.collect()
+
+    for _ in range(n_iter):
+        cent = F.broadcast(spark.createDataFrame(
+            [(r["cid"], r["i"], float(r["cv"])) for r in cent_rows],
+            "cid INT, i INT, cv DOUBLE"))
+        asg = _assign_join(dv, cent)
+        new = (asg.join(dv, "doc_id")
+               .groupBy("cid", "i").agg(F.avg("dv").alias("cv")))
+        new_rows = new.collect()
+        # empty clusters keep their previous centroid
+        seen = {r["cid"] for r in new_rows}
+        cent_rows = new_rows + [r for r in cent_rows
+                                if r["cid"] not in seen]
+    return spark.createDataFrame(
+        [(r["cid"], r["i"], float(r["cv"])) for r in cent_rows],
+        "cid INT, i INT, cv DOUBLE")
+
+
+def _assign_join(dv: DataFrame, cent: DataFrame) -> DataFrame:
+    """(doc_id, cid): L2 argmin assignment via the join-shaped plan —
+    dist² = |v|² − 2·v·c + |c|²; |v|² is constant per doc so the argmin
+    needs only (−2·dot + |c|²).  Ties break on the lowest cid."""
+    cn = cent.groupBy("cid").agg(F.sum(F.col("cv") ** 2).alias("cc"))
+    dots = (dv.join(cent, "i")
+            .groupBy("doc_id", "cid")
+            .agg(F.sum(F.col("dv") * F.col("cv")).alias("dot")))
+    scored = (dots.join(F.broadcast(cn), "cid")
+              .select("doc_id", "cid",
+                      (F.lit(-2.0) * F.col("dot") + F.col("cc"))
+                      .alias("d2p")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("d2p").asc(),
+                                             F.col("cid").asc())
+    return (scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1).select("doc_id", "cid"))
+
+
+def assign_lists_arrow(packed: DataFrame, centroids: "list[list[float]]",
+                       id_col: str = "doc_id",
+                       vec_col: str = "emb") -> DataFrame:
+    """(id, cid) nearest-centroid assignment WITHOUT the K-fanout: one
+    ``mapInArrow`` pass over packed array vectors computing the L2
+    argmin against the broadcast centroid matrix as a blocked matmul —
+    the intermediate is a batch×K numpy block, never a |corpus|×K
+    shuffle (the round-3 finding on ``ann_ivf_search``'s join-shaped
+    assignment; that plan stays as the small-K/parity path).  Cost per
+    row is O(dim·K) flops and independent of Spark's shuffle machinery,
+    so it holds at the 10⁴-centroid scale a 10⁹-vector IVF needs."""
+    import numpy as np
+    import pyarrow as pa
+
+    C = np.asarray(centroids, dtype=np.float64)          # K × dim
+    cc = (C * C).sum(axis=1)                              # |c|² per cid
+
+    def _assign(batches):
+        for b in batches:
+            ids = b.column(b.schema.get_field_index(id_col))
+            vecs = b.column(b.schema.get_field_index(vec_col))
+            X = np.asarray(vecs.to_pylist(), dtype=np.float64)
+            if X.size == 0:
+                continue
+            # argmin_c |x|² − 2 x·c + |c|²  (|x|² constant per row)
+            scores = -2.0 * (X @ C.T) + cc[None, :]
+            cids = np.argmin(scores, axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(cids, type=pa.int32())],
+                names=[id_col, "cid"])
+
+    out_schema = f"{id_col} LONG, cid INT"
+    return packed.select(id_col, vec_col).mapInArrow(_assign, out_schema)
+
+
+class IVFCandidateIndex:
+    """IVF inverted lists as a candidate generator: documents are
+    assigned once to their nearest coarse centroid; a query probes its
+    ``n_probe`` nearest centroids (driver-side K·dim math against the
+    collected centroid matrix) and the candidate set is the isin-pruned
+    read of those lists.  At scale the assignment table is written
+    bucketed BY cid, so a probe prunes to n_probe/K of the files."""
+
+    def __init__(self, asg: DataFrame, centroids: list[tuple],
+                 n_probe: int = 4):
+        self.asg = asg                    # (doc_id, cid)
+        self.n_probe = int(n_probe)
+        self._cent: dict[int, dict[int, float]] = {}
+        for cid, i, cv in centroids:
+            self._cent.setdefault(int(cid), {})[int(i)] = float(cv)
+
+    @classmethod
+    def build(cls, doc_embeddings: DataFrame, n_centroids: int = 16,
+              n_probe: int = 4, n_iter: int = 5, seed: int = 0,
+              centroids: DataFrame | None = None,
+              sample_ratio: float | None = None,
+              persist: bool = True) -> "IVFCandidateIndex":
+        """Train (or accept) the coarse quantizer, assign every doc.
+        ``centroids``: optional pre-trained (cid, i, cv) table — the
+        reference's offline-trained quantizer handoff."""
+        if centroids is None:
+            centroids = train_kmeans(doc_embeddings, n_centroids,
+                                     n_iter=n_iter, seed=seed,
+                                     sample_ratio=sample_ratio)
+        cent_rows = [(r["cid"], r["i"], r["cv"])
+                     for r in centroids.collect()]
+        spark = doc_embeddings.sparkSession
+        cent = F.broadcast(spark.createDataFrame(
+            cent_rows, "cid INT, i INT, cv DOUBLE"))
+        asg = _assign_join(doc_embeddings, cent)
+        if persist:
+            asg = asg.persist()
+        return cls(asg, cent_rows, n_probe)
+
+    def probe_cids(self, qv_rows: list[tuple[int, float]]) -> list[int]:
+        """``n_probe`` nearest centroids by L2 on the raw query vector
+        (driver math: K·dim multiply-adds)."""
+        q = dict(qv_rows)
+        scored = []
+        for cid, comp in self._cent.items():
+            d2 = sum((q.get(i, 0.0) - cv) ** 2 for i, cv in comp.items())
+            d2 += sum(v * v for i, v in q.items() if i not in comp)
+            scored.append((d2, cid))
+        scored.sort()
+        return [cid for _, cid in scored[:self.n_probe]]
+
+    def candidates(self, qv_rows: list[tuple[int, float]]) -> DataFrame:
+        return (self.asg.where(F.col("cid").isin(self.probe_cids(qv_rows)))
+                .select("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization over IVF residuals + ADC scoring (ivfadc.jl's
+# second half: the memory-compression part of the billion-scale claim)
+# ---------------------------------------------------------------------------
+
+def _with_subspace(resid: DataFrame, dsub: int) -> DataFrame:
+    """(doc_id, i, rv) → (doc_id, sub, j, rv): split the dim axis into
+    contiguous ``dsub``-wide subspaces (sub from 0, j from 1)."""
+    return resid.select(
+        "doc_id",
+        ((F.col("i") - 1) / F.lit(dsub)).cast("int").alias("sub"),
+        ((F.col("i") - 1) % F.lit(dsub) + 1).cast("int").alias("j"),
+        F.col("rv"))
+
+
+def train_pq(resid: DataFrame, dim: int, m: int, n_codes: int = 16,
+             n_iter: int = 5, seed: int = 0) -> DataFrame:
+    """Per-subspace k-means codebooks over residual vectors →
+    (sub, code, j, cv).  All ``m`` subspaces train in ONE DataFrame job
+    per iteration (the sub column rides along every key), so the
+    codebook build is m-parallel with no driver loop over subspaces.
+
+    Jégou et al. 2011 §III: dim splits into m subspaces of dim/m; each
+    quantizes independently to n_codes centroids; a vector's code is
+    the m-tuple of per-subspace nearest centroids."""
+    spark = resid.sparkSession
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    sv = _with_subspace(resid, dsub)
+
+    # deterministic per-sub init: n_codes docs by md5(seed:PQ:sub:doc)
+    key = F.md5(F.concat_ws(":", F.lit(seed), F.lit("PQ"),
+                            F.col("sub"), F.col("doc_id")))
+    wi = Window.partitionBy("sub").orderBy(key, F.col("doc_id"))
+    picks = (sv.select("sub", "doc_id").distinct()
+             .withColumn("code", F.row_number().over(wi) - 1)
+             .where(F.col("code") < n_codes))
+    init = (picks.join(sv, ["sub", "doc_id"])
+            .select("sub", "code", "j", F.col("rv").alias("cv")))
+    cb_rows = init.collect()
+
+    for _ in range(n_iter):
+        cb = F.broadcast(spark.createDataFrame(
+            [(r["sub"], r["code"], r["j"], float(r["cv"]))
+             for r in cb_rows], "sub INT, code INT, j INT, cv DOUBLE"))
+        codes = _pq_assign(sv, cb)
+        new = (codes.join(sv, ["sub", "doc_id"])
+               .groupBy("sub", "code", "j").agg(F.avg("rv").alias("cv")))
+        new_rows = new.collect()
+        seen = {(r["sub"], r["code"]) for r in new_rows}
+        cb_rows = new_rows + [r for r in cb_rows
+                              if (r["sub"], r["code"]) not in seen]
+    return spark.createDataFrame(
+        [(r["sub"], r["code"], r["j"], float(r["cv"])) for r in cb_rows],
+        "sub INT, code INT, j INT, cv DOUBLE")
+
+
+def _pq_assign(sv: DataFrame, cb: DataFrame) -> DataFrame:
+    """(sub, doc_id, code): per-subspace L2 argmin against the codebook."""
+    cn = cb.groupBy("sub", "code").agg(F.sum(F.col("cv") ** 2).alias("cc"))
+    dots = (sv.join(cb, ["sub", "j"])
+            .groupBy("sub", "doc_id", "code")
+            .agg(F.sum(F.col("rv") * F.col("cv")).alias("dot")))
+    scored = (dots.join(F.broadcast(cn), ["sub", "code"])
+              .select("sub", "doc_id", "code",
+                      (F.lit(-2.0) * F.col("dot") + F.col("cc"))
+                      .alias("d2p")))
+    w = Window.partitionBy("sub", "doc_id").orderBy(F.col("d2p").asc(),
+                                                    F.col("code").asc())
+    return (scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1).select("sub", "doc_id", "code"))
+
+
+class IVFADCIndex:
+    """The full ivfadc.jl capability: coarse inverted lists + product-
+    quantized residual codes + asymmetric-distance scoring.
+
+    Storage per vector: the list id + m sub-codes (m·log₂(n_codes)
+    bits) instead of dim floats — the memory-compression half of the
+    billion-scale design; :meth:`memory_stats` reports the measured
+    ratio.  Query: probe n_probe lists (driver math), build the
+    n_probe·m·n_codes ADC distance table driver-side, broadcast-join it
+    against the probed lists' codes, sum → approximate distances, then
+    exact-rerank the best ``rerank`` candidates from the raw vectors
+    (the standard IVFADC recall knob)."""
+
+    def __init__(self, ivf: IVFCandidateIndex, codes: DataFrame,
+                 codebook_rows: list[tuple], dim: int, m: int,
+                 n_codes: int):
+        self.ivf = ivf
+        self.codes = codes                # (doc_id, cid, sub, code)
+        self.dim, self.m, self.n_codes = int(dim), int(m), int(n_codes)
+        self._cb: dict[tuple[int, int], dict[int, float]] = {}
+        for sub, code, j, cv in codebook_rows:
+            self._cb.setdefault((int(sub), int(code)), {})[int(j)] = float(cv)
+
+    @classmethod
+    def build(cls, doc_embeddings: DataFrame, dim: int,
+              n_centroids: int = 16, m: int = 4, n_codes: int = 16,
+              n_probe: int = 4, n_iter: int = 5, seed: int = 0,
+              persist: bool = True) -> "IVFADCIndex":
+        ivf = IVFCandidateIndex.build(doc_embeddings, n_centroids,
+                                      n_probe=n_probe, n_iter=n_iter,
+                                      seed=seed, persist=persist)
+        spark = doc_embeddings.sparkSession
+        cent = F.broadcast(spark.createDataFrame(
+            [(c, i, v) for c, comp in ivf._cent.items()
+             for i, v in comp.items()], "cid INT, i INT, cv DOUBLE"))
+        resid = (doc_embeddings.join(ivf.asg, "doc_id")
+                 .join(cent, ["cid", "i"], "left")
+                 .select("doc_id", "cid", "i",
+                         (F.col("dv") - F.coalesce("cv", F.lit(0.0)))
+                         .alias("rv")))
+        cb = train_pq(resid.select("doc_id", "i", "rv"), dim, m,
+                      n_codes=n_codes, n_iter=n_iter, seed=seed)
+        cb_rows = [(r["sub"], r["code"], r["j"], r["cv"])
+                   for r in cb.collect()]
+        cbb = F.broadcast(spark.createDataFrame(
+            cb_rows, "sub INT, code INT, j INT, cv DOUBLE"))
+        sv = _with_subspace(resid.select("doc_id", "i", "rv"), dim // m)
+        codes = (_pq_assign(sv, cbb)
+                 .join(ivf.asg, "doc_id")
+                 .select("doc_id", "cid", "sub", "code"))
+        if persist:
+            codes = codes.persist()
+        return cls(ivf, codes, cb_rows, dim, m, n_codes)
+
+    def _adc_table(self, qv_rows: list[tuple[int, float]],
+                   cids: list[int]) -> list[tuple[int, int, int, float]]:
+        """(cid, sub, code, pd): per probed list, the squared L2 between
+        the query RESIDUAL's sub-vector and each code — n_probe·m·
+        n_codes driver scalars (Jégou et al. §IV ADC lookup table)."""
+        q = dict(qv_rows)
+        dsub = self.dim // self.m
+        rows = []
+        for cid in cids:
+            comp = self.ivf._cent.get(cid, {})
+            qr = {i: q.get(i, 0.0) - comp.get(i, 0.0)
+                  for i in range(1, self.dim + 1)}
+            for (sub, code), cvec in self._cb.items():
+                pd = 0.0
+                for j in range(1, dsub + 1):
+                    i = sub * dsub + j
+                    pd += (qr.get(i, 0.0) - cvec.get(j, 0.0)) ** 2
+                rows.append((cid, sub, code, pd))
+        return rows
+
+    def search(self, doc_embeddings: DataFrame,
+               qv_rows: list[tuple[int, float]], k: int,
+               rerank: int | None = None) -> DataFrame:
+        """(doc_id, score[cosine], rank): ADC-approximate scan of the
+        probed lists, exact cosine rerank of the best ``rerank``
+        (default 4k) candidates."""
+        spark = doc_embeddings.sparkSession
+        rerank = rerank or 4 * k
+        cids = self.ivf.probe_cids(qv_rows)
+        adc = F.broadcast(spark.createDataFrame(
+            self._adc_table(qv_rows, cids),
+            "cid INT, sub INT, code INT, pd DOUBLE"))
+        approx = (self.codes.where(F.col("cid").isin(cids))
+                  .join(adc, ["cid", "sub", "code"])
+                  .groupBy("doc_id").agg(F.sum("pd").alias("ad2")))
+        cand = (approx.orderBy(F.col("ad2").asc(), F.col("doc_id").asc())
+                .limit(rerank).select("doc_id"))
+        from garamond_jl_spark.operators.semantic import cosine_topk
+        dv = doc_embeddings.join(F.broadcast(cand), "doc_id", "left_semi")
+        return cosine_topk(dv, qv_rows, k)
+
+    def memory_stats(self) -> dict:
+        """Measured compression: PQ code bits vs raw float64 bits per
+        vector (the ivfadc.jl billion-scale argument, quantified)."""
+        n = self.codes.select("doc_id").distinct().count()
+        code_bits = self.m * math.ceil(math.log2(self.n_codes))
+        raw_bits = self.dim * 64
+        return {"n_vectors": n,
+                "bits_per_vector_pq": code_bits,
+                "bits_per_vector_raw": raw_bits,
+                "compression_ratio": raw_bits / code_bits,
+                "codebook_floats": len(self._cb) * (self.dim // self.m)}

@@ -62,14 +62,21 @@ def champion_lists(index: InvertedIndex, p: int = DEFAULT_P) -> DataFrame:
             .where(F.col("imp_rank") <= p))
 
 
-def term_thetas(champions: DataFrame, p: int) -> DataFrame:
-    """(term, theta): the prefix-boundary impact.  θ = p-th champion's
-    wnorm when the list was truncated (df > p — a non-candidate may
-    hide below the boundary), else 0 (list fully covered: every posting
-    of the term is a champion, nothing is hidden)."""
+def term_thetas(champions: DataFrame, dfs: DataFrame) -> DataFrame:
+    """(term, theta): the prefix-boundary impact.  A term's list is
+    truncated iff its champion count < its true document frequency
+    (``dfs``: (term, df) from the index terms table) — then θ = the
+    boundary (min champion) wnorm, since a non-candidate may hide below
+    it; otherwise every posting of the term is a champion, nothing is
+    hidden, θ = 0.  Comparing against df is exact PER TERM and
+    independent of the (possibly unknown) prefix depth the champions
+    table was built with — no global max(imp_rank) scan, and a
+    fully-covered term certifies tightly even when the table's depth
+    exceeds every query term's df."""
     return (champions.groupBy("term")
             .agg(F.count("*").alias("_n"), F.min("wnorm").alias("_min"))
-            .select("term", F.when(F.col("_n") >= p, F.col("_min"))
+            .join(dfs, "term")
+            .select("term", F.when(F.col("_n") < F.col("df"), F.col("_min"))
                     .otherwise(F.lit(0.0)).alias("theta")))
 
 
@@ -93,15 +100,9 @@ def impact_topk(spark: SparkSession, index: InvertedIndex,
             champions = index.champions.where(F.col("imp_rank") <= p)
         else:
             champions = champion_lists(index, p)
-    else:
-        # caller-supplied table: derive the effective prefix depth so a
-        # table built with p' < p cannot falsely certify (theta=0 via the
-        # "_n < p ⇒ fully covered" rule).  Clamping p to max(imp_rank) is
-        # always SOUND: it can only treat a fully-covered term as
-        # truncated (conservative theta), never the reverse.
-        row = champions.agg(F.max("imp_rank").alias("m")).collect()[0]
-        if row["m"] is not None:
-            p = min(p, int(row["m"]))
+    # caller-supplied tables need no depth probe: the certificate's
+    # truncation test compares champion counts against true df per term
+    # (term_thetas), which is sound and tight for ANY prefix depth.
     q_terms = sorted({r["term"] for r in qt_rows})
 
     # candidates: champions of the query's terms, fanned out per query
@@ -136,8 +137,9 @@ def impact_topk(spark: SparkSession, index: InvertedIndex,
 
     # certificate: k-th candidate (by the ranking key) vs the
     # hidden-mass bound B_q
+    dfs = index.terms.where(F.col("term").isin(q_terms)).select("term", "df")
     thetas = {r["term"]: r["theta"] for r in
-              term_thetas(champions.where(F.col("term").isin(q_terms)), p)
+              term_thetas(champions.where(F.col("term").isin(q_terms)), dfs)
               .collect()}
     bq: dict[int, float] = {}
     for r in qt_rows:
@@ -149,8 +151,8 @@ def impact_topk(spark: SparkSession, index: InvertedIndex,
            .collect()}
 
     def _score(c: float) -> float:
-        import math
-        return 1.0 - math.tanh(cfg.score_alpha * (1.0 - c))
+        from garamond_jl_spark.functions.scoring import score_transform
+        return score_transform(1.0 - c, cfg.score_alpha)
 
     def _ok(q: int) -> bool:
         if q not in kth or kth[q][0] < k:

@@ -96,7 +96,8 @@ def fill_score(cfg: EngineConfig) -> float:
     ``1 − tanh(α)``, src/index/naive.jl:15-32 + index.jl:186-202).
     Scalar so sparse plans can append fill rows without scoring the
     corpus."""
-    return 1.0 - math.tanh(cfg.score_alpha)
+    from garamond_jl_spark.functions.scoring import score_transform
+    return score_transform(1.0, cfg.score_alpha)
 
 
 def score_all(index: InvertedIndex, qterms: DataFrame) -> DataFrame:
@@ -140,6 +141,26 @@ def topk_plan(index: InvertedIndex, qterms: DataFrame, k: int,
             .join(index.postings.select("term", "doc_id", "wnorm"), "term")
             .groupBy("query_id", "doc_id")
             .agg(F.sum(F.col("qw") * F.col("wnorm")).alias("cos")))
+    oov_hits = None
+    if cfg.oov_policy == "large_vector":
+        # E8 :large_vector (dtv.jl:53-58 + defaults.jl:26-27): an
+        # all-OOV document embeds as the constant DEFAULT_OOV_VAL
+        # vector over the |V|-term space; L2-normalized that is
+        # 1/√|V| in every component, so against the normalized query
+        # it scores cos = Σ qw / √|V| — a per-query scalar.  These
+        # docs are REAL hits (score strictly above the cos=0 fill), so
+        # they are appended regardless of ``pad_to_k``.  They tie among
+        # themselves (doc_id asc), so the 2k lowest all-OOV ids cover
+        # every slot they could take.
+        n_terms = float(index.meta.get("n_terms")
+                        or index.terms.count())
+        oov_cos = (qterms.groupBy("query_id")
+                   .agg((F.sum("qw") / F.lit(n_terms ** 0.5))
+                        .alias("cos")))
+        oov_low = (index.docs.where(F.col("doclen") == 0)
+                   .orderBy("doc_id").limit(2 * k).select("doc_id"))
+        oov_hits = oov_cos.crossJoin(oov_low) \
+            .select("query_id", "doc_id", "cos")
     if pad_to_k:
         qids = qterms.select("query_id").distinct()
         low = index.docs.orderBy("doc_id").limit(2 * k).select("doc_id")
@@ -147,28 +168,13 @@ def topk_plan(index: InvertedIndex, qterms: DataFrame, k: int,
                .join(hits.select("query_id", "doc_id"),
                      ["query_id", "doc_id"], "left_anti")
                .withColumn("cos", F.lit(0.0)))
-        if cfg.oov_policy == "large_vector":
-            # E8 :large_vector (dtv.jl:53-58 + defaults.jl:26-27): an
-            # all-OOV document embeds as the constant DEFAULT_OOV_VAL
-            # vector over the |V|-term space; L2-normalized that is
-            # 1/√|V| in every component, so against the normalized query
-            # it scores cos = Σ qw / √|V| — a per-query scalar.  These
-            # docs tie among themselves (doc_id asc), so the 2k lowest
-            # all-OOV ids cover every slot they could take.  (The cos=0
-            # pad above skips them via the doclen>0 restriction below.)
-            n_terms = float(index.meta.get("n_terms")
-                            or index.terms.count())
-            oov_cos = (qterms.groupBy("query_id")
-                       .agg((F.sum("qw") / F.lit(n_terms ** 0.5))
-                            .alias("cos")))
-            oov_low = (index.docs.where(F.col("doclen") == 0)
-                       .orderBy("doc_id").limit(2 * k).select("doc_id"))
-            oov_pad = oov_cos.crossJoin(oov_low) \
-                .select("query_id", "doc_id", "cos")
-            pad = (pad.join(index.docs.where(F.col("doclen") > 0)
-                            .select("doc_id"), "doc_id", "left_semi")
-                   .unionByName(oov_pad))
+        if oov_hits is not None:
+            # the cos=0 pad must not double-cover the all-OOV docs
+            pad = pad.join(index.docs.where(F.col("doclen") > 0)
+                           .select("doc_id"), "doc_id", "left_semi")
         hits = hits.unionByName(pad)
+    if oov_hits is not None:
+        hits = hits.unionByName(oov_hits)
     score = score_transform_expr(F.lit(1.0) - F.col("cos"), cfg.score_alpha)
     hits = hits.withColumn("score", score)
     rank_on = (F.round(F.col("score"), tiebreak_round)

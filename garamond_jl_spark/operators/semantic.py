@@ -524,8 +524,8 @@ class DenseVectorSearcher:
         return self._norms
 
     def fill_score(self) -> float:
-        import math
-        return 1.0 - math.tanh(self.score_alpha)
+        from garamond_jl_spark.functions.scoring import score_transform
+        return score_transform(1.0, self.score_alpha)
 
     def sparse_hits(self, spark: SparkSession, query: str
                     ) -> DataFrame | None:

@@ -71,6 +71,12 @@ class SearchEnv:
     the reference's HETEROGENEOUS config-2 env (a classic searcher and
     a Word2Vec/BOE searcher under one ``id_aggregation``,
     test/configs/configgenerator.jl:54-116).
+
+    ``id_key`` names the id column of the RAW loaded data (env.jl:41
+    db_check_id_key); the index's docs table is always addressed as
+    ``doc_id`` — ``build_index`` renames ``id_col`` on the way in, so
+    every engine-side plan below uses the uniform name regardless of
+    what the source column was called.
     """
     spark: SparkSession
     index: InvertedIndex
@@ -116,17 +122,17 @@ def search(env: SearchEnv, request: InternalRequest) -> DataFrame:
                  if kk in cols]
         filtered = docs.where(reduce(lambda a, b: a & b, preds)) \
             if preds else docs
-        sort_keys = [s for s in (request.sort_fields or [env.id_key])
+        sort_keys = [s for s in (request.sort_fields or ["doc_id"])
                      if s in cols]
         order = [F.col(s).desc() if request.sort_reverse else F.col(s).asc()
-                 for s in sort_keys] + [F.col(env.id_key).asc()]
+                 for s in sort_keys] + [F.col("doc_id").asc()]
         # distributed top-k first (TakeOrdered — no global window over
         # the full table), then rank the ≤k survivors
-        cols_needed = list(dict.fromkeys([env.id_key, *sort_keys]))
+        cols_needed = list(dict.fromkeys(["doc_id", *sort_keys]))
         top = filtered.select(*cols_needed).orderBy(*order).limit(k)
         w = Window.orderBy(*order)
         ranked = (top.withColumn("rank", F.row_number().over(w))
-                  .select(F.col(env.id_key).alias("doc_id"), "rank"))
+                  .select("doc_id", "rank"))
         return _linear_scores(ranked)
 
     if not has_search:
@@ -151,8 +157,8 @@ def search(env: SearchEnv, request: InternalRequest) -> DataFrame:
     # doc_ids — since cosine ≥ 0, every match outranks every fill row,
     # so ≤ k fill candidates can ever be displaced.  PLANS.md §round-2
     # records the .explain() audit.
-    ids = (indexfilter(docs, parsed.filter, id_key=env.id_key)
-           .withColumnRenamed(env.id_key, "doc_id")) if has_filter else None
+    ids = indexfilter(docs, parsed.filter, id_key="doc_id") \
+        if has_filter else None
 
     def sparse_hits(index: InvertedIndex) -> DataFrame | None:
         """None ⇔ the query is OOV for this searcher (is_embedded gate);
@@ -173,18 +179,18 @@ def search(env: SearchEnv, request: InternalRequest) -> DataFrame:
         h = score_all(index, qt).drop("query_id")  # single request query
         if index.cfg.oov_policy == "large_vector":
             import math
+            from garamond_jl_spark.functions.scoring import score_transform
             n_terms = float(index.meta.get("n_terms")
                             or index.terms.count())
             cos_oov = sum(r["qw"] for r in rows) / math.sqrt(n_terms)
-            s_oov = 1.0 - math.tanh(index.cfg.score_alpha * (1.0 - cos_oov))
+            s_oov = score_transform(1.0 - cos_oov, index.cfg.score_alpha)
             oov = (index.docs.where(F.col("doclen") == 0)
-                   .select(F.col(env.id_key).alias("doc_id"))
+                   .select("doc_id")
                    .withColumn("score", F.lit(s_oov)))
             h = h.unionByName(oov)
         return h.join(ids, "doc_id", "left_semi") if has_filter else h
 
-    pool = docs.select(F.col(env.id_key).alias("doc_id")) \
-        if ids is None else ids
+    pool = docs.select("doc_id") if ids is None else ids
 
     def searcher_hits(s) -> tuple[DataFrame | None, float]:
         """Uniform (sparse hits, fill) over both searcher kinds: a
@@ -279,8 +285,7 @@ def rank_ids(env: SearchEnv, request: InternalRequest) -> DataFrame:
     rows = [(d, 1.0 - i / denom, i + 1) for i, d in enumerate(ids)]
     out = env.spark.createDataFrame(rows, "doc_id LONG, score DOUBLE, rank INT")
     # keep only ids that exist in the table (J1 semi-join)
-    return out.join(env.index.docs.select(F.col(env.id_key).alias("doc_id")),
-                    "doc_id", "left_semi")
+    return out.join(env.index.docs.select("doc_id"), "doc_id", "left_semi")
 
 
 def recommend(env: SearchEnv, request: InternalRequest) -> DataFrame:
@@ -320,9 +325,9 @@ def respond(env: SearchEnv, request: InternalRequest) -> DataFrame:
     hits = hits.where((F.col("rank") > lo) & (F.col("rank") <= hi))
     cols = [c for c in (request.return_fields
                         or [c for c in env.index.docs.columns
-                            if c != env.id_key])
-            if c in env.index.docs.columns and c != env.id_key]
-    docs = env.index.docs.select(F.col(env.id_key).alias("doc_id"), *cols)
+                            if c != "doc_id"])
+            if c in env.index.docs.columns and c != "doc_id"]
+    docs = env.index.docs.select("doc_id", *cols)
     return docs.join(F.broadcast(hits), "doc_id") \
                .select("doc_id", "score", "rank", *cols)
 

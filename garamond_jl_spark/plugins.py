@@ -75,12 +75,14 @@ def search_recommender(request: Any, env: Any) -> str:
     """§3.3: target id → structured query from its row, seed excluded by
     the caller (recommenders/search.jl:1-66)."""
     seed_id = int(request.query.strip())
+    # the index docs table is uniformly addressed as doc_id (build_index
+    # renames id_col); env.id_key names the RAW data's id column only
     row_df = env.index.docs.where(
-        env.index.docs[env.id_key] == seed_id).limit(1)
+        env.index.docs["doc_id"] == seed_id).limit(1)
     rows = row_df.collect()
     if not rows:
         return ""
-    return generate_recommend_query(rows[0].asDict(), env.id_key,
+    return generate_recommend_query(rows[0].asDict(), "doc_id",
                                     fields=request.return_fields or None)
 
 

@@ -172,3 +172,34 @@ def test_config_soft_defaults_warn(tmp_path):
         parsed = parse_configuration(_write(tmp_path, c))
     assert parsed["embedders"][0]["vectors"] == "bm25"
     assert parsed["aggregation"] == "mean"
+
+
+def test_env_custom_id_key(spark, tmp_path):
+    """A config whose data id column is NOT named doc_id builds and
+    searches: the engine addresses the index docs table uniformly as
+    doc_id (build_index renames id_col), while env.id_key records the
+    raw column name (the round-3 advice regression: lifecycle used to
+    read F.col(env.id_key) off the renamed docs table and every search
+    raised an unresolved-column error)."""
+    src = str(tmp_path / "renamed.parquet")
+    (spark.read.parquet(DOCS)
+     .withColumnRenamed("doc_id", "uid").write.parquet(src))
+    c = _base_config()
+    c["data_loader_arguments"] = [src]
+    c["id_key"] = "uid"
+    env = build_search_env(spark, _write(tmp_path, c))
+    assert env.id_key == "uid"
+
+    # search plan + combined filter plan + filter-only plan all run
+    req = InternalRequest(query='spark join data lang:"en"',
+                          max_matches=10, tiebreak_round=6)
+    got = lsearch(env, req).collect()
+    assert len(got) == 10
+
+    base = build_search_env(spark, _write(tmp_path, _base_config()))
+    want = lsearch(base, req).collect()
+    assert sorted((r["doc_id"], r["rank"]) for r in got) == \
+        sorted((r["doc_id"], r["rank"]) for r in want)
+
+    fo = InternalRequest(query='lang:"en"', max_matches=5)
+    assert lsearch(env, fo).count() == 5

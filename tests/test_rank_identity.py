@@ -166,3 +166,22 @@ def test_oov_policy_large_vector(spark):
         # query-side gate regardless of policy
         assert search(spark, index, ["zzz_oov"], k=4,
                       hydrate=False).count() == 0
+
+
+def test_oov_large_vector_without_pad(spark):
+    """E8 all-OOV docs are HITS, not padding: they must appear even with
+    pad_to_k=False (which suppresses only the cos=0 fill rows)."""
+    import math
+    texts = ["alpha beta gamma", "beta gamma delta", "!!! ??? ...",
+             "alpha alpha beta"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id LONG, content STRING")
+    cfg = EngineConfig(score_alpha=TEST_SCORE_ALPHA,
+                       oov_policy="large_vector")
+    index = build_index(spark, df, cfg, id_col="doc_id")
+    got = {r["doc_id"]: r["score"]
+           for r in search(spark, index, ["alpha"], k=4, hydrate=False,
+                           pad_to_k=False).collect()}
+    assert 2 in got                       # the all-OOV doc is present
+    assert got[2] > 1.0 - math.tanh(cfg.score_alpha)
+    assert 1 not in got                   # zero-overlap fill IS suppressed
