@@ -505,17 +505,79 @@ class DenseVectorSearcher:
     selects fill candidates with an anti-join BEFORE the low-id limit
     for exactly this reason.
 
+    ``candidate_index`` (optional) attaches a sublinear ANN index
+    (operators/ann.LSHCandidateIndex / IVFCandidateIndex) — the
+    reference's searcher-owns-an-index design (src/searchable/
+    searcher.jl:120-125 attaching an IVFADC/HNSW index instead of the
+    NaiveIndex corpus scan).  With an index, :meth:`sparse_hits` scores
+    only the exact-reranked CANDIDATE set; non-candidates fall to the
+    lifecycle's fill semantics, so a request touches the probed
+    buckets/lists instead of the corpus.  Without one, the full-scan
+    NaiveIndex semantics (naive.jl:15-32) apply unchanged — that exact
+    path remains the parity default.
+
     Subclasses supply :meth:`embed_query` → long-form (i, qv) DataFrame,
     or ``None``/empty when the query is OOV for the embedder."""
 
-    def __init__(self, doc_embeddings: DataFrame, score_alpha: float = 0.4):
+    def __init__(self, doc_embeddings: DataFrame, score_alpha: float = 0.4,
+                 candidate_index=None):
         self.doc_embeddings = doc_embeddings
         self.score_alpha = float(score_alpha)
+        self.candidate_index = candidate_index
+        self.packed: DataFrame | None = None
         self._norms: DataFrame | None = None
+
+    def with_packed_storage(self, dim: int,
+                            persist: bool = True) -> "DenseVectorSearcher":
+        """Switch this searcher's scoring to the packed array storage
+        (:func:`pack_doc_embeddings` — one row per doc, mapInArrow
+        matvec scorer): smaller footprint, no per-component join rows.
+        The long form stays the source of truth for builders; parity
+        rows keep the long-form JVM scorer (numpy tanh may differ in
+        the last ulp).  Returns self for chaining."""
+        self.packed = pack_doc_embeddings(self.doc_embeddings, dim)
+        if persist:
+            self.packed = self.packed.persist()
+        return self
+
+    def with_candidate_index(self, kind: str = "lsh",
+                             **kwargs) -> "DenseVectorSearcher":
+        """Attach a sublinear candidate index built over this searcher's
+        own doc embeddings: ``kind`` ∈ {lsh, ivf} (kwargs forwarded to
+        the builder).  Returns self for chaining."""
+        from garamond_jl_spark.operators.ann import (IVFCandidateIndex,
+                                                     LSHCandidateIndex)
+        builder = {"lsh": LSHCandidateIndex,
+                   "ivf": IVFCandidateIndex}.get(kind)
+        if builder is None:
+            raise ValueError(f"unknown candidate index kind: {kind!r}")
+        self.candidate_index = builder.build(self.doc_embeddings, **kwargs)
+        return self
 
     def embed_query(self, spark: SparkSession, query: str
                     ) -> DataFrame | None:
         raise NotImplementedError
+
+    def embed_queries_df(self, spark: SparkSession,
+                         queries: list[str]) -> DataFrame:
+        """Batched query embedding → (query_id, i, qv) for the WHOLE
+        batch in one DataFrame; a query absent from the output is OOV
+        for this searcher (the per-query is_embedded gate in batch
+        form).  Subclasses override with single-job plans; this
+        fallback unions the per-query embeddings."""
+        parts = []
+        for qid, q in enumerate(queries):
+            qv = self.embed_query(spark, q)
+            if qv is not None:
+                parts.append(qv.select(F.lit(qid).alias("query_id"),
+                                       "i", "qv"))
+        if not parts:
+            return spark.createDataFrame(
+                [], "query_id INT, i INT, qv DOUBLE")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _doc_norms(self) -> DataFrame:
         if self._norms is None:
@@ -533,12 +595,25 @@ class DenseVectorSearcher:
         qv = self.embed_query(spark, query)
         if qv is None:
             return None
-        qn_rows = (qv.agg(F.sqrt(F.sum(F.col("qv") ** 2)).alias("nq"))
-                   .collect())
-        nq = float(qn_rows[0]["nq"]) if qn_rows and qn_rows[0]["nq"] else 0.0
+        # the query vector is dim-sized — one collect serves both the
+        # norm and (when an ANN index is attached) the driver-side
+        # bucket/centroid probe math
+        qv_rows = [(int(r["i"]), float(r["qv"])) for r in qv.collect()]
+        nq = sum(v * v for _, v in qv_rows) ** 0.5
         if nq == 0.0:
             return None                      # OOV for this searcher
-        dots = (self.doc_embeddings.join(F.broadcast(qv), "i")
+        if self.packed is not None:
+            src = self.packed
+            if self.candidate_index is not None:
+                src = src.join(self.candidate_index.candidates(qv_rows),
+                               "doc_id", "left_semi")
+            return packed_cosine_scores(src, qv_rows, self.score_alpha)
+        dv = self.doc_embeddings
+        if self.candidate_index is not None:
+            cand = self.candidate_index.candidates(qv_rows)
+            dv = dv.join(cand, "doc_id", "left_semi")
+        qvb = F.broadcast(spark.createDataFrame(qv_rows, "i INT, qv DOUBLE"))
+        dots = (dv.join(qvb, "i")
                 .groupBy("doc_id")
                 .agg(F.sum(F.col("dv") * F.col("qv")).alias("dot")))
         cosd = (dots.join(self._doc_norms(), "doc_id")
@@ -547,6 +622,48 @@ class DenseVectorSearcher:
         score = score_transform_expr(F.lit(1.0) - F.col("cos"),
                                      self.score_alpha)
         return cosd.select("doc_id", score.alias("score"))
+
+    def sparse_hits_batch(self, spark: SparkSession, queries: list[str]
+                          ) -> tuple[DataFrame, DataFrame]:
+        """Batched :meth:`sparse_hits`: returns (hits, embedded) where
+        hits = (query_id, doc_id, score) for the whole batch in ONE
+        plan and embedded = (query_id) marks the queries that passed
+        this searcher's is_embedded gate (the per-query analog of the
+        single path's ``None``).  The per-request driver loops of the
+        single path (query projection, norm collect) become one
+        createDataFrame + joins — an N-query batch costs O(1) jobs per
+        searcher, not O(N)."""
+        from garamond_jl_spark.functions.scoring import score_transform_expr
+        qv = self.embed_queries_df(spark, queries)
+        nqdf = (qv.groupBy("query_id")
+                .agg(F.sqrt(F.sum(F.col("qv") ** 2)).alias("nq"))
+                .where(F.col("nq") > 0))
+        dv = self.doc_embeddings
+        if self.candidate_index is not None:
+            # probe math is driver-side per query (dim-sized vectors);
+            # one collect of the batch's vectors feeds every probe
+            qv_map: dict[int, list[tuple[int, float]]] = {}
+            for r in qv.collect():
+                qv_map.setdefault(int(r["query_id"]), []).append(
+                    (int(r["i"]), float(r["qv"])))
+            cand = self.candidate_index.candidates_batch(qv_map)
+            dots = (cand.join(dv, "doc_id")
+                    .join(qv, ["query_id", "i"])
+                    .groupBy("query_id", "doc_id")
+                    .agg(F.sum(F.col("dv") * F.col("qv")).alias("dot")))
+        else:
+            dots = (dv.join(F.broadcast(qv), "i")
+                    .groupBy("query_id", "doc_id")
+                    .agg(F.sum(F.col("dv") * F.col("qv")).alias("dot")))
+        cosd = (dots.join(self._doc_norms(), "doc_id")
+                .join(F.broadcast(nqdf), "query_id")
+                .select("query_id", "doc_id",
+                        (F.col("dot") / (F.col("nd") * F.col("nq")))
+                        .alias("cos")))
+        score = score_transform_expr(F.lit(1.0) - F.col("cos"),
+                                     self.score_alpha)
+        return (cosd.select("query_id", "doc_id", score.alias("score")),
+                nqdf.select("query_id"))
 
 
 class BOESearcher(DenseVectorSearcher):
@@ -568,6 +685,26 @@ class BOESearcher(DenseVectorSearcher):
     def embed_query(self, spark: SparkSession, query: str
                     ) -> DataFrame | None:
         return boe_embed_query(spark, query, self.word_vectors)
+
+    def embed_queries_df(self, spark: SparkSession,
+                         queries: list[str]) -> DataFrame:
+        """All queries' token counts in one tiny table joined once
+        against the word-vector table (boe.jl's sum, batch form)."""
+        rows = []
+        for qid, q in enumerate(queries):
+            counts: dict[str, int] = {}
+            for t in (q or "").split(" "):
+                if t:
+                    counts[t] = counts.get(t, 0) + 1
+            rows.extend((qid, t, c) for t, c in sorted(counts.items()))
+        if not rows:
+            return spark.createDataFrame(
+                [], "query_id INT, i INT, qv DOUBLE")
+        qt = F.broadcast(spark.createDataFrame(
+            rows, "query_id INT, term STRING, qtf INT"))
+        return (qt.join(self.word_vectors, "term")
+                .groupBy("query_id", "i")
+                .agg(F.sum(F.col("qtf") * F.col("v")).alias("qv")))
 
 
 class RPSearcher(DenseVectorSearcher):
@@ -604,6 +741,28 @@ class RPSearcher(DenseVectorSearcher):
                                  * rp_sign(r["term"], o, self.seed))
         return spark.createDataFrame(
             [(o + 1, c) for o, c in enumerate(comps)], "i INT, qv DOUBLE")
+
+    def embed_queries_df(self, spark: SparkSession,
+                         queries: list[str]) -> DataFrame:
+        """Batch form: the classic pseudo-document embedding
+        (embed_queries) already carries query_id; the projection is the
+        SAME md5 sign expression the doc side uses
+        (:func:`rp_doc_embeddings`) — one explode + one shuffle for the
+        whole batch instead of |terms|·dim driver multiply-adds per
+        query."""
+        from garamond_jl_spark.operators.query import embed_queries
+        qt = embed_queries(spark, self.index, queries)
+        inv = 1.0 / (self.dim_out ** 0.5)
+        p = qt.select(
+            "query_id", "term", "qw",
+            F.explode(F.sequence(F.lit(1), F.lit(self.dim_out))).alias("o"))
+        r = F.when(
+            F.substring(F.md5(F.concat_ws(":", F.lit(self.seed), F.lit("RP"),
+                                          F.col("term"), F.col("o"))), 1, 1)
+            .isin(*"89abcdef"), F.lit(inv)).otherwise(F.lit(-inv))
+        return (p.withColumn("r", r)
+                .groupBy("query_id", F.col("o").alias("i"))
+                .agg(F.sum(F.col("qw") * F.col("r")).alias("qv")))
 
 
 class LSASearcher(DenseVectorSearcher):
@@ -646,6 +805,72 @@ class LSASearcher(DenseVectorSearcher):
             return None
         return spark.createDataFrame(sorted(comps.items()),
                                      "i INT, qv DOUBLE")
+
+    def embed_queries_df(self, spark: SparkSession,
+                         queries: list[str]) -> DataFrame:
+        """Batch form: fold every query into the latent space through
+        ONE broadcast join with V (project_dtv's query-side twin) — no
+        per-query V-row collects."""
+        from garamond_jl_spark.operators.query import embed_queries
+        qt = embed_queries(spark, self.index, queries)
+        return (qt.join(F.broadcast(self.v_table), "term")
+                .groupBy("query_id", "i")
+                .agg(F.sum(F.col("qw") * F.col("v")).alias("qv")))
+
+
+def pack_doc_embeddings(dv: DataFrame, dim: int) -> DataFrame:
+    """Long-form (doc_id, i, dv) → packed (doc_id, emb array<double>[dim])
+    — the dense storage variant: the long form is join-friendly (every
+    scorer above is an equi-join + groupBy) but stores ~3 values per
+    component; the packed form is one row per doc (≈16× smaller on
+    disk for 16-dim vectors) and scores through one mapInArrow pass
+    (:func:`packed_cosine_scores`).  Missing components (a dim never
+    touched by the doc's terms) pack as 0 — the same value the long
+    form's absent row contributes to every aggregation."""
+    ent = (dv.groupBy("doc_id")
+           .agg(F.map_from_entries(
+               F.array_sort(F.collect_list(F.struct("i", "dv"))))
+               .alias("m")))
+    emb = F.expr(f"transform(sequence(1, {dim}), "
+                 "j -> coalesce(element_at(m, j), cast(0.0 as double)))")
+    return ent.select("doc_id", emb.alias("emb"))
+
+
+def packed_cosine_scores(packed: DataFrame,
+                         qv_rows: list[tuple[int, float]],
+                         score_alpha: float) -> DataFrame:
+    """(doc_id, score) over a packed embedding table: one mapInArrow
+    pass computing dot/norm/transform as a blocked numpy matvec — no
+    per-component join rows, no shuffle (the scorer is a map).  The
+    query side is the usual dim-sized driver vector."""
+    import numpy as np
+    import pyarrow as pa
+
+    dim = max(i for i, _ in qv_rows) if qv_rows else 0
+    q = np.zeros(dim)
+    for i, v in qv_rows:
+        q[i - 1] = v
+    nq = float(np.linalg.norm(q))
+    alpha = float(score_alpha)
+
+    def _score(batches):
+        for b in batches:
+            ids = b.column(b.schema.get_field_index("doc_id"))
+            vecs = b.column(b.schema.get_field_index("emb"))
+            if len(vecs) == 0:
+                continue
+            flat = vecs.flatten().to_numpy(zero_copy_only=False)
+            X = np.asarray(flat, dtype=np.float64).reshape(len(vecs), -1)
+            nd = np.linalg.norm(X, axis=1)
+            nd[nd == 0.0] = np.inf            # zero vector → cos 0
+            cos = (X @ q) / (nd * nq)
+            score = 1.0 - np.tanh(alpha * (1.0 - cos))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(score, type=pa.float64())],
+                names=["doc_id", "score"])
+
+    return (packed.select("doc_id", "emb")
+            .mapInArrow(_score, "doc_id LONG, score DOUBLE"))
 
 
 def cosine_topk(dv: DataFrame, qv_rows: list[tuple[int, float]], k: int,

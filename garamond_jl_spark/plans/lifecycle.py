@@ -275,6 +275,197 @@ def search(env: SearchEnv, request: InternalRequest) -> DataFrame:
             .select("doc_id", "score", "rank"))
 
 
+def _strategy_agg(grouped, strategy: str):
+    """The A6 reduction as a grouped aggregate over long-format
+    (..., wscore) rows — single definition shared by the batched path
+    (same formulas as operators/aggregate.aggregate_results)."""
+    if strategy == "min":
+        return grouped.agg(F.min("wscore").alias("score"))
+    if strategy == "max":
+        return grouped.agg(F.max("wscore").alias("score"))
+    if strategy == "median":
+        return grouped.agg(F.expr("percentile(wscore, 0.5)").alias("score"))
+    if strategy == "product":
+        return grouped.agg(F.exp(F.sum(F.log("wscore"))).alias("score"))
+    return grouped.agg(F.avg("wscore").alias("score"))     # mean default
+
+
+def search_many(env: SearchEnv, requests: list[InternalRequest]
+                ) -> DataFrame:
+    """Batched lifecycle search: N requests → ONE DataFrame DAG →
+    (request_id, doc_id, score, rank) — the multi-request twin of
+    :func:`search`, closing the round-3 gap where every dense searcher
+    ran a per-request corpus job (an N-query mixed-env batch launched
+    O(N) jobs; this path launches O(#searchers)).
+
+    Per searcher the whole batch embeds in one createDataFrame + join
+    (``embed_queries`` for classic indexes — already batch-shaped —
+    and :meth:`DenseVectorSearcher.sparse_hits_batch` for dense ones,
+    which replaces the per-query driver projection loops of
+    embed_query); the merge/fill/pad algebra of the single path is
+    re-expressed with query_id riding every key.  Requests that need
+    the filter plans (P10) fall back to :func:`search` individually —
+    the batched shape is the search-only hot path, matching the classic
+    engine's batched ``topk_plan``.
+
+    All requests must share ``tiebreak_round`` (one ranking key per
+    window)."""
+    spark = env.spark
+    if any(r.operation != "search" for r in requests):
+        raise ValueError("search_many handles operation='search' only")
+    rounds = {r.tiebreak_round for r in requests}
+    if len(rounds) > 1:
+        raise ValueError("search_many requires a uniform tiebreak_round")
+    tiebreak_round = next(iter(rounds)) if rounds else None
+
+    parsed = [parse_input(env.schema, r.query, r.input_parser,
+                          searchable_filters=r.searchable_filters)
+              for r in requests]
+    n_live = env.index.meta.get("n_live_docs", env.index.meta["n_docs"])
+    batch: list[int] = []      # request indexes served by the batch plan
+    fallback: list[int] = []   # filter-only / combined → single path
+    for i, p in enumerate(parsed):
+        if p.search.strip() and not p.filter:
+            batch.append(i)
+        else:
+            fallback.append(i)
+
+    out_schema = "request_id INT, doc_id LONG, score DOUBLE, rank INT"
+    parts: list[DataFrame] = []
+    for i in fallback:
+        parts.append(search(env, requests[i])
+                     .select(F.lit(i).alias("request_id"),
+                             "doc_id", "score", "rank"))
+
+    if batch:
+        queries = [parsed[i].search for i in batch]
+        ks = [(qid, min(requests[i].max_matches, n_live))
+              for qid, i in enumerate(batch)]
+        max_k = max(k for _, k in ks)
+        if not env.searchers:
+            qt = embed_queries(spark, env.index, queries)
+            hits = topk_plan(env.index, qt, max_k,
+                             tiebreak_round=tiebreak_round, pad_to_k=True)
+        else:
+            hits = _search_many_multi(env, queries, max_k, tiebreak_round)
+        kdf = F.broadcast(spark.createDataFrame(ks, "query_id INT, k INT"))
+        qmap = F.broadcast(spark.createDataFrame(
+            [(qid, i) for qid, i in enumerate(batch)],
+            "query_id INT, request_id INT"))
+        parts.append(hits.join(kdf, "query_id")
+                     .where(F.col("rank") <= F.col("k"))
+                     .join(qmap, "query_id")
+                     .select("request_id", "doc_id", "score", "rank"))
+
+    if not parts:
+        return spark.createDataFrame([], out_schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _search_many_multi(env: SearchEnv, queries: list[str], k: int,
+                       tiebreak_round: int | None) -> DataFrame:
+    """The multi-searcher merge of :func:`search`, batched: per-searcher
+    sparse hit sets with query_id on every key, candidate-union
+    densify + per-query fill, strategy aggregation, per-query pad from
+    the lowest non-candidate ids, one ranking window."""
+    from garamond_jl_spark.operators.query import score_all
+    spark = env.spark
+
+    def classic_set(index: InvertedIndex, wgt: float):
+        qt = embed_queries(spark, index, queries)
+        emb = qt.select("query_id").distinct()
+        h = score_all(index, qt)
+        if index.cfg.oov_policy == "large_vector":
+            # E8 batch form: per-query constant-fill-vector score for
+            # the all-OOV docs (same math as the single path's s_oov)
+            from garamond_jl_spark.functions.scoring import \
+                score_transform_expr
+            n_terms = float(index.meta.get("n_terms")
+                            or index.terms.count())
+            s_oov = (qt.groupBy("query_id")
+                     .agg(score_transform_expr(
+                         F.lit(1.0) - F.sum("qw") / F.lit(n_terms ** 0.5),
+                         index.cfg.score_alpha).alias("score")))
+            oov = s_oov.crossJoin(index.docs.where(F.col("doclen") == 0)
+                                  .select("doc_id"))
+            h = h.unionByName(oov.select("query_id", "doc_id", "score"))
+        return h, emb, wgt, fill_score(index.cfg)
+
+    sets = [classic_set(env.index, env.score_weight)]
+    for s, wgt in env.searchers:
+        if isinstance(s, InvertedIndex):
+            sets.append(classic_set(s, wgt))
+        else:
+            h, emb = s.sparse_hits_batch(spark, queries)
+            sets.append((h, emb, wgt, s.fill_score()))
+
+    cands = sets[0][0].select("query_id", "doc_id")
+    for h, _, _, _ in sets[1:]:
+        cands = cands.unionByName(h.select("query_id", "doc_id"))
+    cands = cands.distinct()
+
+    long = None
+    fills = None
+    for h, emb, wgt, s0 in sets:
+        dens = (cands.join(emb, "query_id", "left_semi")
+                .join(h, ["query_id", "doc_id"], "left")
+                .select("query_id", "doc_id",
+                        (F.lit(wgt) * F.coalesce("score", F.lit(s0)))
+                        .alias("wscore")))
+        long = dens if long is None else long.unionByName(dens)
+        fr = emb.select("query_id",
+                        F.lit(wgt * s0).alias("wscore"))
+        fills = fr if fills is None else fills.unionByName(fr)
+
+    agg = _strategy_agg(long.groupBy("query_id", "doc_id"),
+                        env.aggregation).where(F.col("score") > 0)
+    padsc = _strategy_agg(fills.groupBy("query_id"), env.aggregation) \
+        .withColumnRenamed("score", "pad_score") \
+        .where(F.col("pad_score") > 0)
+
+    # per-query pad: the k lowest NON-candidate doc ids.  Dense scores
+    # can fall below the pad, so candidates must be excluded before the
+    # low-id cut (same invariant as the single path); the low slice
+    # grows geometrically until every query has k non-candidates in it
+    # (one tiny job per doubling — candidates rarely monopolize the
+    # lowest ids).
+    qids = F.broadcast(spark.createDataFrame(
+        [(q,) for q in range(len(queries))], "query_id INT"))
+    n_docs = env.index.meta.get("n_live_docs", env.index.meta["n_docs"])
+    L = 4 * k
+    while True:
+        low = env.index.docs.orderBy("doc_id").limit(L).select("doc_id")
+        lowq = (qids.crossJoin(low)
+                .join(cands, ["query_id", "doc_id"], "left_anti"))
+        if L >= n_docs:
+            break
+        counts = {r["query_id"]: r["cnt"] for r in
+                  lowq.groupBy("query_id").agg(F.count("*").alias("cnt"))
+                  .collect()}
+        if min((counts.get(q, 0) for q in range(len(queries))),
+               default=k) >= k:
+            break
+        L *= 4
+    wlow = Window.partitionBy("query_id").orderBy(F.col("doc_id").asc())
+    pads = (lowq.withColumn("_r", F.row_number().over(wlow))
+            .where(F.col("_r") <= k).drop("_r")
+            .join(padsc, "query_id")
+            .select("query_id", "doc_id",
+                    F.col("pad_score").alias("score")))
+
+    hits = agg.unionByName(pads)
+    rank_on = (F.round(F.col("score"), tiebreak_round)
+               if tiebreak_round is not None else F.col("score"))
+    w = Window.partitionBy("query_id").orderBy(rank_on.desc(),
+                                               F.col("doc_id").asc())
+    return (hits.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "doc_id", "score", "rank"))
+
+
 def rank_ids(env: SearchEnv, request: InternalRequest) -> DataFrame:
     """:rank operation (rank.jl:37-58): explicit id list in the query →
     ranker reorders → linear scores range(1, 0)."""

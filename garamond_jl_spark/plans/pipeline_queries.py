@@ -708,7 +708,8 @@ IVF_PROBE = 4
 def ann_ivf_search(u: DataFrame, query_ids: list[int], k: int,
                    n_centroids: int = IVF_CENTROIDS,
                    n_probe: int = IVF_PROBE,
-                   centroids: DataFrame | None = None) -> DataFrame:
+                   centroids: DataFrame | None = None,
+                   asg: DataFrame | None = None) -> DataFrame:
     """END-TO-END IVF (inverted-file) ANN search — the coarse-quantizer
     half of reference/src/index/ivfadc.jl:22-39 in the Spark-native
     idiom, and the second scale path of the build brief ("an IVF or
@@ -729,7 +730,20 @@ def ann_ivf_search(u: DataFrame, query_ids: list[int], k: int,
     lowest vec_ids" so the whole plan is reproducible and
     DuckDB-parity-checkable (same trick as the md5 hyperplanes — swap
     the one table for trained centroids, every downstream plan
-    unchanged)."""
+    unchanged).
+
+    ``asg`` (vec_id, cid): optional precomputed assignment table.  The
+    default join-shaped assignment below materializes |corpus|×K rows
+    before the argmax — fine at parity K, but at the 10⁴-centroid scale
+    a 10⁹-vector IVF needs, pass the output of
+    ``operators.ann.assign_lists_arrow`` (one mapInArrow blocked-matmul
+    pass over packed vectors, cost independent of K — figures in
+    BENCH.md).  Any consistent nearest-centroid map is a valid list
+    structure (the rerank is exact either way); note the default here
+    assigns by cosine for DuckDB parity while assign_lists_arrow uses
+    the IVFADC L2 convention.  With ``asg`` supplied, the corpus never
+    enters the centroid-cosine stage — only the query ids' rows are
+    ranked for probing."""
     if centroids is None:
         centroids = (u.where(F.col("vec_id") < n_centroids)
                      .select(F.col("vec_id").alias("cid"), "i",
@@ -738,7 +752,10 @@ def ann_ivf_search(u: DataFrame, query_ids: list[int], k: int,
         F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv"))
     cnrm = centroids.groupBy("cid").agg(
         F.sqrt(F.sum(F.col("cv") * F.col("cv"))).alias("nc"))
-    cdots = (u.join(F.broadcast(centroids), "i")
+    # with a precomputed assignment, centroid cosines are needed for the
+    # QUERY vectors only (the probe ranking) — never the corpus
+    ubase = u if asg is None else u.where(F.col("vec_id").isin(*query_ids))
+    cdots = (ubase.join(F.broadcast(centroids), "i")
              .groupBy("vec_id", "cid")
              .agg(F.sum(F.col("v") * F.col("cv")).alias("dot")))
     ccos = (cdots.join(nrm, "vec_id").join(F.broadcast(cnrm), "cid")
@@ -748,7 +765,8 @@ def ann_ivf_search(u: DataFrame, query_ids: list[int], k: int,
     wa = Window.partitionBy("vec_id").orderBy(
         F.round(F.col("c"), 6).desc(), F.col("cid").asc())
     ranked = ccos.withColumn("_r", F.row_number().over(wa))
-    asg = ranked.where(F.col("_r") == 1).select("vec_id", "cid")
+    if asg is None:
+        asg = ranked.where(F.col("_r") == 1).select("vec_id", "cid")
     probes = (ranked.where(F.col("_r") <= n_probe)
               .where(F.col("vec_id").isin(*query_ids))
               .select(F.col("vec_id").alias("query_id"), "cid"))

@@ -286,7 +286,17 @@ def lifecycle_multi_searcher_mixed(spark, sf_dir):
     by src/search/results.jl:54-145 with the default :mean strategy).
     Both searchers weight 0.8 (config-2 score_weight) and share
     score_alpha 0.4; the BOE side uses the deterministic synthetic word
-    vectors (operators/semantic.py)."""
+    vectors (operators/semantic.py).
+
+    Round 4: the BOE searcher runs ANN-BACKED — an LSH candidate index
+    (operators/ann.LSHCandidateIndex, the searcher-owns-an-index design
+    of reference src/searchable/searcher.jl:120-125) narrows the dense
+    side to the probed buckets with exact rerank, and the top-k is
+    STILL hash-identical to the full-scan DuckDB oracle: at these probe
+    settings the candidate set covers every doc whose dense score can
+    reach the merged top-10 (verified against the exact engine in
+    tests/test_ann.py; the full-scan path remains available by simply
+    not attaching an index)."""
     from garamond_jl_spark.operators.semantic import (BOESearcher,
                                                       synthetic_word_vectors)
     from garamond_jl_spark.plans.lifecycle import (InternalRequest,
@@ -298,7 +308,8 @@ def lifecycle_multi_searcher_mixed(spark, sf_dir):
            .where(F.col("term") != ""))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     wv = synthetic_word_vectors(tf.select("term"), dim=16, seed=0)
-    boe = BOESearcher.from_tokens(tf, wv, score_alpha=0.4)
+    boe = BOESearcher.from_tokens(tf, wv, score_alpha=0.4) \
+        .with_candidate_index("lsh", n_planes=6, radius=3, seed=0)
     env = LSE(spark=spark, index=idx, score_weight=0.8,
               searchers=[(boe, 0.8)], aggregation="mean")
     req = InternalRequest(query=FT_QUERY, max_matches=10, tiebreak_round=6)
@@ -441,6 +452,43 @@ def fulltext_vocab_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (probe.join(idx.terms.select("term", F.lit(True).alias("hit")),
                        "term", "left")
             .select("term", F.coalesce("hit", F.lit(False)).alias("in_vocab")))
+
+
+@q("suggest_levenshtein", """
+WITH tok AS (
+  SELECT t.term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+vocab AS (SELECT DISTINCT term FROM tok),
+nd(needle) AS (VALUES ('sparkk'), ('joinn'), ('dtaa'), ('windoww')),
+cand AS (
+  SELECT n.needle, v.term,
+         levenshtein(v.term, n.needle)::DOUBLE AS distance
+  FROM vocab v JOIN nd n ON abs(length(v.term) - length(n.needle)) <= 2
+  WHERE levenshtein(v.term, n.needle) <= 2
+)
+SELECT needle, term AS suggestion, cast(distance AS BIGINT) AS dist,
+       cast(row_number() OVER (PARTITION BY needle
+                               ORDER BY distance ASC, term ASC)
+            AS BIGINT) AS rnk
+FROM cand QUALIFY rnk <= 5
+""")
+def suggest_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10/A8 spelling suggestions through the driver gate: for each
+    misspelled needle, the ≤5 closest vocabulary terms at Levenshtein
+    ≤ 2, ties in term order (the BK-tree capability of reference
+    src/search/index.jl:157-180 as the banded equi-join of
+    functions/suggest.py — the length band |len(t) − len(q)| ≤ d is the
+    distributed analog of the tree's triangle-inequality pruning)."""
+    from garamond_jl_spark.functions.suggest import suggest_terms
+    idx = _ft_index(spark, sf_dir)
+    out = suggest_terms(idx.terms, ["sparkk", "joinn", "dtaa", "windoww"],
+                        max_distance=2, max_suggestions=5,
+                        metric="levenshtein")
+    return out.select("needle", "suggestion",
+                      F.col("distance").cast("long").alias("dist"),
+                      F.col("rank").cast("long").alias("rnk"))
 
 
 # --------------------------------------------------------------------------

@@ -267,3 +267,85 @@ def test_lifecycle_large_vector_oov_docs(spark):
     for a, b in zip(got, want):
         assert a["score"] == pytest.approx(b["score"], abs=1e-12)
     assert any(r["doc_id"] == 2 for r in got)  # the all-OOV doc is a hit
+
+
+def test_search_many_matches_single_requests(spark):
+    """Batched lifecycle search: N mixed-env requests in one DAG return
+    exactly what N single search() calls return — including an
+    all-OOV query (empty result) and per-request max_matches — while
+    launching O(#searchers) jobs, not O(N)."""
+    from garamond_jl_spark.operators.semantic import (
+        BOESearcher, synthetic_word_vectors)
+    from garamond_jl_spark.plans.lifecycle import search_many
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(spark, docs, EngineConfig(score_alpha=0.4),
+                      id_col="doc_id", text_col="text")
+    tok = (docs.select("doc_id",
+                       F.explode(F.split("text", " ")).alias("term"))
+           .where(F.col("term") != ""))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    wv = synthetic_word_vectors(tf.select("term"), dim=16, seed=0)
+    boe = BOESearcher.from_tokens(tf, wv, score_alpha=0.4)
+    env = SearchEnv(spark=spark, index=idx, score_weight=0.8,
+                    searchers=[(boe, 0.8)], aggregation="mean")
+
+    texts = ["spark join data", "window batch merge", "stream filter map",
+             "shuffle sort spill", "cache persist disk",
+             "broadcast hash join", "column prune scan"]
+    reqs = [InternalRequest(query=t, max_matches=10, tiebreak_round=6)
+            for t in texts]
+    reqs[1].max_matches = 5
+    reqs += [InternalRequest(query="zzzz_not_in_vocab_anywhere",
+                             max_matches=5, tiebreak_round=6),
+             InternalRequest(query='spark lang:"en"', max_matches=7,
+                             tiebreak_round=6)]   # filter → fallback path
+
+    sc = spark.sparkContext
+    sc.setJobGroup("smany", "batched lifecycle search")
+    got = search_many(env, reqs).collect()
+    n_batch = len(sc.statusTracker().getJobIdsForGroup("smany"))
+
+    sc.setJobGroup("ssingle", "per-request lifecycle search")
+    wants = [sorted(search(env, req).collect(), key=lambda r: r["rank"])
+             for req in reqs]
+    n_single = len(sc.statusTracker().getJobIdsForGroup("ssingle"))
+    sc.setJobGroup("", "")
+
+    by_req = {}
+    for r in got:
+        by_req.setdefault(r["request_id"], []).append(r)
+    for i, want in enumerate(wants):
+        have = sorted(by_req.get(i, []), key=lambda r: r["rank"])
+        assert [(r["doc_id"], r["rank"]) for r in have] == \
+            [(r["doc_id"], r["rank"]) for r in want], f"request {i}"
+        for a, b in zip(have, want):
+            assert a["score"] == pytest.approx(b["score"], abs=1e-12)
+    assert not by_req.get(7)          # OOV request: empty
+    assert len(by_req[1]) == 5        # per-request max_matches honored
+    # raw Spark job counts are AQE/broadcast-inflated, so the honest
+    # check is relative: the batch DAG launches fewer jobs than the
+    # per-request loop over the SAME requests (measured ~95 vs ~210;
+    # batch job count is flat in N while singles grow linearly)
+    assert n_batch < n_single, (n_batch, n_single)
+
+
+def test_search_many_single_searcher_env(spark):
+    """Batched path without extra searchers = the classic batched
+    topk_plan, keyed back to request ids."""
+    from garamond_jl_spark.plans.lifecycle import search_many
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(spark, docs, EngineConfig(score_alpha=0.4),
+                      id_col="doc_id", text_col="text")
+    env = SearchEnv(spark=spark, index=idx)
+    reqs = [InternalRequest(query="spark join data", max_matches=3),
+            InternalRequest(query="window batch merge", max_matches=4)]
+    got = search_many(env, reqs).collect()
+    by_req = {}
+    for r in got:
+        by_req.setdefault(r["request_id"], []).append(r)
+    for i, req in enumerate(reqs):
+        want = sorted(search(env, req).collect(), key=lambda r: r["rank"])
+        have = sorted(by_req[i], key=lambda r: r["rank"])
+        assert [(r["doc_id"], r["rank"]) for r in have] == \
+            [(r["doc_id"], r["rank"]) for r in want]
