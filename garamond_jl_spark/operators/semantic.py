@@ -821,10 +821,15 @@ class LSASearcher(DenseVectorSearcher):
 def pack_doc_embeddings(dv: DataFrame, dim: int) -> DataFrame:
     """Long-form (doc_id, i, dv) → packed (doc_id, emb array<double>[dim])
     — the dense storage variant: the long form is join-friendly (every
-    scorer above is an equi-join + groupBy) but stores ~3 values per
-    component; the packed form is one row per doc (≈16× smaller on
-    disk for 16-dim vectors) and scores through one mapInArrow pass
-    (:func:`packed_cosine_scores`).  Missing components (a dim never
+    scorer above is an equi-join + groupBy) but carries dim rows per
+    doc; the packed form is ONE row per doc and scores through one
+    mapInArrow pass (:func:`packed_cosine_scores`) — no per-component
+    join rows, no shuffle.  On-disk parquet sizes are nearly equal
+    (columnar RLE already compresses the long form's repeated keys —
+    measured 137 vs 133 MB at 1M×16, BENCH.md r4); the win is the
+    16× row-count reduction in the scorer's input and the map-only
+    plan (1.24 s vs 1.64 s per request at 1M).  Missing components (a
+    dim never
     touched by the doc's terms) pack as 0 — the same value the long
     form's absent row contributes to every aggregation."""
     ent = (dv.groupBy("doc_id")

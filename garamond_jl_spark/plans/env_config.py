@@ -154,12 +154,27 @@ def parse_configuration(config_path: str) -> dict:
     searchers = []
     for i, s in enumerate(cfg.get("searchers", [])):
         sid = str(s.get("id", f"searcher_{i + 1}"))
+        # search_index (config_parser.jl / configgenerator.jl): the
+        # reference's :naive/:brutetree/:kdtree are exact scans → naive;
+        # :ivfadc → the ivf candidate index; :hnsw → the lsh bucket
+        # index (the distributed stand-in for the same sublinear job,
+        # SURVEY §7.6); native names lsh/ivf accepted directly
+        raw_ix = str(s.get("search_index", "naive")).lower()
+        index_map = {"naive": "naive", "brutetree": "naive",
+                     "kdtree": "naive", "hnsw": "lsh", "ivfadc": "ivf",
+                     "lsh": "lsh", "ivf": "ivf"}
+        if raw_ix not in index_map:
+            _warn(sid, "Defaulting search_index=naive.")
+            raw_ix = "naive"
         searchers.append({
             "id": sid,
             "enabled": bool(s.get("enabled", True)),
             "data_embedder": s.get("data_embedder"),
             "score_alpha": float(s.get("score_alpha", DEFAULT_SCORE_ALPHA)),
             "score_weight": float(s.get("score_weight", 1.0)),
+            "search_index": index_map[raw_ix],
+            "search_index_arguments": dict(
+                s.get("search_index_arguments", {})),
         })
 
     # --- last checks (config_parser.jl:324-360): structural — abort ----
@@ -262,6 +277,25 @@ def build_search_env(spark: SparkSession, config_path: str) -> SearchEnv:
         return synthetic_word_vectors(vocab, dim=dim,
                                       seed=e["embeddings_seed"])
 
+    def attach_index(searcher, s: dict):
+        """search_index != naive attaches a sublinear candidate index
+        to a DENSE searcher (the reference's searcher-owns-an-index,
+        searcher.jl:120-125); a classic inverted index IS its own
+        sublinear structure, so the knob warns and no-ops there."""
+        from garamond_jl_spark.operators.build import InvertedIndex
+        from garamond_jl_spark.operators.semantic import \
+            DenseVectorSearcher
+        kind = s["search_index"]
+        if kind == "naive":
+            return searcher
+        if isinstance(searcher, InvertedIndex) or not isinstance(
+                searcher, DenseVectorSearcher):
+            _warn(s["id"], "search_index applies to dense searchers "
+                           "only; ignoring.")
+            return searcher
+        return searcher.with_candidate_index(
+            kind, **s["search_index_arguments"])
+
     def build_searcher(s: dict):
         from garamond_jl_spark.operators.semantic import (BOESearcher,
                                                           LSASearcher,
@@ -270,13 +304,18 @@ def build_search_env(spark: SparkSession, config_path: str) -> SearchEnv:
         if e["classic"]:
             idx = build_classic(e, s["score_alpha"])
             if e["vectors_transform"] == "rp":
-                return RPSearcher(idx, dim_out=e["vectors_dimension"],
-                                  seed=e["embeddings_seed"],
-                                  score_alpha=s["score_alpha"])
+                return attach_index(
+                    RPSearcher(idx, dim_out=e["vectors_dimension"],
+                               seed=e["embeddings_seed"],
+                               score_alpha=s["score_alpha"]), s)
             if e["vectors_transform"] == "lsa":
-                return LSASearcher.from_index(
-                    idx, dim_out=e["vectors_dimension"],
-                    score_alpha=s["score_alpha"])
+                return attach_index(
+                    LSASearcher.from_index(
+                        idx, dim_out=e["vectors_dimension"],
+                        score_alpha=s["score_alpha"]), s)
+            if s["search_index"] != "naive":
+                _warn(s["id"], "search_index applies to dense searchers "
+                               "only; ignoring.")
             return idx
         df, text_col = _embeddable_text(data, e["embeddable_fields"],
                                         e["id"])
@@ -287,8 +326,9 @@ def build_search_env(spark: SparkSession, config_path: str) -> SearchEnv:
                   .where(F.col("term") != "")
                   .groupBy("doc_id", "term")
                   .agg(F.count("*").alias("tf")))
-        return BOESearcher.from_tokens(tokens, wv,
-                                       score_alpha=s["score_alpha"])
+        return attach_index(
+            BOESearcher.from_tokens(tokens, wv,
+                                    score_alpha=s["score_alpha"]), s)
 
     first = build_searcher(enabled[0])
     from garamond_jl_spark.operators.build import InvertedIndex

@@ -203,3 +203,48 @@ def test_env_custom_id_key(spark, tmp_path):
 
     fo = InternalRequest(query='lang:"en"', max_matches=5)
     assert lsearch(env, fo).count() == 5
+
+
+def test_env_search_index_ann_backed(spark, tmp_path):
+    """The search_index config knob (reference configgenerator.jl
+    :ivfadc/:hnsw searchers): a semantic searcher built from JSON with
+    search_index=hnsw gets the LSH candidate index attached (the
+    distributed stand-in, SURVEY §7.6) and the mixed env still answers
+    the request with the exact top-10 of the full-scan env; a classic
+    searcher warns and ignores the knob."""
+    cfg = _base_config()
+    cfg["embedders"].append(
+        {"id": "embedder_2", "vectors": "word2vec",
+         "doc2vec_method": "boe", "vectors_dimension": 16,
+         "embeddings_seed": 0, "embeddable_fields": ["text"]})
+    cfg["searchers"][0]["score_weight"] = 0.8
+    cfg["searchers"].append(
+        {"id": "searcher_2", "data_embedder": "embedder_2",
+         "score_alpha": 0.4, "score_weight": 0.8,
+         "search_index": "hnsw",
+         "search_index_arguments": {"n_planes": 6, "radius": 3,
+                                    "seed": 0}})
+    env = build_search_env(spark, _write(tmp_path, cfg))
+    assert env.searchers[0][0].candidate_index is not None
+
+    exact_cfg = _base_config()
+    exact_cfg["embedders"] = cfg["embedders"]
+    exact_cfg["searchers"] = [dict(cfg["searchers"][0]),
+                              {"id": "searcher_2",
+                               "data_embedder": "embedder_2",
+                               "score_alpha": 0.4, "score_weight": 0.8}]
+    env_e = build_search_env(spark, _write(tmp_path, exact_cfg))
+
+    req = InternalRequest(query="spark join data", max_matches=10,
+                          tiebreak_round=6)
+    got = sorted(lsearch(env, req).collect(), key=lambda r: r["rank"])
+    want = sorted(lsearch(env_e, req).collect(), key=lambda r: r["rank"])
+    assert [(r["doc_id"], r["rank"]) for r in got] == \
+        [(r["doc_id"], r["rank"]) for r in want]
+
+    # classic searcher: knob warns + no-ops
+    c2 = _base_config()
+    c2["searchers"][0]["search_index"] = "ivfadc"
+    with pytest.warns(UserWarning, match="dense searchers only"):
+        env2 = build_search_env(spark, _write(tmp_path, c2))
+    assert not env2.searchers

@@ -294,3 +294,45 @@ def test_conceptnet_compound_and_wildcard_matching(spark):
     want = {(r["i"], r["qv"]) for r in
             boe_embed_query(spark, "new_york city", wv).collect()}
     assert got == want and got
+
+
+def test_batch_embed_matches_single_rp_lsa_boe(spark):
+    """embed_queries_df (the search_many one-job batch embedding) is
+    component-identical to the per-query embed_query loop for every
+    searcher kind — RP (md5-sign fold), LSA (V fold-in), BOE (wv sum)."""
+    from garamond_jl_spark.config import EngineConfig
+    from garamond_jl_spark.operators.build import build_index
+    from garamond_jl_spark.operators.semantic import (
+        BOESearcher, LSASearcher, RPSearcher, synthetic_word_vectors)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(spark, docs, EngineConfig(score_alpha=0.4),
+                      id_col="doc_id", text_col="text")
+    tok = (docs.select("doc_id",
+                       F.explode(F.split("text", " ")).alias("term"))
+           .where(F.col("term") != ""))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    wv = synthetic_word_vectors(tf.select("term"), dim=8, seed=0)
+
+    queries = ["spark join data", "window batch merge",
+               "zzzz_all_oov_here"]
+    searchers = [
+        BOESearcher.from_tokens(tf, wv, score_alpha=0.4),
+        RPSearcher(idx, dim_out=8, seed=0, score_alpha=0.4),
+        LSASearcher.from_index(idx, dim_out=4, score_alpha=0.4),
+    ]
+    for s in searchers:
+        batch = {}
+        for r in s.embed_queries_df(spark, queries).collect():
+            batch.setdefault(r["query_id"], {})[r["i"]] = r["qv"]
+        for qid, q in enumerate(queries):
+            qv = s.embed_query(spark, q)
+            single = {} if qv is None else \
+                {r["i"]: r["qv"] for r in qv.collect()}
+            single = {i: v for i, v in single.items() if v != 0.0}
+            got = {i: v for i, v in batch.get(qid, {}).items()
+                   if v != 0.0}
+            assert set(got) == set(single), (type(s).__name__, qid)
+            for i, v in single.items():
+                assert got[i] == pytest.approx(v, abs=1e-12), \
+                    (type(s).__name__, qid, i)
