@@ -39,13 +39,26 @@ deterministic quantizers and the trained paths are recall-tested.
 from __future__ import annotations
 
 import hashlib
+import json
 import math
+import os
 from itertools import combinations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 _HEX_HIGH = set("89abcdef")
+
+
+def _write_meta(out_dir: str, meta: dict) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "ann_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def _read_meta(out_dir: str) -> dict:
+    with open(os.path.join(out_dir, "ann_meta.json")) as fh:
+        return json.load(fh)
 
 
 # ---------------------------------------------------------------------------
@@ -150,6 +163,27 @@ class LSHCandidateIndex:
             rows, "query_id INT, bucket LONG"))
         return (probes.join(self.buckets, "bucket")
                 .select("query_id", "doc_id").distinct())
+
+    def save(self, out_dir: str) -> None:
+        """Persist the bucket table + parameters (the S4 env-cache
+        analog for ANN structures — reload with :meth:`load` instead
+        of re-hashing the corpus).  The bucket table is written
+        PARTITIONED BY bucket so a loaded index's probes prune files
+        (the at-scale read path)."""
+        self.buckets.write.mode("overwrite") \
+            .partitionBy("bucket") \
+            .parquet(os.path.join(out_dir, "buckets"))
+        _write_meta(out_dir, {"kind": "lsh", "n_planes": self.n_planes,
+                              "radius": self.radius, "seed": self.seed})
+
+    @classmethod
+    def load(cls, spark: SparkSession, out_dir: str) -> "LSHCandidateIndex":
+        m = _read_meta(out_dir)
+        if m.get("kind") != "lsh":
+            raise ValueError(f"{out_dir} holds a {m.get('kind')!r} index")
+        b = spark.read.parquet(os.path.join(out_dir, "buckets")) \
+            .select("doc_id", F.col("bucket").cast("long").alias("bucket"))
+        return cls(b, m["n_planes"], m["radius"], m["seed"])
 
 
 # ---------------------------------------------------------------------------
@@ -342,6 +376,26 @@ class IVFCandidateIndex:
         return (probes.join(self.asg, "cid")
                 .select("query_id", "doc_id").distinct())
 
+    def save(self, out_dir: str) -> None:
+        """Persist lists + quantizer.  The assignment table is written
+        PARTITIONED BY cid so a loaded index's probes read only the
+        probed lists' files."""
+        self.asg.write.mode("overwrite").partitionBy("cid") \
+            .parquet(os.path.join(out_dir, "asg"))
+        cent = [(c, i, v) for c, comp in self._cent.items()
+                for i, v in comp.items()]
+        _write_meta(out_dir, {"kind": "ivf", "n_probe": self.n_probe,
+                              "centroids": cent})
+
+    @classmethod
+    def load(cls, spark: SparkSession, out_dir: str) -> "IVFCandidateIndex":
+        m = _read_meta(out_dir)
+        if m.get("kind") != "ivf":
+            raise ValueError(f"{out_dir} holds a {m.get('kind')!r} index")
+        asg = spark.read.parquet(os.path.join(out_dir, "asg")) \
+            .select("doc_id", F.col("cid").cast("int").alias("cid"))
+        return cls(asg, [tuple(c) for c in m["centroids"]], m["n_probe"])
+
 
 # ---------------------------------------------------------------------------
 # Product quantization over IVF residuals + ADC scoring (ivfadc.jl's
@@ -511,6 +565,32 @@ class IVFADCIndex:
         from garamond_jl_spark.operators.semantic import cosine_topk
         dv = doc_embeddings.join(F.broadcast(cand), "doc_id", "left_semi")
         return cosine_topk(dv, qv_rows, k)
+
+    def save(self, out_dir: str) -> None:
+        """Persist the whole IVFADC structure: lists + quantizer (the
+        nested IVF index), PQ codes (partitioned by cid — the probed
+        lists' codes are the only files an ADC scan reads), and the
+        m·n_codes·(dim/m) codebook scalars in the meta."""
+        self.ivf.save(os.path.join(out_dir, "ivf"))
+        self.codes.write.mode("overwrite").partitionBy("cid") \
+            .parquet(os.path.join(out_dir, "codes"))
+        cb = [(s, c, j, v) for (s, c), comp in self._cb.items()
+              for j, v in comp.items()]
+        _write_meta(out_dir, {"kind": "ivfadc", "dim": self.dim,
+                              "m": self.m, "n_codes": self.n_codes,
+                              "codebook": cb})
+
+    @classmethod
+    def load(cls, spark: SparkSession, out_dir: str) -> "IVFADCIndex":
+        m = _read_meta(out_dir)
+        if m.get("kind") != "ivfadc":
+            raise ValueError(f"{out_dir} holds a {m.get('kind')!r} index")
+        ivf = IVFCandidateIndex.load(spark, os.path.join(out_dir, "ivf"))
+        codes = spark.read.parquet(os.path.join(out_dir, "codes")) \
+            .select("doc_id", F.col("cid").cast("int").alias("cid"),
+                    "sub", "code")
+        return cls(ivf, codes, [tuple(c) for c in m["codebook"]],
+                   m["dim"], m["m"], m["n_codes"])
 
     def memory_stats(self) -> dict:
         """Measured compression: PQ code bits vs raw float64 bits per

@@ -267,3 +267,41 @@ def test_packed_storage_matches_long_form(spark):
     assert 0 < len(sub) < len(want)
     for d, s in sub.items():
         assert s == pytest.approx(want[d], abs=1e-12)
+
+
+def test_ann_index_save_load_roundtrip(spark, tmp_path):
+    """The S4 env-cache analog for ANN structures: LSH / IVF / IVFADC
+    persist (bucket/list-partitioned parquet + meta) and reload to
+    identical candidate sets and search results."""
+    from garamond_jl_spark.plans.pipeline_queries import ann_ivf_search  # noqa: F401
+    centers, mat = _clustered(per=12)
+    dv = _long(spark, mat)
+    qv = [(i + 1, float(v)) for i, v in enumerate(mat[4])]
+
+    lsh = LSHCandidateIndex.build(dv, n_planes=6, radius=1, seed=0)
+    lsh.save(str(tmp_path / "lsh"))
+    lsh2 = LSHCandidateIndex.load(spark, str(tmp_path / "lsh"))
+    assert {r["doc_id"] for r in lsh2.candidates(qv).collect()} == \
+        {r["doc_id"] for r in lsh.candidates(qv).collect()}
+
+    ivf = IVFCandidateIndex.build(dv, n_centroids=8, n_probe=2,
+                                  n_iter=3, seed=0)
+    ivf.save(str(tmp_path / "ivf"))
+    ivf2 = IVFCandidateIndex.load(spark, str(tmp_path / "ivf"))
+    assert ivf2.probe_cids(qv) == ivf.probe_cids(qv)
+    assert {r["doc_id"] for r in ivf2.candidates(qv).collect()} == \
+        {r["doc_id"] for r in ivf.candidates(qv).collect()}
+
+    adc = IVFADCIndex.build(dv, dim=16, n_centroids=8, m=4, n_codes=16,
+                            n_probe=2, n_iter=3, seed=0)
+    adc.save(str(tmp_path / "adc"))
+    adc2 = IVFADCIndex.load(spark, str(tmp_path / "adc"))
+    want = [(r["doc_id"], r["rank"])
+            for r in adc.search(dv, qv, k=5).collect()]
+    got = [(r["doc_id"], r["rank"])
+           for r in adc2.search(dv, qv, k=5).collect()]
+    assert got == want
+    assert adc2.memory_stats()["compression_ratio"] == 64.0
+
+    with pytest.raises(ValueError, match="holds a"):
+        IVFCandidateIndex.load(spark, str(tmp_path / "lsh"))
