@@ -164,6 +164,15 @@ class LSHCandidateIndex:
         return (probes.join(self.buckets, "bucket")
                 .select("query_id", "doc_id").distinct())
 
+    def extend(self, new_embeddings: DataFrame) -> "LSHCandidateIndex":
+        """Index the appended docs' embeddings (the M1 push! analog for
+        ANN structures): hyperplanes are pure md5 functions, so new
+        docs bucket identically to a full rebuild — one pass over the
+        NEW rows only, union with the existing table."""
+        nb = lsh_buckets(new_embeddings, self.n_planes, self.seed)
+        return LSHCandidateIndex(self.buckets.unionByName(nb),
+                                 self.n_planes, self.radius, self.seed)
+
     def save(self, out_dir: str) -> None:
         """Persist the bucket table + parameters (the S4 env-cache
         analog for ANN structures — reload with :meth:`load` instead
@@ -211,7 +220,12 @@ def train_kmeans(dv: DataFrame, k: int, n_iter: int = 5, seed: int = 0,
     ``sample_ratio`` trains on a deterministic hash-subset of documents
     (md5 threshold, not ``.sample()`` — reproducible across partition
     layouts); assignment of the full corpus is the caller's separate
-    pass (:func:`assign_lists` / :meth:`IVFCandidateIndex.build`)."""
+    pass (:meth:`IVFCandidateIndex.build` / :func:`assign_lists_arrow`).
+
+    Input contract: every doc row-set carries ALL its dims (the dense
+    long form every embedder in operators/semantic.py produces).  A
+    truly sparse long form (absent rows meaning 0) would bias the mean
+    update — groupBy(cid, i).avg averages only present rows."""
     spark = dv.sparkSession
     if sample_ratio is not None and sample_ratio < 1.0:
         cut = format(int(sample_ratio * 16 ** 8), "08x")
@@ -375,6 +389,21 @@ class IVFCandidateIndex:
             rows, "query_id INT, cid INT"))
         return (probes.join(self.asg, "cid")
                 .select("query_id", "doc_id").distinct())
+
+    def extend(self, new_embeddings: DataFrame) -> "IVFCandidateIndex":
+        """Index appended docs (M1 push! analog): assign the NEW rows
+        to the frozen quantizer (the reference freezes stats on append
+        the same way) and union the lists.  Quantizer drift under heavy
+        append is the usual IVF retrain-offline concern — a full
+        rebuild recomputes it."""
+        spark = new_embeddings.sparkSession
+        cent_rows = [(c, i, v) for c, comp in self._cent.items()
+                     for i, v in comp.items()]
+        cent = F.broadcast(spark.createDataFrame(
+            cent_rows, "cid INT, i INT, cv DOUBLE"))
+        na = _assign_join(new_embeddings, cent)
+        return IVFCandidateIndex(self.asg.unionByName(na), cent_rows,
+                                 self.n_probe)
 
     def save(self, out_dir: str) -> None:
         """Persist lists + quantizer.  The assignment table is written

@@ -866,9 +866,14 @@ def packed_cosine_scores(packed: DataFrame,
                 continue
             flat = vecs.flatten().to_numpy(zero_copy_only=False)
             X = np.asarray(flat, dtype=np.float64).reshape(len(vecs), -1)
+            qb = q
+            if X.shape[1] != qb.shape[0]:
+                # a sparse query embedding may omit trailing zero dims
+                qb = np.zeros(X.shape[1])
+                qb[:min(len(q), len(qb))] = q[:len(qb)]
             nd = np.linalg.norm(X, axis=1)
             nd[nd == 0.0] = np.inf            # zero vector → cos 0
-            cos = (X @ q) / (nd * nq)
+            cos = (X @ qb) / (nd * nq)
             score = 1.0 - np.tanh(alpha * (1.0 - cos))
             yield pa.RecordBatch.from_arrays(
                 [ids, pa.array(score, type=pa.float64())],

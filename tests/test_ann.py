@@ -268,6 +268,23 @@ def test_packed_storage_matches_long_form(spark):
     for d, s in sub.items():
         assert s == pytest.approx(want[d], abs=1e-12)
 
+    # a sparse query embedding that omits trailing zero dims still
+    # scores against the full-width packed rows (width-pad branch)
+    narrow = [(i, v) for i, v in qv_rows if i <= 9]
+
+    class _NQ(DenseVectorSearcher):
+        def embed_query(self, spark: SparkSession, query):
+            return spark.createDataFrame(narrow, "i INT, qv DOUBLE")
+
+    want_n = {r["doc_id"]: r["score"]
+              for r in _NQ(dv).sparse_hits(spark, "q").collect()}
+    got_n = {r["doc_id"]: r["score"]
+             for r in _NQ(dv).with_packed_storage(16, persist=False)
+             .sparse_hits(spark, "q").collect()}
+    assert set(got_n) == set(want_n)
+    for d, s in want_n.items():
+        assert got_n[d] == pytest.approx(s, abs=1e-12), d
+
 
 def test_ann_index_save_load_roundtrip(spark, tmp_path):
     """The S4 env-cache analog for ANN structures: LSH / IVF / IVFADC
@@ -305,3 +322,36 @@ def test_ann_index_save_load_roundtrip(spark, tmp_path):
 
     with pytest.raises(ValueError, match="holds a"):
         IVFCandidateIndex.load(spark, str(tmp_path / "lsh"))
+
+
+def test_candidate_index_extend(spark):
+    """M1 push! analog for ANN structures: extending an index with
+    appended docs' embeddings equals a full rebuild under the same
+    (frozen) quantizer/hyperplanes."""
+    _, mat = _clustered(per=12)
+    half = mat.shape[0] // 2
+    dv_a = _long(spark, mat[:half])
+    dv_b = spark.createDataFrame(
+        [(int(d + half), int(i) + 1, float(v))
+         for d, vec in enumerate(mat[half:]) for i, v in enumerate(vec)],
+        "doc_id LONG, i INT, dv DOUBLE")
+    dv_full = _long(spark, mat)
+    qv = [(i + 1, float(v)) for i, v in enumerate(mat[2])]
+
+    lsh_full = LSHCandidateIndex.build(dv_full, n_planes=6, radius=1,
+                                       seed=0)
+    lsh_ext = LSHCandidateIndex.build(dv_a, n_planes=6, radius=1,
+                                      seed=0).extend(dv_b)
+    assert {r["doc_id"] for r in lsh_ext.candidates(qv).collect()} == \
+        {r["doc_id"] for r in lsh_full.candidates(qv).collect()}
+
+    ivf_a = IVFCandidateIndex.build(dv_a, n_centroids=4, n_probe=2,
+                                    n_iter=3, seed=0)
+    cent_df = spark.createDataFrame(
+        [(c, i, v) for c, comp in ivf_a._cent.items()
+         for i, v in comp.items()], "cid INT, i INT, cv DOUBLE")
+    ivf_full = IVFCandidateIndex.build(dv_full, centroids=cent_df,
+                                       n_probe=2)
+    ivf_ext = ivf_a.extend(dv_b)
+    assert {r["doc_id"] for r in ivf_ext.candidates(qv).collect()} == \
+        {r["doc_id"] for r in ivf_full.candidates(qv).collect()}
