@@ -214,17 +214,24 @@ def lifecycle_combined_search_filter(spark, sf_dir):
                        F.col("rank").cast("long").alias("rnk"))
 
 
-def _mixed_env_oracle_sql() -> str:
+def _mixed_env_oracle_sql(terms: tuple[str, ...] = ("spark", "join", "data"),
+                          k: int = 10) -> str:
     """Oracle for the heterogeneous two-searcher env: BM25 score and BOE
     score per doc (each through the same 1−tanh(α·(1−cos)) transform),
     weighted 0.8 each, merged :mean.  Docs outside a searcher's sparse
     hit set take that searcher's fill (cos=0) via coalesce — exactly the
-    engine's densify-over-candidates + pad semantics."""
+    engine's densify-over-candidates + pad semantics.  Parameterized on
+    the query terms + k so the batched ``search_many`` row can union one
+    body per request."""
+    from collections import Counter
+
     from garamond_jl_spark.operators.semantic import component_sql
     tr = "2 / (exp(2 * 0.4 * (1 - {c})) + 1)"
+    qvals = ", ".join(f"('{t}')" for t in terms)
+    bvals = ", ".join(f"('{t}', {c})" for t, c in sorted(Counter(terms).items()))
     return f"""
 WITH {FT_STATS_CTE},
-qraw AS (SELECT term FROM (VALUES ('spark'), ('join'), ('data')) AS q(term)),
+qraw AS (SELECT term FROM (VALUES {qvals}) AS q(term)),
 qtf AS (
   SELECT q.term, count(*)::DOUBLE AS cnt FROM qraw q
   JOIN dfreq USING (term) GROUP BY 1
@@ -255,7 +262,7 @@ wv2 AS (SELECT term, i, ({component_sql()}) / 8388608.0 - 1.0 AS v
 bdv AS (SELECT doc_id, i, sum(cnt * v) AS dv
         FROM tf JOIN wv2 USING (term) GROUP BY 1, 2),
 bdn AS (SELECT doc_id, sqrt(sum(dv * dv)) AS nd FROM bdv GROUP BY 1),
-bqt(term, qc) AS (VALUES ('spark', 1), ('join', 1), ('data', 1)),
+bqt(term, qc) AS (VALUES {bvals}),
 bqv AS (SELECT i, sum(qc * v) AS qv FROM bqt JOIN wv2 USING (term)
         GROUP BY 1),
 bqn AS (SELECT sqrt(sum(qv * qv)) AS nq FROM bqv),
@@ -274,7 +281,7 @@ merged AS (
 SELECT doc_id, cast(round(score * 1e6) AS BIGINT) AS score_e6,
        cast(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC)
             AS BIGINT) AS rnk
-FROM merged QUALIFY rnk <= 10
+FROM merged QUALIFY rnk <= {k}
 """
 
 
@@ -297,11 +304,21 @@ def lifecycle_multi_searcher_mixed(spark, sf_dir):
     reach the merged top-10 (verified against the exact engine in
     tests/test_ann.py; the full-scan path remains available by simply
     not attaching an index)."""
+    from garamond_jl_spark.plans.lifecycle import InternalRequest
+    from garamond_jl_spark.plans.lifecycle import search as lsearch
+    env = _mixed_boe_env(spark, sf_dir)
+    req = InternalRequest(query=FT_QUERY, max_matches=10, tiebreak_round=6)
+    hits = lsearch(env, req)
+    return hits.select("doc_id", e6(F.col("score")).alias("score_e6"),
+                       F.col("rank").cast("long").alias("rnk"))
+
+
+def _mixed_boe_env(spark, sf_dir):
+    """The heterogeneous BM25 + ANN-backed-BOE environment shared by the
+    single-request and batched parity rows (reference test config 2)."""
     from garamond_jl_spark.operators.semantic import (BOESearcher,
                                                       synthetic_word_vectors)
-    from garamond_jl_spark.plans.lifecycle import (InternalRequest,
-                                                   SearchEnv as LSE)
-    from garamond_jl_spark.plans.lifecycle import search as lsearch
+    from garamond_jl_spark.plans.lifecycle import SearchEnv as LSE
     idx = _ft_index(spark, sf_dir)
     d = load_testdata(spark, sf_dir, "documents")
     tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
@@ -310,11 +327,36 @@ def lifecycle_multi_searcher_mixed(spark, sf_dir):
     wv = synthetic_word_vectors(tf.select("term"), dim=16, seed=0)
     boe = BOESearcher.from_tokens(tf, wv, score_alpha=0.4) \
         .with_candidate_index("lsh", n_planes=6, radius=3, seed=0)
-    env = LSE(spark=spark, index=idx, score_weight=0.8,
-              searchers=[(boe, 0.8)], aggregation="mean")
-    req = InternalRequest(query=FT_QUERY, max_matches=10, tiebreak_round=6)
-    hits = lsearch(env, req)
-    return hits.select("doc_id", e6(F.col("score")).alias("score_e6"),
+    return LSE(spark=spark, index=idx, score_weight=0.8,
+               searchers=[(boe, 0.8)], aggregation="mean")
+
+
+_SM_REQS = [(FT_QUERY, 10), ("window batch merge", 7)]
+
+
+@q("lifecycle_search_many", "SELECT cast(request_id AS BIGINT) AS request_id,"
+   " doc_id, score_e6, rnk FROM (\n" + "\nUNION ALL\n".join(
+       f"SELECT {rid} AS request_id, * FROM ("
+       + _mixed_env_oracle_sql(tuple(qs.split()), k) + ")"
+       for rid, (qs, k) in enumerate(_SM_REQS)) + "\n)")
+def lifecycle_search_many(spark, sf_dir):
+    """BATCHED lifecycle requests (round-4 A6/T1 batch path): N mixed-env
+    requests with per-request k run as ONE DataFrame DAG —
+    ``lifecycle.search_many`` embeds the whole batch per searcher
+    (``sparse_hits_batch``; O(#searchers) jobs, not O(N)) and merges with
+    query_id riding every key.  The oracle is one full-scan mixed-env
+    body per request (request_id literal + UNION ALL), so the gate checks
+    the batched merge/fill/pad algebra is request-wise identical to the
+    single path the reference executes per request
+    (src/search/results.jl:54-145)."""
+    from garamond_jl_spark.plans.lifecycle import (InternalRequest,
+                                                   search_many)
+    env = _mixed_boe_env(spark, sf_dir)
+    reqs = [InternalRequest(query=qs, max_matches=k, tiebreak_round=6)
+            for qs, k in _SM_REQS]
+    hits = search_many(env, reqs)
+    return hits.select(F.col("request_id").cast("long").alias("request_id"),
+                       "doc_id", e6(F.col("score")).alias("score_e6"),
                        F.col("rank").cast("long").alias("rnk"))
 
 
