@@ -55,6 +55,14 @@ def timed(fn):
 # honest steady-state figure a dedicated cluster would see
 REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
 
+# when the opening canary says the host is contended (spark_range_sum
+# above the BENCH.md discard threshold), one extra repeat per phase
+# gives min-of-N a chance to catch a clean scheduling window — the
+# artifact stays comparable (same phases) and the spread records all
+# repeats either way
+NOISY_JVM_CANARY_SEC = 0.4
+EXTRA_REPEATS_WHEN_NOISY = 1
+
 # every repeat's wall time is recorded per phase so the artifact is
 # self-adjudicating: a wide spread / high load average flags a
 # contended host inside the JSON itself (round-3 lesson: the driver's
@@ -62,9 +70,12 @@ REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
 SPREAD: dict[str, list[float]] = {}
 
 
+EFFECTIVE_REPEATS = REPEATS
+
+
 def timed_min(fn, label: str | None = None):
     best, out, all_t = None, None, []
-    for _ in range(REPEATS):
+    for _ in range(EFFECTIVE_REPEATS):
         dt, out = timed(fn)
         all_t.append(round(dt, 3))
         best = dt if best is None or dt < best else best
@@ -101,6 +112,9 @@ def main() -> None:
                       shuffle_partitions=None)
     spark.sparkContext.setLogLevel("ERROR")
     calibration = _calibration(spark)
+    global EFFECTIVE_REPEATS
+    if calibration["spark_range_sum_sec"] > NOISY_JVM_CANARY_SEC:
+        EFFECTIVE_REPEATS = REPEATS + EXTRA_REPEATS_WHEN_NOISY
     times: dict[str, float] = {}
     derived: dict[str, float] = {}
 
@@ -192,6 +206,8 @@ def main() -> None:
         # canaries — a contended host shows up IN the artifact
         "spread": SPREAD,
         "calibration": calibration,
+        "calibration_end": _calibration(spark),
+        "repeats": EFFECTIVE_REPEATS,
         "loadavg": {"start": [round(x, 2) for x in load_start],
                     "end": [round(x, 2) for x in os.getloadavg()]},
     }))

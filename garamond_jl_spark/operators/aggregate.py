@@ -21,6 +21,42 @@ from pyspark.sql import functions as F
 STRATEGIES = ("mean", "min", "max", "median", "product")
 
 
+def strategy_agg(grouped, strategy: str) -> DataFrame:
+    """THE A6 reduction as a grouped aggregate over long-format
+    (..., wscore) rows — the one Spark-side definition of the five
+    strategy formulas, shared by :func:`aggregate_results` and the
+    batched lifecycle path (plans/lifecycle.search_many).  Unknown
+    strategies reduce as :mean, the reference default
+    (defaults.jl:29)."""
+    if strategy == "min":
+        return grouped.agg(F.min("wscore").alias("score"))
+    if strategy == "max":
+        return grouped.agg(F.max("wscore").alias("score"))
+    if strategy == "median":
+        return grouped.agg(F.expr("percentile(wscore, 0.5)").alias("score"))
+    if strategy == "product":
+        # scores > 0 in the reference transform's range
+        return grouped.agg(F.exp(F.sum(F.log("wscore"))).alias("score"))
+    return grouped.agg(F.avg("wscore").alias("score"))     # mean default
+
+
+def strategy_scalar(values: list[float], strategy: str) -> float:
+    """Scalar twin of :func:`strategy_agg` for driver-side reductions
+    (the lifecycle pad score over per-searcher fills) — change only
+    together."""
+    if strategy == "min":
+        return min(values)
+    if strategy == "max":
+        return max(values)
+    if strategy == "median":
+        import statistics
+        return statistics.median(values)
+    if strategy == "product":
+        from functools import reduce
+        return reduce(lambda a, b: a * b, values, 1.0)
+    return sum(values) / len(values)                       # mean default
+
+
 def aggregate_results(hit_sets: list[tuple[DataFrame, float]],
                       strategy: str = "mean", max_matches: int = 1000,
                       custom_weights: dict[int, float] | None = None,
@@ -42,17 +78,7 @@ def aggregate_results(hit_sets: list[tuple[DataFrame, float]],
     unioned = parts[0]
     for p in parts[1:]:
         unioned = unioned.unionByName(p)
-    g = unioned.groupBy("doc_id")
-    if strategy == "mean":
-        agg = g.agg(F.avg("wscore").alias("score"))
-    elif strategy == "min":
-        agg = g.agg(F.min("wscore").alias("score"))
-    elif strategy == "max":
-        agg = g.agg(F.max("wscore").alias("score"))
-    elif strategy == "median":
-        agg = g.agg(F.expr("percentile(wscore, 0.5)").alias("score"))
-    else:  # product (scores > 0 in the reference transform's range)
-        agg = g.agg(F.exp(F.sum(F.log("wscore"))).alias("score"))
+    agg = strategy_agg(unioned.groupBy("doc_id"), strategy)
     dropped = agg.where(F.col("score") > 0)       # zero-score drop
     if not ranked:
         return dropped.select("doc_id", "score")

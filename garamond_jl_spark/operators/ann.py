@@ -581,7 +581,7 @@ class IVFADCIndex:
         probed lists, exact cosine rerank of the best ``rerank``
         (default 4k) candidates."""
         spark = doc_embeddings.sparkSession
-        rerank = rerank or 4 * k
+        rerank = 4 * k if rerank is None else rerank
         cids = self.ivf.probe_cids(qv_rows)
         adc = F.broadcast(spark.createDataFrame(
             self._adc_table(qv_rows, cids),

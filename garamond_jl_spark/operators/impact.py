@@ -72,11 +72,20 @@ def term_thetas(champions: DataFrame, dfs: DataFrame) -> DataFrame:
     independent of the (possibly unknown) prefix depth the champions
     table was built with — no global max(imp_rank) scan, and a
     fully-covered term certifies tightly even when the table's depth
-    exceeds every query term's df."""
+    exceeds every query term's df.
+
+    A term present in ``dfs`` (df > 0) but with NO champion rows at all
+    (a caller-supplied table that simply omits it) is fully hidden, not
+    fully covered: its θ is +inf, which fails every certificate and
+    routes those queries to the exact fallback instead of silently
+    dropping the term's entire posting mass from the bound."""
     return (champions.groupBy("term")
             .agg(F.count("*").alias("_n"), F.min("wnorm").alias("_min"))
-            .join(dfs, "term")
-            .select("term", F.when(F.col("_n") < F.col("df"), F.col("_min"))
+            .join(dfs, "term", "right")
+            .select("term",
+                    F.when(F.col("_n").isNull(),
+                           F.lit(float("inf")))
+                    .when(F.col("_n") < F.col("df"), F.col("_min"))
                     .otherwise(F.lit(0.0)).alias("theta")))
 
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 DEFAULT_DIM = 16
@@ -380,9 +380,24 @@ RP_INV = 0.125
 
 def rp_sign(term: str, o: int, seed: int = 0) -> float:
     """Scalar (NumPy/driver side) of the deterministic RP entry sign:
-    +1 iff md5(seed:RP:term:o)'s high bit is set."""
+    +1 iff md5(seed:RP:term:o)'s high bit is set.  Scalar twin of
+    :func:`rp_entry_expr` — change only together."""
     h = hashlib.md5(f"{seed}:RP:{term}:{o}".encode()).hexdigest()
     return 1.0 if h[0] in "89abcdef" else -1.0
+
+
+def rp_entry_expr(term_col: Column, o_col: Column, dim_out: int,
+                  seed: int) -> Column:
+    """The ONE Spark-side definition of the RP matrix entry
+    ±1/√dim_out · sign(md5(seed:RP:term:o)) shared by the doc-side
+    projection (:func:`rp_doc_embeddings`) and the batched query
+    projection (:meth:`RPSearcher.embed_queries_df`) — doc and query
+    vectors MUST project through the same matrix."""
+    inv = 1.0 / (dim_out ** 0.5)
+    return F.when(
+        F.substring(F.md5(F.concat_ws(":", F.lit(seed), F.lit("RP"),
+                                      term_col, o_col)), 1, 1)
+        .isin(*"89abcdef"), F.lit(inv)).otherwise(F.lit(-inv))
 
 
 def rp_doc_embeddings(postings: DataFrame, dim_out: int = RP_DIM_OUT,
@@ -407,14 +422,10 @@ def rp_doc_embeddings(postings: DataFrame, dim_out: int = RP_DIM_OUT,
     ``postings``: (term, doc_id, w) — any weighting scheme (count / tf
     / tfidf / bm25), matching the reference where RP composes over the
     configured DTV weighting."""
-    inv = 1.0 / (dim_out ** 0.5)
     p = postings.select(
         "term", "doc_id", "w",
         F.explode(F.sequence(F.lit(1), F.lit(dim_out))).alias("o"))
-    r = F.when(
-        F.substring(F.md5(F.concat_ws(":", F.lit(seed), F.lit("RP"),
-                                      F.col("term"), F.col("o"))), 1, 1)
-        .isin(*"89abcdef"), F.lit(inv)).otherwise(F.lit(-inv))
+    r = rp_entry_expr(F.col("term"), F.col("o"), dim_out, seed)
     return (p.withColumn("r", r)
             .groupBy("doc_id", "o")
             .agg(F.sum(F.col("w") * F.col("r")).alias("dv"))
@@ -635,6 +646,34 @@ class DenseVectorSearcher:
         searcher, not O(N)."""
         from garamond_jl_spark.functions.scoring import score_transform_expr
         qv = self.embed_queries_df(spark, queries)
+        if self.packed is not None:
+            # packed storage: the batch's query vectors collect to one
+            # small matrix (dim × |batch| doubles) feeding the blocked
+            # mapInArrow matmul scorer — same numpy-tanh caveat as the
+            # single packed path (parity envs stay long-form)
+            qv_map: dict[int, list[tuple[int, float]]] = {}
+            for r in qv.collect():
+                qv_map.setdefault(int(r["query_id"]), []).append(
+                    (int(r["i"]), float(r["qv"])))
+            qv_map = {q: rows for q, rows in qv_map.items()
+                      if sum(v * v for _, v in rows) > 0.0}
+            embedded = spark.createDataFrame(
+                [(q,) for q in sorted(qv_map)], "query_id INT")
+            src = self.packed
+            if self.candidate_index is not None and qv_map:
+                cand = self.candidate_index.candidates_batch(qv_map)
+                # score the UNION of all queries' candidates once, then
+                # keep each query's own pairs — probed work stays
+                # sublinear, the matmul stays one map pass
+                src = src.join(cand.select("doc_id").distinct(),
+                               "doc_id", "left_semi")
+                hits = (packed_cosine_scores_batch(src, qv_map,
+                                                   self.score_alpha)
+                        .join(cand, ["query_id", "doc_id"], "left_semi"))
+            else:
+                hits = packed_cosine_scores_batch(src, qv_map,
+                                                  self.score_alpha)
+            return hits, embedded
         nqdf = (qv.groupBy("query_id")
                 .agg(F.sqrt(F.sum(F.col("qv") ** 2)).alias("nq"))
                 .where(F.col("nq") > 0))
@@ -752,14 +791,10 @@ class RPSearcher(DenseVectorSearcher):
         query."""
         from garamond_jl_spark.operators.query import embed_queries
         qt = embed_queries(spark, self.index, queries)
-        inv = 1.0 / (self.dim_out ** 0.5)
         p = qt.select(
             "query_id", "term", "qw",
             F.explode(F.sequence(F.lit(1), F.lit(self.dim_out))).alias("o"))
-        r = F.when(
-            F.substring(F.md5(F.concat_ws(":", F.lit(self.seed), F.lit("RP"),
-                                          F.col("term"), F.col("o"))), 1, 1)
-            .isin(*"89abcdef"), F.lit(inv)).otherwise(F.lit(-inv))
+        r = rp_entry_expr(F.col("term"), F.col("o"), self.dim_out, self.seed)
         return (p.withColumn("r", r)
                 .groupBy("query_id", F.col("o").alias("i"))
                 .agg(F.sum(F.col("qw") * F.col("r")).alias("qv")))
@@ -881,6 +916,70 @@ def packed_cosine_scores(packed: DataFrame,
 
     return (packed.select("doc_id", "emb")
             .mapInArrow(_score, "doc_id LONG, score DOUBLE"))
+
+
+def packed_cosine_scores_batch(packed: DataFrame,
+                               qv_map: dict[int, list[tuple[int, float]]],
+                               score_alpha: float) -> DataFrame:
+    """(query_id, doc_id, score) over a packed embedding table for a
+    WHOLE query batch: one mapInArrow pass computing the docs×queries
+    score block as a numpy matmul — the batch twin of
+    :func:`packed_cosine_scores` (same width-pad rule for narrow query
+    embeddings, same zero-doc-vector → cos 0 convention).  Queries with
+    zero norm are dropped here exactly as the long-form batch path's
+    ``nq > 0`` filter drops them.  Row blocking keeps every docs×queries
+    tile under ~4M elements (measured alloc-pressure ceiling)."""
+    import numpy as np
+    import pyarrow as pa
+
+    qids = sorted(qv_map)
+    dim = max((i for rows in qv_map.values() for i, _ in rows), default=0)
+    Q = np.zeros((len(qids), dim))
+    for r, qid in enumerate(qids):
+        for i, v in qv_map[qid]:
+            Q[r, i - 1] = v
+    nq = np.linalg.norm(Q, axis=1)
+    live = nq > 0.0
+    qid_arr = np.asarray(qids, dtype=np.int32)[live]
+    Q, nq = Q[live], nq[live]
+    alpha = float(score_alpha)
+    out_schema = "query_id INT, doc_id LONG, score DOUBLE"
+    if len(qid_arr) == 0:
+        return packed.sparkSession.createDataFrame([], out_schema)
+
+    def _score(batches):
+        for b in batches:
+            ids_col = b.column(b.schema.get_field_index("doc_id"))
+            vecs = b.column(b.schema.get_field_index("emb"))
+            if len(vecs) == 0:
+                continue
+            flat = vecs.flatten().to_numpy(zero_copy_only=False)
+            X = np.asarray(flat, dtype=np.float64).reshape(len(vecs), -1)
+            Qb = Q
+            if X.shape[1] != Qb.shape[1]:
+                # narrow query embeddings pad to the stored width
+                Qb = np.zeros((Q.shape[0], X.shape[1]))
+                w = min(Q.shape[1], X.shape[1])
+                Qb[:, :w] = Q[:, :w]
+            nd = np.linalg.norm(X, axis=1)
+            nd[nd == 0.0] = np.inf            # zero vector → cos 0
+            ids = np.asarray(ids_col.to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+            nq_row = nq[None, :]
+            block = max(1, 4_000_000 // max(1, Qb.shape[0]))
+            for s in range(0, X.shape[0], block):
+                Xs, nds, idss = X[s:s + block], nd[s:s + block], ids[s:s + block]
+                cos = (Xs @ Qb.T) / (nds[:, None] * nq_row)
+                score = 1.0 - np.tanh(alpha * (1.0 - cos))
+                n = Xs.shape[0]
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.tile(qid_arr, n), type=pa.int32()),
+                     pa.array(np.repeat(idss, len(qid_arr)), type=pa.int64()),
+                     pa.array(score.ravel(), type=pa.float64())],
+                    names=["query_id", "doc_id", "score"])
+
+    return (packed.select("doc_id", "emb")
+            .mapInArrow(_score, out_schema))
 
 
 def cosine_topk(dv: DataFrame, qv_rows: list[tuple[int, float]], k: int,

@@ -208,7 +208,8 @@ def search(env: SearchEnv, request: InternalRequest) -> DataFrame:
         # the env aggregation strategy (A6).  A searcher whose query is
         # OOV contributes nothing (is_embedded gate) — matching the
         # round-1 behavior where its full set was empty.
-        from garamond_jl_spark.operators.aggregate import aggregate_results
+        from garamond_jl_spark.operators.aggregate import (aggregate_results,
+                                                           strategy_scalar)
         all_sets = [(env.index, env.score_weight)] + list(env.searchers)
         sets = [(*searcher_hits(ix), wgt) for ix, wgt in all_sets]
         sets = [(h, wgt, s0) for h, s0, wgt in sets if h is not None]
@@ -231,17 +232,7 @@ def search(env: SearchEnv, request: InternalRequest) -> DataFrame:
                                  ranked=False)
         # docs matched by NO searcher share one constant agg score
         fills = [wgt * s0 for _, wgt, s0 in sets]
-        if env.aggregation == "min":
-            pad_score = min(fills)
-        elif env.aggregation == "max":
-            pad_score = max(fills)
-        elif env.aggregation == "median":
-            import statistics
-            pad_score = statistics.median(fills)
-        elif env.aggregation == "product":
-            pad_score = reduce(lambda a, b: a * b, fills, 1.0)
-        else:  # mean (defaults.jl:29)
-            pad_score = sum(fills) / len(fills)
+        pad_score = strategy_scalar(fills, env.aggregation)
         pad_cands = cands
         # heterogeneous searchers (semantic cosines can be negative) may
         # score an embedded doc BELOW pad_score, so the usual
@@ -275,19 +266,6 @@ def search(env: SearchEnv, request: InternalRequest) -> DataFrame:
             .select("doc_id", "score", "rank"))
 
 
-def _strategy_agg(grouped, strategy: str):
-    """The A6 reduction as a grouped aggregate over long-format
-    (..., wscore) rows — single definition shared by the batched path
-    (same formulas as operators/aggregate.aggregate_results)."""
-    if strategy == "min":
-        return grouped.agg(F.min("wscore").alias("score"))
-    if strategy == "max":
-        return grouped.agg(F.max("wscore").alias("score"))
-    if strategy == "median":
-        return grouped.agg(F.expr("percentile(wscore, 0.5)").alias("score"))
-    if strategy == "product":
-        return grouped.agg(F.exp(F.sum(F.log("wscore"))).alias("score"))
-    return grouped.agg(F.avg("wscore").alias("score"))     # mean default
 
 
 def search_many(env: SearchEnv, requests: list[InternalRequest]
@@ -308,15 +286,12 @@ def search_many(env: SearchEnv, requests: list[InternalRequest]
     the batched shape is the search-only hot path, matching the classic
     engine's batched ``topk_plan``.
 
-    All requests must share ``tiebreak_round`` (one ranking key per
-    window)."""
+    Batched (search-only) requests must share ``tiebreak_round`` (one
+    ranking key per window); fallback requests rank individually and
+    may use any round."""
     spark = env.spark
     if any(r.operation != "search" for r in requests):
         raise ValueError("search_many handles operation='search' only")
-    rounds = {r.tiebreak_round for r in requests}
-    if len(rounds) > 1:
-        raise ValueError("search_many requires a uniform tiebreak_round")
-    tiebreak_round = next(iter(rounds)) if rounds else None
 
     parsed = [parse_input(env.schema, r.query, r.input_parser,
                           searchable_filters=r.searchable_filters)
@@ -338,6 +313,15 @@ def search_many(env: SearchEnv, requests: list[InternalRequest]
                              "doc_id", "score", "rank"))
 
     if batch:
+        # the ranking window is shared by every BATCHED request (one
+        # ranking key per window); fallback requests rank individually
+        # inside search(), so their tiebreak_round is unconstrained
+        rounds = {requests[i].tiebreak_round for i in batch}
+        if len(rounds) > 1:
+            raise ValueError(
+                "search_many requires a uniform tiebreak_round across "
+                "batched (search-only) requests")
+        tiebreak_round = next(iter(rounds))
         queries = [parsed[i].search for i in batch]
         ks = [(qid, min(requests[i].max_matches, n_live))
               for qid, i in enumerate(batch)]
@@ -371,6 +355,7 @@ def _search_many_multi(env: SearchEnv, queries: list[str], k: int,
     sparse hit sets with query_id on every key, candidate-union
     densify + per-query fill, strategy aggregation, per-query pad from
     the lowest non-candidate ids, one ranking window."""
+    from garamond_jl_spark.operators.aggregate import strategy_agg
     from garamond_jl_spark.operators.query import score_all
     spark = env.spark
 
@@ -420,9 +405,9 @@ def _search_many_multi(env: SearchEnv, queries: list[str], k: int,
                         F.lit(wgt * s0).alias("wscore"))
         fills = fr if fills is None else fills.unionByName(fr)
 
-    agg = _strategy_agg(long.groupBy("query_id", "doc_id"),
+    agg = strategy_agg(long.groupBy("query_id", "doc_id"),
                         env.aggregation).where(F.col("score") > 0)
-    padsc = _strategy_agg(fills.groupBy("query_id"), env.aggregation) \
+    padsc = strategy_agg(fills.groupBy("query_id"), env.aggregation) \
         .withColumnRenamed("score", "pad_score") \
         .where(F.col("pad_score") > 0)
 

@@ -355,3 +355,51 @@ def test_candidate_index_extend(spark):
     ivf_ext = ivf_a.extend(dv_b)
     assert {r["doc_id"] for r in ivf_ext.candidates(qv).collect()} == \
         {r["doc_id"] for r in ivf_full.candidates(qv).collect()}
+
+
+def test_packed_batch_matches_long_form_batch(spark):
+    """sparse_hits_batch honors packed storage (regression: it used to
+    silently fall back to the long-form join scorer): the batched
+    packed matmul returns the same (query_id, doc_id, score) set as the
+    long-form batch plan, with and without a candidate index, and a
+    narrow (trailing-zero-omitting) query embedding width-pads."""
+    from pyspark.sql import SparkSession
+    from garamond_jl_spark.operators.semantic import DenseVectorSearcher
+
+    _, mat = _clustered(per=15)
+    dv = _long(spark, mat)
+    qvecs = {0: [(i + 1, float(v)) for i, v in enumerate(mat[3])],
+             1: [(i + 1, float(v)) for i, v in enumerate(mat[40])],
+             2: [(i + 1, float(v)) for i, v in enumerate(mat[77])][:9]}
+
+    class _FQ(DenseVectorSearcher):
+        def embed_query(self, spark: SparkSession, query):
+            return spark.createDataFrame(qvecs[int(query)],
+                                         "i INT, qv DOUBLE")
+
+    queries = ["0", "1", "2"]
+
+    def _collect(searcher):
+        hits, emb = searcher.sparse_hits_batch(spark, queries)
+        return ({(r["query_id"], r["doc_id"]): r["score"]
+                 for r in hits.collect()},
+                {r["query_id"] for r in emb.collect()})
+
+    want, want_emb = _collect(_FQ(dv))
+    got, got_emb = _collect(_FQ(dv).with_packed_storage(16, persist=False))
+    assert got_emb == want_emb == {0, 1, 2}
+    assert set(got) == set(want)
+    for kdq, s in want.items():
+        assert got[kdq] == pytest.approx(s, abs=1e-12), kdq
+
+    # with a candidate index: identical per-pair scores on a strict
+    # per-query candidate subset (not the union of all queries' sets)
+    lw, _ = _collect(_FQ(dv).with_candidate_index(
+        "lsh", n_planes=6, radius=1, seed=0))
+    pw, _ = _collect(_FQ(dv).with_packed_storage(16, persist=False)
+                     .with_candidate_index("lsh", n_planes=6, radius=1,
+                                           seed=0))
+    assert set(pw) == set(lw)
+    assert 0 < len(pw) < len(want)
+    for kdq, s in pw.items():
+        assert s == pytest.approx(want[kdq], abs=1e-12), kdq

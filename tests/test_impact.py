@@ -94,3 +94,26 @@ def test_search_plan_dispatch(spark, idx, queries):
     _assert_identical(impact, exact)
     with pytest.raises(ValueError):
         search(spark, idx, sub, plan="nope")
+
+
+def test_partial_champions_table_falls_back(spark, idx, queries):
+    """A caller-supplied champions table that entirely OMITS some of a
+    query's terms must not certify: the missing term's posting mass is
+    fully hidden (θ = +inf), so those queries take the exact fallback
+    and the output stays rank-identical to topk_plan (regression: a
+    missing term used to default to θ = 0 — 'fully covered' — and
+    could silently certify a wrong top-k)."""
+    qs = queries[:6]
+    qterms = embed_queries(spark, idx, qs)
+    terms = sorted({r["term"] for r in qterms.select("term").collect()})
+    assert len(terms) >= 2
+    # champions built over only half the query vocabulary
+    partial = champion_lists(idx, p=256).where(
+        F.col("term").isin(terms[: len(terms) // 2]))
+    stats: dict = {}
+    got = _ranked(impact_topk(spark, idx, qs, k=K, champions=partial,
+                              stats=stats))
+    exact = _ranked(topk_plan(idx, embed_queries(spark, idx, qs), K))
+    _assert_identical(got, exact)
+    # at least the queries touching an omitted term fell back
+    assert len(stats["fallback"]) >= 1

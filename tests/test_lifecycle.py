@@ -349,3 +349,34 @@ def test_search_many_single_searcher_env(spark):
         have = sorted(by_req[i], key=lambda r: r["rank"])
         assert [(r["doc_id"], r["rank"]) for r in have] == \
             [(r["doc_id"], r["rank"]) for r in want]
+
+
+def test_search_many_mixed_tiebreak_on_fallback_requests(spark):
+    """Filter-only requests route to the per-request fallback and rank
+    individually — their (default) tiebreak_round must NOT be forced to
+    match the batched requests' shared round (regression: the uniform
+    check used to run over ALL requests and rejected this valid mix).
+    Batched requests that genuinely disagree still raise."""
+    from garamond_jl_spark.plans.lifecycle import search_many
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(spark, docs, EngineConfig(score_alpha=0.4),
+                      id_col="doc_id", text_col="text")
+    env = SearchEnv(spark=spark, index=idx)
+
+    reqs = [InternalRequest(query="spark join data", max_matches=5,
+                            tiebreak_round=6),
+            InternalRequest(query='lang:"en"', max_matches=4)]  # round None
+    got = search_many(env, reqs).collect()
+    by_req = {}
+    for r in got:
+        by_req.setdefault(r["request_id"], []).append(r)
+    for i, req in enumerate(reqs):
+        want = sorted(search(env, req).collect(), key=lambda r: r["rank"])
+        have = sorted(by_req.get(i, []), key=lambda r: r["rank"])
+        assert [(r["doc_id"], r["rank"]) for r in have] == \
+            [(r["doc_id"], r["rank"]) for r in want], f"request {i}"
+
+    bad = [InternalRequest(query="spark join", tiebreak_round=6),
+           InternalRequest(query="window merge", tiebreak_round=3)]
+    with pytest.raises(ValueError, match="uniform tiebreak_round"):
+        search_many(env, bad)
