@@ -72,6 +72,26 @@ def request_from_body(body: dict, operation: str) -> InternalRequest:
     return req
 
 
+def _snapshot(env: SearchEnv) -> SearchEnv:
+    """Shallow per-request copy: a handler thread reads ``env.index``
+    several times across one search; snapshotting pins them all to one
+    index even if a concurrent envop swaps ``env.index`` mid-request —
+    the reference's semantics, where in-flight requests keep the env
+    value they started with and the env_operator publishes the updated
+    env for subsequent requests (src/server/search.jl:18-21,36-38)."""
+    return dataclasses.replace(env)
+
+
+def _configs_payload(env: SearchEnv) -> dict:
+    """read_configuration_to_json analog (search.jl:103-104) — one
+    definition shared by REST /api/read-configs and the socket
+    transport's read_configs op."""
+    cfg = dataclasses.asdict(env.index.cfg)
+    cfg.update(aggregation=env.aggregation, score_weight=env.score_weight,
+               n_searchers=1 + len(env.searchers))
+    return cfg
+
+
 def _envop(env: SearchEnv, body: dict) -> dict:
     """POST /api/envop — cmd ∈ {save, load, reindex} (rest.jl:20-26).
 
@@ -82,8 +102,18 @@ def _envop(env: SearchEnv, body: dict) -> dict:
       ``cmd_argument`` (streaming/incremental.load_live_index, so a dir
       with delta batches/tombstones loads at its live state).
     * reindex: rebuild the index from its docs table (build_index),
-      refreshing every derived stat — the '*' all-searchers semantics;
-      per-searcher ids are not distinguished here.
+      refreshing every derived stat — the '*' all-searchers semantics.
+      A specific-searcher ``cmd_argument`` (rest.jl:24 allows one) is
+      REJECTED rather than silently ignored: dense searchers here wrap
+      precomputed embedding tables, so only the primary index is
+      rebuildable.
+
+    All three preserve the index's custom tokenizer (save records it,
+    reindex re-tokenizes with it, load validates against it) — a
+    rebuild with the default pipeline would silently change the
+    vocabulary.  The replaced index's persisted frames are unpersisted
+    after load/reindex so a long-lived serving driver doesn't
+    accumulate orphaned cache blocks.
 
     save/reindex re-tokenize, so they need the env's docs table to
     CARRY the text column (build_index(..., carry_cols=[text]) /
@@ -105,6 +135,15 @@ def _envop(env: SearchEnv, body: dict) -> dict:
             f"envop {cmd} re-tokenizes: none of {cands} is carried in the "
             "index docs table (build with retain_content/carry_cols)")
 
+    def _retire(old) -> None:
+        # free the replaced index's cached frames (lazy-safe: Spark
+        # recomputes if a plan still references them)
+        for frame in (old.postings, old.terms):
+            try:
+                frame.unpersist()
+            except Exception:
+                pass
+
     if cmd == "save":
         from garamond_jl_spark.operators.persist import build_persistent
         if not arg:
@@ -116,17 +155,26 @@ def _envop(env: SearchEnv, body: dict) -> dict:
                  if c not in ("doc_id", "doclen", "norm")]
         build_persistent(env.spark, env.index.docs, env.index.cfg, arg,
                          id_col="doc_id", text_col=_text_col(),
-                         carry_cols=carry, retain_content=True)
+                         carry_cols=carry, retain_content=True,
+                         tokenizer=env.index.tokenizer)
         return {"envop": "save", "path": arg}
     if cmd == "load":
         from garamond_jl_spark.streaming.incremental import load_live_index
         if not arg:
             raise ValueError("envop load needs 'cmd_argument' (a path)")
-        env.index = load_live_index(env.spark, arg)
+        old = env.index
+        env.index = load_live_index(env.spark, arg,
+                                    tokenizer=old.tokenizer)
+        _retire(old)
         return {"envop": "load", "path": arg,
                 "n_docs": env.index.meta["n_docs"]}
     if cmd == "reindex":
         from garamond_jl_spark.operators.build import build_index
+        if arg not in ("", "*"):
+            raise ValueError(
+                "per-searcher reindex is not supported (dense searchers "
+                "wrap precomputed embedding tables); use '*' or omit "
+                "cmd_argument to rebuild the primary index")
         old = env.index
         # carry every non-derived column (incl. the text) so envops stay
         # repeatable: reindex→reindex / reindex→save must not drop text
@@ -134,7 +182,8 @@ def _envop(env: SearchEnv, body: dict) -> dict:
                  if c not in ("doc_id", "doclen", "norm")]
         env.index = build_index(env.spark, old.docs, old.cfg,
                                 id_col="doc_id", text_col=_text_col(),
-                                carry_cols=carry)
+                                carry_cols=carry, tokenizer=old.tokenizer)
+        _retire(old)
         return {"envop": "reindex", "n_docs": env.index.meta["n_docs"]}
     raise ValueError(f"unknown envop cmd: {cmd!r}")
 
@@ -160,11 +209,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, json.dumps({"status": "shutting down"}))
             threading.Thread(target=srv.shutdown, daemon=True).start()
         elif self.path == "/api/read-configs":
-            cfg = dataclasses.asdict(srv.env.index.cfg)
-            cfg.update(aggregation=srv.env.aggregation,
-                       score_weight=srv.env.score_weight,
-                       n_searchers=1 + len(srv.env.searchers))
-            self._send(200, json.dumps(cfg, default=str))
+            self._send(200, json.dumps(_configs_payload(_snapshot(srv.env)),
+                                       default=str))
         else:
             self._send(501)
 
@@ -181,10 +227,13 @@ class _Handler(BaseHTTPRequestHandler):
             if not isinstance(body, dict):
                 raise ValueError("body must be a JSON object")
             if self.path == "/api/envop":
-                self._send(200, json.dumps(_envop(srv.env, body)))
+                # one writer at a time (the reference's env_operator
+                # channel serializes updates, server/search.jl:18-21)
+                with srv.envop_lock:
+                    self._send(200, json.dumps(_envop(srv.env, body)))
                 return
             req = request_from_body(body, ops[self.path])
-            self._send(200, response_json(srv.env, req))
+            self._send(200, response_json(_snapshot(srv.env), req))
         except Exception as e:  # malformed request / engine error → 400
             self._send(400, json.dumps({"error": str(e)}))
 
@@ -199,6 +248,7 @@ class RestServer:
     def __init__(self, env: SearchEnv, host: str = "127.0.0.1",
                  port: int = 0):
         self.env = env
+        self.envop_lock = threading.Lock()
         self.httpd = ThreadingHTTPServer((host, port), _Handler)
         self.httpd.rest = self  # type: ignore[attr-defined]
         self.host, self.port = self.httpd.server_address[:2]

@@ -31,42 +31,35 @@ connection open the same way).
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 import socketserver
 import threading
 
-from garamond_jl_spark.plans.lifecycle import (InternalRequest, SearchEnv,
-                                               response_json)
-from garamond_jl_spark.server.rest import _PASSTHROUGH, _envop
+from garamond_jl_spark.plans.lifecycle import InternalRequest, response_json
+from garamond_jl_spark.server.rest import (_PASSTHROUGH, _configs_payload,
+                                           _envop, _snapshot)
 
 _ENGINE_OPS = ("search", "recommend", "rank")
 
 
 def request_from_wire(d: dict) -> InternalRequest:
     """Deserialize a request2json line (requests.jl:70-73): every field
-    present in the JSON object is copied onto the InternalRequest;
-    ``query`` carries operation-specific payloads verbatim."""
+    present in the JSON object is copied onto the InternalRequest
+    (``query``, in _PASSTHROUGH, carries operation-specific payloads
+    verbatim)."""
     req = InternalRequest(operation=str(d.get("operation", "")))
-    for key in (*_PASSTHROUGH, "query"):
+    for key in _PASSTHROUGH:
         if key in d:
             setattr(req, key, d[key])
     return req
 
 
-def _configs_payload(env: SearchEnv) -> dict:
-    """read_configuration_to_json analog (search.jl:103-104) — shared
-    with the REST /api/read-configs endpoint."""
-    cfg = dataclasses.asdict(env.index.cfg)
-    cfg.update(aggregation=env.aggregation, score_weight=env.score_weight,
-               n_searchers=1 + len(env.searchers))
-    return cfg
-
-
 def respond_line(srv: "SocketServer", line: str) -> tuple[str, bool]:
     """One respond() dispatch (search.jl:45-127): returns
-    ``(response_without_terminator, kill_requested)``."""
+    ``(response_without_terminator, kill_requested)``.  Engine ops run
+    against a per-request env snapshot; envops serialize on the
+    server's writer lock (see rest.py's _snapshot/_envop notes)."""
     try:
         d = json.loads(line)
         if not isinstance(d, dict):
@@ -75,12 +68,15 @@ def respond_line(srv: "SocketServer", line: str) -> tuple[str, bool]:
         if op == "kill":
             return "", True
         if op == "read_configs":
-            return json.dumps(_configs_payload(srv.env), default=str), False
+            return json.dumps(_configs_payload(_snapshot(srv.env)),
+                              default=str), False
         if op == "envop":
             body = json.loads(d.get("query") or "{}")
-            return json.dumps(_envop(srv.env, body)), False
+            with srv.envop_lock:
+                return json.dumps(_envop(srv.env, body)), False
         if op in _ENGINE_OPS:
-            return response_json(srv.env, request_from_wire(d)), False
+            return response_json(_snapshot(srv.env),
+                                 request_from_wire(d)), False
         return "", False           # unknown op → empty ack (search.jl:120)
     except Exception:              # ERRORED_REQUEST → empty ack
         return "", False
@@ -121,9 +117,10 @@ class SocketServer:
     unix-domain socket (a stale socket file is removed first,
     unixsocket.jl:12-14)."""
 
-    def __init__(self, env: SearchEnv, host: str = "127.0.0.1",
+    def __init__(self, env, host: str = "127.0.0.1",
                  port: int = 0, unix_path: str | None = None):
         self.env = env
+        self.envop_lock = threading.Lock()
         self.unix_path = unix_path
         if unix_path is not None:
             if os.path.exists(unix_path):

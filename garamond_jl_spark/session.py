@@ -8,8 +8,16 @@ builder is driven by spark-submit conf; nothing here is local-mode-only.
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
+
+# pin workers to the DRIVER's interpreter unless the deployment set its
+# own: local-mode workers otherwise resolve `python3` from PATH, and a
+# PATH that drifts to a different minor version kills every Python
+# stage with PYTHON_VERSION_MISMATCH
+os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
 
 
 def get_spark(app: str = "garamond-spark", cpus: int | None = None,

@@ -114,14 +114,18 @@ def test_unix_socket_and_kill(env, tmp_path):
                                             "tiebreak_round": 6}))
             assert out["results"]
             assert _roundtrip(c, {"operation": "kill"}) == ""
+        # poll BOTH conditions: server.shutdown() returns just before
+        # the serve thread dies, and the socket file is removed after
+        # that by the shutdown thread — either alone races
+        import os
         import time
         for _ in range(50):
-            if not s._thread.is_alive():
+            if not s._thread.is_alive() and not os.path.exists(path):
                 break
             time.sleep(0.1)
         else:
-            pytest.fail("server thread still alive after kill")
-        assert not __import__("os").path.exists(path)
+            pytest.fail("server thread alive or socket file present "
+                        "after kill")
     finally:
         try:
             s.shutdown()
