@@ -533,6 +533,48 @@ def suggest_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long").alias("rnk"))
 
 
+@q("positional_after_pushfirst", """
+WITH seq AS (
+  SELECT CAST(9001 AS BIGINT) AS doc_id, -2 AS seg
+  UNION ALL SELECT CAST(9000 AS BIGINT), -1
+  UNION ALL SELECT doc_id, 0 FROM documents
+)
+SELECT cast(row_number() OVER (ORDER BY seg ASC, doc_id ASC) AS BIGINT)
+         AS pos_id, doc_id
+FROM seq
+""")
+def positional_after_pushfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 pushfirst! renumbering through the gate — the one
+    mutation-path hash row: build a persistent index over the documents
+    table, pushfirst! twice, read back the positional view.  Ids are
+    recreated 1..N with the NEWEST prepend first
+    (db.jl:116-125,147-151).  The view is collected and re-wrapped so
+    the scratch index directory can be removed before returning."""
+    import shutil
+    import tempfile
+
+    from garamond_jl_spark.operators.persist import build_persistent
+    from garamond_jl_spark.streaming.incremental import (positional_docs,
+                                                         prepend_docs)
+    docs = load_testdata(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="gate_pushfirst_")
+    tok = lambda s: [t for t in (s or "").split(" ") if t]  # noqa: E731
+    try:
+        build_persistent(spark, docs, FT_CFG, out, id_col="doc_id",
+                         text_col="text", n_buckets=2, tokenizer=tok)
+        for new_id, txt in ((9000, "spark join"), (9001, "window merge")):
+            batch = spark.createDataFrame([(new_id, txt)],
+                                          "doc_id LONG, text STRING")
+            prepend_docs(spark, out, batch, id_col="doc_id",
+                         text_col="text", tokenizer=tok)
+        rows = [(r["pos_id"], r["doc_id"]) for r in
+                positional_docs(spark, out).select("pos_id", "doc_id")
+                .collect()]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, "pos_id LONG, doc_id LONG")
+
+
 # --------------------------------------------------------------------------
 # Filters (P3-P11) on the TPC-H-ish tables
 # --------------------------------------------------------------------------

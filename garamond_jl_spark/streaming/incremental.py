@@ -13,9 +13,16 @@ Reference semantics being reproduced:
   query embedding), not the raw token count.
 * ``pop!/deleteat!`` (env_operations.jl:151-201): row-level delete →
   tombstone table consulted at query time until compaction.
-* ``pushfirst!`` (id renumbering) is NOT supported — ids are
-  append-only (documented capability gap, SURVEY.md §7.4: renumbering
-  every id has no sane distributed analog).
+* ``pushfirst!/popfirst!`` (db.jl:116-137): the reference renumbers the
+  db's ``id_key`` column to ``1:N`` after every front mutation
+  (db_id_key_recreate!, db.jl:147-151).  The Spark analog keeps internal
+  ids append-only (mutations stay O(batch), no table rewrite) and makes
+  the ``1..N`` renumbering a LAZY positional view: prepend batches sort
+  before the main segment (newest first — each pushfirst! lands at
+  position 1), and :func:`positional_docs` computes the reference's
+  recreated id as a ``row_number`` at read time.  ``popfirst_docs`` /
+  ``pop_docs`` tombstone the current first/last positional row and
+  return it (db_popfirst!/db_pop! return the popped entry).
 * consistency guard (env_operations.jl:115-143): an append commits docs
   + postings together or not at all — both tables are staged under ONE
   batch directory and published with a SINGLE rename.
@@ -70,7 +77,8 @@ def _committed_batches(out_dir: str) -> list[str]:
 
 def append_docs(spark: SparkSession, out_dir: str, new_docs: DataFrame,
                 id_col: str = "doc_id", text_col: str = "content",
-                tokenizer=None, sampler=None) -> int:
+                tokenizer=None, sampler=None,
+                _position: str = "last") -> int:
     """push! analog: weight new docs with the FROZEN stats model and
     commit docs+postings atomically (one staged batch dir, one rename).
     Returns the number of postings appended.
@@ -105,7 +113,8 @@ def append_docs(spark: SparkSession, out_dir: str, new_docs: DataFrame,
     p = (p.withColumn("norm", F.sqrt(F.sum(F.col("w") * F.col("w")).over(win)))
          .withColumn("wnorm", F.col("w") / F.col("norm")))
 
-    batch = f"batch-{time.strftime('%Y%m%dT%H%M%S')}-{uuid.uuid4().hex[:6]}"
+    prefix = "first" if _position == "first" else "batch"
+    batch = f"{prefix}-{time.strftime('%Y%m%dT%H%M%S')}-{uuid.uuid4().hex[:6]}"
     stage = os.path.join(out_dir, f"_staging_{batch}")
     p_dir, d_dir = os.path.join(stage, "postings"), os.path.join(stage, "docs")
     p.write.parquet(p_dir)
@@ -114,8 +123,11 @@ def append_docs(spark: SparkSession, out_dir: str, new_docs: DataFrame,
              if c != text_col or keep_text]
     doc_stats = p.groupBy("doc_id").agg(F.first("doclen").alias("doclen"),
                                         F.first("norm").alias("norm"))
+    # _seq records the batch's row order (partition-major) so the
+    # positional view can renumber multi-row pushes in push order
     new_docs.select(F.col(id_col).alias("doc_id"),
                     *[c for c in carry if c != id_col]) \
+        .withColumn("_seq", F.monotonically_increasing_id()) \
         .join(doc_stats, "doc_id", "left") \
         .fillna({"doclen": 0, "norm": 0.0}).write.parquet(d_dir)
     n = spark.read.parquet(p_dir).count()
@@ -134,6 +146,94 @@ def delete_docs(spark: SparkSession, out_dir: str, doc_ids: list[int]) -> None:
         .write.mode("append").parquet(_tombstones_dir(out_dir))
 
 
+def prepend_docs(spark: SparkSession, out_dir: str, new_docs: DataFrame,
+                 id_col: str = "doc_id", text_col: str = "content",
+                 tokenizer=None, sampler=None) -> int:
+    """pushfirst! analog (env.jl:108-112 → db_pushfirst!, db.jl:116-125):
+    indexing is identical to :func:`append_docs` (frozen-stats delta
+    batch — the index side of the reference prepends into the same
+    structures push! uses, searcher.jl:41-45), but the batch is recorded
+    as a FRONT segment so :func:`positional_docs` renumbers it before
+    everything already present.  O(batch): no existing row moves; the
+    reference's id recreation is deferred to the read-time view."""
+    return append_docs(spark, out_dir, new_docs, id_col=id_col,
+                       text_col=text_col, tokenizer=tokenizer,
+                       sampler=sampler, _position="first")
+
+
+def _ordered_segments(out_dir: str) -> list[tuple[int, str]]:
+    """(segment_rank, docs_dir) in positional order: prepend batches
+    newest-first (each pushfirst! lands at position 1, ahead of earlier
+    prepends), then the main segment (rank 0), then append batches
+    oldest-first."""
+    pre, app = [], []
+    for b in _committed_batches(out_dir):
+        (pre if os.path.basename(b).startswith("first-") else app).append(b)
+    segs = [(-(i + 1), os.path.join(b, "docs"))
+            for i, b in enumerate(sorted(pre))]          # oldest → -1 …
+    segs.append((0, os.path.join(out_dir, "docs")))
+    segs += [(i + 1, os.path.join(b, "docs"))
+             for i, b in enumerate(sorted(app))]
+    return segs
+
+
+def positional_docs(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The db view with the reference's recreated ``1..N`` positional id
+    (db_id_key_recreate!, db.jl:147-151) as ``pos_id``.
+
+    Renumbering is inherently a total order, so this view is computed
+    lazily with one global ``row_number`` — it exists for db-style reads
+    (entry lookup by position, pop/popfirst) and is NEVER on the search
+    path, which keys on the stable internal ``doc_id`` throughout.
+    Within a segment, order is the batch's recorded push order
+    (``_seq``), a compaction-frozen position (``_pos``), or ``doc_id``
+    for original builds."""
+    parts = []
+    for seg, d_dir in _ordered_segments(out_dir):
+        if not os.path.exists(d_dir):
+            continue
+        d = spark.read.parquet(d_dir)
+        okey = ("_seq" if "_seq" in d.columns
+                else "_pos" if "_pos" in d.columns else "doc_id")
+        parts.append(d.withColumn("_seg", F.lit(seg))
+                      .withColumn("_okey", F.col(okey).cast("long")))
+    view = parts[0]
+    for p in parts[1:]:
+        view = view.unionByName(p, allowMissingColumns=True)
+    tombs = _read_optional(spark, _tombstones_dir(out_dir))
+    if tombs is not None:
+        view = view.join(tombs.select("doc_id").distinct(), "doc_id",
+                         "left_anti")
+    w = Window.orderBy("_seg", "_okey", "doc_id")
+    return (view.withColumn("pos_id", F.row_number().over(w).cast("long"))
+            .drop("_seg", "_okey", "_seq", "_pos"))
+
+
+def _pop_at(spark: SparkSession, out_dir: str, first: bool) -> dict | None:
+    view = positional_docs(spark, out_dir)
+    order = F.col("pos_id").asc() if first else F.col("pos_id").desc()
+    rows = view.orderBy(order).limit(1).collect()
+    if not rows:
+        return None
+    popped = rows[0].asDict()
+    delete_docs(spark, out_dir, [popped["doc_id"]])
+    popped.pop("pos_id")
+    return popped
+
+
+def popfirst_docs(spark: SparkSession, out_dir: str) -> dict | None:
+    """db_popfirst! analog (db.jl:131-137): tombstone the current first
+    positional row and return it; the next :func:`positional_docs` read
+    sees ids recreated 1..N-1."""
+    return _pop_at(spark, out_dir, first=True)
+
+
+def pop_docs(spark: SparkSession, out_dir: str) -> dict | None:
+    """db_pop! analog (db.jl:128): tombstone + return the LAST positional
+    row."""
+    return _pop_at(spark, out_dir, first=False)
+
+
 def _read_optional(spark: SparkSession, path: str) -> DataFrame | None:
     if not os.path.exists(path) or not any(
             not e.startswith("_") for e in os.listdir(path)):
@@ -149,11 +249,15 @@ def load_live_index(spark: SparkSession, out_dir: str,
     object (WAND applies after compaction)."""
     recover_swap(out_dir)
     idx = load_index(spark, out_dir, tokenizer=tokenizer)
+    if "_pos" in idx.docs.columns:
+        idx.docs = idx.docs.drop("_pos")   # positional bookkeeping only
     batches = _committed_batches(out_dir)
     delta = spark.read.parquet(
         *[os.path.join(b, "postings") for b in batches]) if batches else None
-    ddocs = spark.read.parquet(
+    ddocs = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(b, "docs") for b in batches]) if batches else None
+    if ddocs is not None and "_seq" in ddocs.columns:
+        ddocs = ddocs.drop("_seq")   # positional-view bookkeeping only
     tombs = _read_optional(spark, _tombstones_dir(out_dir))
     postings, docs = idx.postings, idx.docs
     n_new = 0
@@ -241,6 +345,14 @@ def compact(spark: SparkSession, out_dir: str,
     m, cfg = read_meta(out_dir)
     _check_tokenizer(m, tokenizer)
     live = load_live_index(spark, out_dir, tokenizer=tokenizer)
+    if _committed_batches(out_dir):
+        # freeze the current positional order into the merged docs table
+        # (the delta segments that carry it are about to be folded away),
+        # so pushfirst!-renumbered ids survive compaction — the reference
+        # reindexes the db in row order, preserving positions
+        pos = positional_docs(spark, out_dir) \
+            .select("doc_id", F.col("pos_id").alias("_pos"))
+        live.docs = live.docs.join(pos, "doc_id", "left")
     snap = out_dir.rstrip("/") + f".snapshot-{uuid.uuid4().hex[:6]}"
 
     if recompute_stats:

@@ -179,3 +179,62 @@ def test_compact_preserves_stream_checkpoint(spark, built, tmp_path):
     assert live.postings.where(F.col("doc_id") == 30_000).count() == \
         live.postings.where(F.col("doc_id") == 30_000)\
         .select("term").distinct().count()
+
+
+# ---- pushfirst!/popfirst! positional semantics (db.jl:116-151) ----------
+
+def _prepos():
+    from garamond_jl_spark.streaming.incremental import (pop_docs,
+                                                         popfirst_docs,
+                                                         positional_docs,
+                                                         prepend_docs)
+    return prepend_docs, positional_docs, popfirst_docs, pop_docs
+
+
+def test_pushfirst_renumbers_lazily(spark, built):
+    prepend_docs, positional_docs, _, _ = _prepos()
+    prepend_docs(spark, built, _new_batch(spark, 20_000, "main run data"))
+    prepend_docs(spark, built, _new_batch(spark, 20_001, "main value"))
+    view = positional_docs(spark, built)
+    head = [r["doc_id"] for r in view.orderBy("pos_id").limit(2).collect()]
+    assert head == [20_001, 20_000]     # newest pushfirst! is position 1
+    rows = view.collect()
+    assert sorted(r["pos_id"] for r in rows) == \
+        list(range(1, len(rows) + 1))   # ids recreated 1..N (db.jl:147-151)
+    # the prepended doc went through the same frozen-stats index path
+    live = load_live_index(spark, built)
+    hits = search(spark, live, ["main run"], k=5, hydrate=False,
+                  pad_to_k=False).collect()
+    assert 20_000 in {r["doc_id"] for r in hits}
+
+
+def test_popfirst_and_pop_return_popped_entry(spark, built):
+    prepend_docs, positional_docs, popfirst_docs, pop_docs = _prepos()
+    prepend_docs(spark, built, _new_batch(spark, 20_010, "main data"))
+    append_docs(spark, built, _new_batch(spark, 20_011, "main value"))
+    popped = popfirst_docs(spark, built)
+    assert popped["doc_id"] == 20_010   # front = newest prepend
+    popped_last = pop_docs(spark, built)
+    assert popped_last["doc_id"] == 20_011  # back = newest append
+    view = positional_docs(spark, built)
+    ids = {r["doc_id"] for r in view.collect()}
+    assert 20_010 not in ids and 20_011 not in ids
+    assert view.agg(F.min("pos_id"), F.max("pos_id")).first() == \
+        (1, view.count())               # renumbered after both pops
+
+
+def test_positions_survive_compaction(spark, built):
+    prepend_docs, positional_docs, _, _ = _prepos()
+    prepend_docs(spark, built, _new_batch(spark, 20_020, "main run"))
+    compact(spark, built)
+    view = positional_docs(spark, built)
+    assert view.orderBy("pos_id").first()["doc_id"] == 20_020
+    # a post-compaction pushfirst! still lands at position 1
+    prepend_docs(spark, built, _new_batch(spark, 20_021, "main data"))
+    head = [r["doc_id"] for r in positional_docs(spark, built)
+            .orderBy("pos_id").limit(2).collect()]
+    assert head == [20_021, 20_020]
+    # and the query path never sees the bookkeeping columns
+    live = load_live_index(spark, built)
+    assert "_pos" not in live.docs.columns
+    assert "_seq" not in live.docs.columns
