@@ -30,7 +30,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from garamond_jl_spark.operators.ann import (LSHCandidateIndex,  # noqa: E402
+from garamond_jl_spark.operators.ann import (IVFADCIndex,  # noqa: E402
+                                             LSHCandidateIndex,
                                              _assign_join,
                                              assign_lists_arrow)
 from garamond_jl_spark.operators.semantic import \
@@ -64,6 +65,12 @@ def main() -> None:
     ap.add_argument("--dim", type=int, default=16)
     ap.add_argument("--clusters", type=int, default=1000)
     ap.add_argument("--out", default="/tmp/ann_env_bench")
+    ap.add_argument("--ivf-k", type=int, default=256)
+    ap.add_argument("--ivf-probe", type=int, default=8)
+    ap.add_argument("--pq-m", type=int, default=4)
+    ap.add_argument("--train-ratio", type=float, default=0.02)
+    ap.add_argument("--recall-queries", type=int, default=10)
+    ap.add_argument("--rerank", type=int, default=1000)
     args = ap.parse_args()
 
     spark = get_spark("ann-env-bench")
@@ -161,6 +168,42 @@ def main() -> None:
             row["join_sec"] = round(t_join, 2)
         assign[K] = row
     results["assignment"] = assign
+
+    # --- 3. trained IVFADC at scale: sampled trainers + map-only ------
+    # assignments, recall@10 vs the exact scorer (the question the
+    # 240-doc pytest can't answer: does the trained path hold at 1M?)
+    from garamond_jl_spark.operators.semantic import cosine_topk
+    t0 = time.time()
+    adc = IVFADCIndex.build(dv, dim=dim, n_centroids=args.ivf_k,
+                            m=args.pq_m, n_codes=16,
+                            n_probe=args.ivf_probe, n_iter=4, seed=0,
+                            sample_ratio=args.train_ratio, packed=packed,
+                            persist=True)
+    adc.codes.count()                     # materialize the build
+    t_adc_build = time.time() - t0
+
+    recalls, t_adc_q = [], []
+    for qi in range(args.recall_queries):
+        qc = centers[(qi * 137) % args.clusters] \
+            + 0.1 * rng.normal(size=dim)
+        qv = [(i + 1, float(v)) for i, v in enumerate(qc)]
+        want = {r["doc_id"]
+                for r in cosine_topk(dv, qv, 10).collect()}
+        t0 = time.time()
+        got = {r["doc_id"]
+               for r in adc.search(dv, qv, k=10,
+                                   rerank=args.rerank).collect()}
+        t_adc_q.append(time.time() - t0)
+        recalls.append(len(want & got) / 10)
+    results["ivfadc_trained"] = {
+        "n_centroids": args.ivf_k, "n_probe": args.ivf_probe,
+        "pq_m": args.pq_m, "train_ratio": args.train_ratio,
+        "rerank": args.rerank,
+        "build_sec": round(t_adc_build, 2),
+        "recall_at_10": round(sum(recalls) / len(recalls), 3),
+        "recalls": recalls,
+        "query_sec_mean": round(sum(t_adc_q) / len(t_adc_q), 2),
+        "memory": adc.memory_stats()}
     print(json.dumps(results))
     spark.stop()
 

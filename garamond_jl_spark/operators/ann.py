@@ -258,6 +258,17 @@ def train_kmeans(dv: DataFrame, k: int, n_iter: int = 5, seed: int = 0,
         "cid INT, i INT, cv DOUBLE")
 
 
+def _cent_matrix(cent_rows: list[tuple]) -> list[list[float]]:
+    """(cid, i, cv) rows → dense K×dim matrix (row = cid, col = i−1)
+    for the arrow assignment kernels; absent scalars are 0."""
+    K = 1 + max(int(c) for c, _, _ in cent_rows)
+    dim = max(int(i) for _, i, _ in cent_rows)
+    M = [[0.0] * dim for _ in range(K)]
+    for c, i, v in cent_rows:
+        M[int(c)][int(i) - 1] = float(v)
+    return M
+
+
 def _assign_join(dv: DataFrame, cent: DataFrame) -> DataFrame:
     """(doc_id, cid): L2 argmin assignment via the join-shaped plan —
     dist² = |v|² − 2·v·c + |c|²; |v|² is constant per doc so the argmin
@@ -342,10 +353,15 @@ class IVFCandidateIndex:
               n_probe: int = 4, n_iter: int = 5, seed: int = 0,
               centroids: DataFrame | None = None,
               sample_ratio: float | None = None,
+              packed: DataFrame | None = None,
               persist: bool = True) -> "IVFCandidateIndex":
         """Train (or accept) the coarse quantizer, assign every doc.
         ``centroids``: optional pre-trained (cid, i, cv) table — the
-        reference's offline-trained quantizer handoff."""
+        reference's offline-trained quantizer handoff.  ``packed``:
+        optional (doc_id, emb array) twin of ``doc_embeddings``; when
+        given, the full-corpus assignment runs as the map-only
+        :func:`assign_lists_arrow` blocked matmul instead of the
+        K-fanout join (the at-scale path)."""
         if centroids is None:
             centroids = train_kmeans(doc_embeddings, n_centroids,
                                      n_iter=n_iter, seed=seed,
@@ -353,9 +369,12 @@ class IVFCandidateIndex:
         cent_rows = [(r["cid"], r["i"], r["cv"])
                      for r in centroids.collect()]
         spark = doc_embeddings.sparkSession
-        cent = F.broadcast(spark.createDataFrame(
-            cent_rows, "cid INT, i INT, cv DOUBLE"))
-        asg = _assign_join(doc_embeddings, cent)
+        if packed is not None:
+            asg = assign_lists_arrow(packed, _cent_matrix(cent_rows))
+        else:
+            cent = F.broadcast(spark.createDataFrame(
+                cent_rows, "cid INT, i INT, cv DOUBLE"))
+            asg = _assign_join(doc_embeddings, cent)
         if persist:
             asg = asg.persist()
         return cls(asg, cent_rows, n_probe)
@@ -500,6 +519,70 @@ def _pq_assign(sv: DataFrame, cb: DataFrame) -> DataFrame:
             .where(F.col("_r") == 1).select("sub", "doc_id", "code"))
 
 
+def assign_pq_arrow(packed_with_cid: DataFrame,
+                    centroids: "list[list[float]]",
+                    codebook_rows: list[tuple], dim: int, m: int,
+                    id_col: str = "doc_id",
+                    vec_col: str = "emb") -> DataFrame:
+    """(doc_id, cid, sub, code): residual PQ code assignment WITHOUT the
+    join fanout — one ``mapInArrow`` pass over packed vectors that (a)
+    subtracts the doc's coarse centroid (the ``cid`` column must ride
+    the input, e.g. from :func:`assign_lists_arrow`), (b) per-subspace
+    L2-argmins the residual against the codebook matrix.  The
+    join-shaped :func:`_pq_assign` materializes m·n_codes rows per doc;
+    this path's intermediate is a batch×n_codes numpy tile per
+    subspace, so together with :func:`assign_lists_arrow` the whole
+    IVFADC build is map-only after the (sampled) trainers."""
+    import numpy as np
+    import pyarrow as pa
+
+    C = np.asarray(centroids, dtype=np.float64)          # K × dim
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    n_codes = 1 + max(code for _, code, _, _ in codebook_rows)
+    # CB[sub, code, j-1]; absent scalars are 0 — the same semantics as
+    # the join-shaped _pq_assign (dot/cc sum only present rows), and
+    # train_pq's carry-forward keeps every (sub, code) populated anyway
+    CB = np.zeros((m, n_codes, dsub))
+    for sub, code, j, cv in codebook_rows:
+        CB[int(sub), int(code), int(j) - 1] = float(cv)
+
+    def _assign(batches):
+        for b in batches:
+            ids = b.column(b.schema.get_field_index(id_col))
+            cids = b.column(b.schema.get_field_index("cid")) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            vecs = b.column(b.schema.get_field_index(vec_col))
+            if len(vecs) == 0:
+                continue
+            flat = vecs.flatten().to_numpy(zero_copy_only=False)
+            X = np.asarray(flat, dtype=np.float64).reshape(len(vecs), -1)
+            R = X - C[cids]                               # residuals
+            codes = np.empty((R.shape[0], m), dtype=np.int32)
+            for sub in range(m):
+                S = R[:, sub * dsub:(sub + 1) * dsub]     # rows × dsub
+                Cs = CB[sub]                              # n_codes × dsub
+                scores = -2.0 * (S @ Cs.T) + (Cs ** 2).sum(axis=1)[None, :]
+                codes[:, sub] = np.argmin(scores, axis=1)
+            out_ids = pa.concat_arrays([ids.combine_chunks()] * m) \
+                if isinstance(ids, pa.ChunkedArray) else \
+                pa.concat_arrays([ids] * m)
+            out_cids = np.tile(cids, m)
+            out_subs = np.repeat(np.arange(m, dtype=np.int32),
+                                 R.shape[0])
+            out_codes = codes.T.reshape(-1)
+            yield pa.RecordBatch.from_arrays(
+                [out_ids, pa.array(out_cids, type=pa.int32()),
+                 pa.array(out_subs, type=pa.int32()),
+                 pa.array(out_codes, type=pa.int32())],
+                names=[id_col, "cid", "sub", "code"])
+
+    out_schema = f"{id_col} LONG, cid INT, sub INT, code INT"
+    return packed_with_cid.select(id_col, "cid", vec_col) \
+        .mapInArrow(_assign, out_schema)
+
+
 class IVFADCIndex:
     """The full ivfadc.jl capability: coarse inverted lists + product-
     quantized residual codes + asymmetric-distance scoring.
@@ -527,15 +610,33 @@ class IVFADCIndex:
     def build(cls, doc_embeddings: DataFrame, dim: int,
               n_centroids: int = 16, m: int = 4, n_codes: int = 16,
               n_probe: int = 4, n_iter: int = 5, seed: int = 0,
+              sample_ratio: float | None = None,
+              packed: DataFrame | None = None,
               persist: bool = True) -> "IVFADCIndex":
+        """``sample_ratio``: train BOTH quantizers (coarse k-means and
+        the PQ codebooks) on a deterministic hash-subset — the
+        reference trains offline on a sample the same way
+        (ivfadc.jl:22-27).  ``packed``: optional (doc_id, emb) twin;
+        when given, BOTH full-corpus assignment passes run as map-only
+        mapInArrow kernels (:func:`assign_lists_arrow` for lists,
+        :func:`assign_pq_arrow` for residual codes) — after the
+        sampled trainers, nothing in the build shuffles more than the
+        output itself."""
         ivf = IVFCandidateIndex.build(doc_embeddings, n_centroids,
                                       n_probe=n_probe, n_iter=n_iter,
-                                      seed=seed, persist=persist)
+                                      seed=seed, sample_ratio=sample_ratio,
+                                      packed=packed, persist=persist)
         spark = doc_embeddings.sparkSession
+        cent_rows = [(c, i, v) for c, comp in ivf._cent.items()
+                     for i, v in comp.items()]
         cent = F.broadcast(spark.createDataFrame(
-            [(c, i, v) for c, comp in ivf._cent.items()
-             for i, v in comp.items()], "cid INT, i INT, cv DOUBLE"))
-        resid = (doc_embeddings.join(ivf.asg, "doc_id")
+            cent_rows, "cid INT, i INT, cv DOUBLE"))
+        train_dv = doc_embeddings
+        if sample_ratio is not None and sample_ratio < 1.0:
+            cut = format(int(sample_ratio * 16 ** 8), "08x")
+            train_dv = train_dv.where(
+                F.substring(_hash_order("KMS", seed), 1, 8) < cut)
+        resid = (train_dv.join(ivf.asg, "doc_id")
                  .join(cent, ["cid", "i"], "left")
                  .select("doc_id", "cid", "i",
                          (F.col("dv") - F.coalesce("cv", F.lit(0.0)))
@@ -544,12 +645,23 @@ class IVFADCIndex:
                       n_codes=n_codes, n_iter=n_iter, seed=seed)
         cb_rows = [(r["sub"], r["code"], r["j"], r["cv"])
                    for r in cb.collect()]
-        cbb = F.broadcast(spark.createDataFrame(
-            cb_rows, "sub INT, code INT, j INT, cv DOUBLE"))
-        sv = _with_subspace(resid.select("doc_id", "i", "rv"), dim // m)
-        codes = (_pq_assign(sv, cbb)
-                 .join(ivf.asg, "doc_id")
-                 .select("doc_id", "cid", "sub", "code"))
+        if packed is not None:
+            codes = assign_pq_arrow(packed.join(ivf.asg, "doc_id"),
+                                    _cent_matrix(cent_rows), cb_rows,
+                                    dim, m)
+        else:
+            cbb = F.broadcast(spark.createDataFrame(
+                cb_rows, "sub INT, code INT, j INT, cv DOUBLE"))
+            full_resid = (doc_embeddings.join(ivf.asg, "doc_id")
+                          .join(cent, ["cid", "i"], "left")
+                          .select("doc_id", "i",
+                                  (F.col("dv") - F.coalesce("cv",
+                                                            F.lit(0.0)))
+                                  .alias("rv")))
+            sv = _with_subspace(full_resid, dim // m)
+            codes = (_pq_assign(sv, cbb)
+                     .join(ivf.asg, "doc_id")
+                     .select("doc_id", "cid", "sub", "code"))
         if persist:
             codes = codes.persist()
         return cls(ivf, codes, cb_rows, dim, m, n_codes)
