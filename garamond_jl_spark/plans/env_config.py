@@ -217,7 +217,8 @@ def _embeddable_text(df: DataFrame, fields: list[str], eid: str):
         "_embeddable"
 
 
-def build_search_env(spark: SparkSession, config_path: str) -> SearchEnv:
+def build_search_env(spark: SparkSession, config_path: str,
+                     _keep: dict[str, object] | None = None) -> SearchEnv:
     """JSON config file → fully built :class:`SearchEnv` (env.jl:29-83).
 
     The first enabled searcher (which must reference a CLASSIC embedder)
@@ -330,13 +331,46 @@ def build_search_env(spark: SparkSession, config_path: str) -> SearchEnv:
             BOESearcher.from_tokens(tokens, wv,
                                     score_alpha=s["score_alpha"]), s)
 
-    first = build_searcher(enabled[0])
+    def make(s: dict):
+        if _keep is not None and s["id"] in _keep:
+            return _keep[s["id"]]
+        return build_searcher(s)
+
+    first = make(enabled[0])
     from garamond_jl_spark.operators.build import InvertedIndex
     if not isinstance(first, InvertedIndex):
         raise ConfigError(
             "the first enabled searcher must use a classic embedder with "
             "vectors_transform=none (it provides the docs table/schema)")
-    rest = [(build_searcher(s), s["score_weight"]) for s in enabled[1:]]
+    rest = [(make(s), s["score_weight"]) for s in enabled[1:]]
     return SearchEnv(spark=spark, index=first, id_key=id_key,
                      score_weight=enabled[0]["score_weight"],
-                     searchers=rest, aggregation=cfg["aggregation"])
+                     searchers=rest, aggregation=cfg["aggregation"],
+                     config_path=config_path,
+                     searcher_ids=[s["id"] for s in enabled])
+
+
+def reindex_searchers(env: SearchEnv, which: str = "*") -> SearchEnv:
+    """The env_operator ``:reindex`` analog for config-built envs
+    (env_operations.jl:35-64): re-parse the env's config file, re-load
+    the data through its loader/sampler, and rebuild the SELECTED
+    searcher(s) — ``which`` is a searcher id from the config, or
+    ``"*"`` for all — while the non-selected searcher objects are kept
+    as-is (the reference copies ``env.searchers[i]`` across untouched,
+    stale against the re-loaded data by design).  Returns a NEW env;
+    the caller swaps it in (the reference's channel put!)."""
+    if not env.config_path:
+        raise ConfigError(
+            "selective reindex needs a config-built env (build_search_env "
+            "records config_path); this env has none")
+    if which in ("", "*"):
+        keep: dict[str, object] | None = None
+    else:
+        if which not in env.searcher_ids:
+            raise ConfigError(
+                f"no searcher with id {which!r} in this env "
+                f"(have: {env.searcher_ids})")
+        objs = [env.index] + [s for s, _ in env.searchers]
+        keep = {sid: obj for sid, obj in zip(env.searcher_ids, objs)
+                if sid != which}
+    return build_search_env(env.spark, env.config_path, _keep=keep)

@@ -84,6 +84,13 @@ class SearchEnv:
     score_weight: float = 1.0
     searchers: list[tuple[object, float]] = field(default_factory=list)
     aggregation: str = "mean"   # defaults.jl:29 DEFAULT strategy :mean
+    # set by plans.env_config.build_search_env — the handles the
+    # reference's env_operator :reindex needs (env.jl:10-12 keeps
+    # config_path on the env; searcher ids come from the config's
+    # per-searcher "id"): config-built envs can selectively rebuild one
+    # searcher by id (env_operations.jl:35-64)
+    config_path: str | None = None
+    searcher_ids: list[str] = field(default_factory=list)
 
     @property
     def schema(self) -> dict[str, str]:

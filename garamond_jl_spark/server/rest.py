@@ -170,10 +170,28 @@ def _envop(env: SearchEnv, body: dict) -> dict:
                 "n_docs": env.index.meta["n_docs"]}
     if cmd == "reindex":
         from garamond_jl_spark.operators.build import build_index
+        if getattr(env, "config_path", None) and arg != "":
+            # config-built env: the reference's selective reindex —
+            # cmd_argument is "*" or a searcher id; config re-parsed,
+            # data re-loaded, selected searcher(s) rebuilt
+            # (env_operations.jl:35-64 via plans.env_config)
+            from garamond_jl_spark.plans.env_config import \
+                reindex_searchers
+            new = reindex_searchers(env, arg)
+            old = env.index
+            env.index = new.index
+            env.searchers = new.searchers
+            env.score_weight = new.score_weight
+            env.aggregation = new.aggregation
+            env.id_key = new.id_key
+            env.searcher_ids = new.searcher_ids
+            _retire(old)
+            return {"envop": "reindex", "searchers": arg,
+                    "n_docs": env.index.meta["n_docs"]}
         if arg not in ("", "*"):
             raise ValueError(
-                "per-searcher reindex is not supported (dense searchers "
-                "wrap precomputed embedding tables); use '*' or omit "
+                "per-searcher reindex needs a config-built env "
+                "(build_search_env records config_path); use '*' or omit "
                 "cmd_argument to rebuild the primary index")
         old = env.index
         # carry every non-derived column (incl. the text) so envops stay

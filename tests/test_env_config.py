@@ -248,3 +248,46 @@ def test_env_search_index_ann_backed(spark, tmp_path):
     with pytest.warns(UserWarning, match="dense searchers only"):
         env2 = build_search_env(spark, _write(tmp_path, c2))
     assert not env2.searchers
+
+
+def test_reindex_searchers_selective(spark, tmp_path):
+    """env_operator :reindex (env_operations.jl:35-64): a config-built
+    env rebuilds ONE searcher by its config id — the untouched searcher
+    object is carried across identically (reference keeps
+    env.searchers[i] as-is) — and answers the same afterwards; '*'
+    rebuilds everything; unknown ids and non-config envs raise."""
+    from garamond_jl_spark.plans.env_config import reindex_searchers
+    cfg = _base_config()
+    cfg["embedders"].append(
+        {"id": "embedder_2", "vectors": "word2vec",
+         "doc2vec_method": "boe", "vectors_dimension": 16,
+         "embeddings_seed": 0, "embeddable_fields": ["text"]})
+    cfg["searchers"].append(
+        {"id": "searcher_2", "data_embedder": "embedder_2",
+         "score_alpha": 0.4, "score_weight": 0.8})
+    env = build_search_env(spark, _write(tmp_path, cfg))
+    assert env.searcher_ids == ["searcher_1", "searcher_2"]
+    req = InternalRequest(query="spark join data", max_matches=5,
+                          tiebreak_round=6)
+    before = [(r["doc_id"], r["rank"]) for r in
+              sorted(lsearch(env, req).collect(), key=lambda r: r["rank"])]
+
+    kept_boe = env.searchers[0][0]
+    new = reindex_searchers(env, "searcher_1")
+    assert new.searchers[0][0] is kept_boe        # untouched carried as-is
+    assert new.index is not env.index             # selected one rebuilt
+    after = [(r["doc_id"], r["rank"]) for r in
+             sorted(lsearch(new, req).collect(), key=lambda r: r["rank"])]
+    assert after == before
+
+    star = reindex_searchers(env, "*")            # full rebuild
+    assert star.searchers[0][0] is not kept_boe
+    assert [(r["doc_id"], r["rank"]) for r in
+            sorted(lsearch(star, req).collect(),
+                   key=lambda r: r["rank"])] == before
+
+    with pytest.raises(ConfigError, match="no searcher with id"):
+        reindex_searchers(env, "nope")
+    with pytest.raises(ConfigError, match="config-built"):
+        reindex_searchers(SearchEnv(spark=spark, index=env.index),
+                          "searcher_1")

@@ -139,3 +139,50 @@ def test_kill_endpoint(env):
             break
     else:
         pytest.fail("server still accepting connections after /api/kill")
+
+
+def test_envop_selective_reindex_config_env(spark, tmp_path):
+    """POST /api/envop cmd=reindex with a searcher id: a config-built
+    env rebuilds just that searcher (env_operations.jl:35-64) and keeps
+    answering identically; unknown id → 400; non-config env (the module
+    `srv` fixture) → 400 for per-searcher args (covered above)."""
+    import json as _json
+
+    from garamond_jl_spark.plans.env_config import build_search_env
+    cfg = {
+        "data_loader_name": "parquet_loader",
+        "data_loader_arguments": [f"{SF}/documents.parquet"],
+        "data_sampler_name": "identity_sampler",
+        "id_key": "doc_id",
+        "aggregation": "mean",
+        "embedders": [{"id": "embedder_1", "vectors": "bm25",
+                       "embeddable_fields": ["text"]}],
+        "searchers": [{"id": "searcher_1", "data_embedder": "embedder_1",
+                       "score_alpha": 0.4, "score_weight": 1.0}],
+    }
+    p = tmp_path / "env.json"
+    p.write_text(_json.dumps(cfg))
+    cenv = build_search_env(spark, str(p))
+    s = rest_server(cenv)
+    try:
+        code, out = _post(f"{s.url}/api/search",
+                          {"query": "spark join data", "max_matches": 3,
+                           "tiebreak_round": 6})
+        assert code == 200
+        before = json.loads(out)["results"]
+
+        code, out = _post(f"{s.url}/api/envop",
+                          {"cmd": "reindex", "cmd_argument": "searcher_1"})
+        assert code == 200
+        assert json.loads(out)["searchers"] == "searcher_1"
+
+        code, out = _post(f"{s.url}/api/search",
+                          {"query": "spark join data", "max_matches": 3,
+                           "tiebreak_round": 6})
+        assert code == 200 and json.loads(out)["results"] == before
+
+        code, _ = _post(f"{s.url}/api/envop",
+                        {"cmd": "reindex", "cmd_argument": "nope"})
+        assert code == 400
+    finally:
+        s.shutdown()
