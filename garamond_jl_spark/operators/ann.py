@@ -686,14 +686,15 @@ class IVFADCIndex:
                 rows.append((cid, sub, code, pd))
         return rows
 
-    def search(self, doc_embeddings: DataFrame,
-               qv_rows: list[tuple[int, float]], k: int,
-               rerank: int | None = None) -> DataFrame:
-        """(doc_id, score[cosine], rank): ADC-approximate scan of the
-        probed lists, exact cosine rerank of the best ``rerank``
-        (default 4k) candidates."""
-        spark = doc_embeddings.sparkSession
-        rerank = 4 * k if rerank is None else rerank
+    def candidates(self, qv_rows: list[tuple[int, float]],
+                   rerank: int = 1000) -> DataFrame:
+        """(doc_id): the ``rerank`` ADC-best candidates from the probed
+        lists — the DenseVectorSearcher candidate-index contract (the
+        reference attaches its semantic searcher to exactly this
+        structure, searcher.jl:120-125 + ivfadc.jl), giving a TIGHTER
+        set than raw IVF lists: the ADC pass orders the probed lists by
+        approximate distance before the searcher's exact rerank."""
+        spark = self.codes.sparkSession
         cids = self.ivf.probe_cids(qv_rows)
         adc = F.broadcast(spark.createDataFrame(
             self._adc_table(qv_rows, cids),
@@ -701,8 +702,41 @@ class IVFADCIndex:
         approx = (self.codes.where(F.col("cid").isin(cids))
                   .join(adc, ["cid", "sub", "code"])
                   .groupBy("doc_id").agg(F.sum("pd").alias("ad2")))
-        cand = (approx.orderBy(F.col("ad2").asc(), F.col("doc_id").asc())
+        return (approx.orderBy(F.col("ad2").asc(), F.col("doc_id").asc())
                 .limit(rerank).select("doc_id"))
+
+    def candidates_batch(self, qv_map: dict[int, list[tuple[int, float]]],
+                         rerank: int = 1000) -> DataFrame:
+        """Batched probe: {query_id: qv_rows} → (query_id, doc_id) —
+        every query's ADC table rides one broadcast join (query_id on
+        the adc side restricts each query to its own probed lists), one
+        aggregation, one per-query window cut."""
+        spark = self.codes.sparkSession
+        rows = [(qid, cid, sub, code, pd)
+                for qid, qv in qv_map.items()
+                for cid, sub, code, pd in
+                self._adc_table(qv, self.ivf.probe_cids(qv))]
+        if not rows:
+            return spark.createDataFrame([], "query_id INT, doc_id LONG")
+        adc = F.broadcast(spark.createDataFrame(
+            rows, "query_id INT, cid INT, sub INT, code INT, pd DOUBLE"))
+        approx = (self.codes.join(adc, ["cid", "sub", "code"])
+                  .groupBy("query_id", "doc_id")
+                  .agg(F.sum("pd").alias("ad2")))
+        w = Window.partitionBy("query_id").orderBy(F.col("ad2").asc(),
+                                                   F.col("doc_id").asc())
+        return (approx.withColumn("_r", F.row_number().over(w))
+                .where(F.col("_r") <= rerank)
+                .select("query_id", "doc_id"))
+
+    def search(self, doc_embeddings: DataFrame,
+               qv_rows: list[tuple[int, float]], k: int,
+               rerank: int | None = None) -> DataFrame:
+        """(doc_id, score[cosine], rank): ADC-approximate scan of the
+        probed lists, exact cosine rerank of the best ``rerank``
+        (default 4k) candidates."""
+        rerank = 4 * k if rerank is None else rerank
+        cand = self.candidates(qv_rows, rerank=rerank)
         from garamond_jl_spark.operators.semantic import cosine_topk
         dv = doc_embeddings.join(F.broadcast(cand), "doc_id", "left_semi")
         return cosine_topk(dv, qv_rows, k)

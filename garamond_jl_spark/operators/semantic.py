@@ -554,14 +554,23 @@ class DenseVectorSearcher:
     def with_candidate_index(self, kind: str = "lsh",
                              **kwargs) -> "DenseVectorSearcher":
         """Attach a sublinear candidate index built over this searcher's
-        own doc embeddings: ``kind`` ∈ {lsh, ivf} (kwargs forwarded to
-        the builder).  Returns self for chaining."""
-        from garamond_jl_spark.operators.ann import (IVFCandidateIndex,
+        own doc embeddings: ``kind`` ∈ {lsh, ivf, ivfadc} (kwargs
+        forwarded to the builder; ivfadc derives ``dim`` from the
+        embeddings when not given — the reference's full
+        searcher-attached IVFADC structure, where the ADC pass orders
+        the probed lists before this searcher's exact rerank).
+        Returns self for chaining."""
+        from garamond_jl_spark.operators.ann import (IVFADCIndex,
+                                                     IVFCandidateIndex,
                                                      LSHCandidateIndex)
         builder = {"lsh": LSHCandidateIndex,
-                   "ivf": IVFCandidateIndex}.get(kind)
+                   "ivf": IVFCandidateIndex,
+                   "ivfadc": IVFADCIndex}.get(kind)
         if builder is None:
             raise ValueError(f"unknown candidate index kind: {kind!r}")
+        if kind == "ivfadc" and "dim" not in kwargs:
+            kwargs["dim"] = int(self.doc_embeddings
+                                .agg(F.max("i")).first()[0])
         self.candidate_index = builder.build(self.doc_embeddings, **kwargs)
         return self
 

@@ -156,12 +156,13 @@ def parse_configuration(config_path: str) -> dict:
         sid = str(s.get("id", f"searcher_{i + 1}"))
         # search_index (config_parser.jl / configgenerator.jl): the
         # reference's :naive/:brutetree/:kdtree are exact scans → naive;
-        # :ivfadc → the ivf candidate index; :hnsw → the lsh bucket
-        # index (the distributed stand-in for the same sublinear job,
-        # SURVEY §7.6); native names lsh/ivf accepted directly
+        # :ivfadc → the full IVFADC structure (coarse lists + PQ/ADC
+        # ordering before the searcher's exact rerank); :hnsw → the lsh
+        # bucket index (the distributed stand-in for the same sublinear
+        # job, SURVEY §7.6); native names lsh/ivf accepted directly
         raw_ix = str(s.get("search_index", "naive")).lower()
         index_map = {"naive": "naive", "brutetree": "naive",
-                     "kdtree": "naive", "hnsw": "lsh", "ivfadc": "ivf",
+                     "kdtree": "naive", "hnsw": "lsh", "ivfadc": "ivfadc",
                      "lsh": "lsh", "ivf": "ivf"}
         if raw_ix not in index_map:
             _warn(sid, "Defaulting search_index=naive.")

@@ -451,3 +451,65 @@ def test_ivfadc_sampled_map_only_build_recall(spark):
         want = _exact_topk(mat, q, 10)
         recalls.append(len(set(want) & set(got)) / 10)
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_dense_searcher_ivfadc_backed_matches_exact(spark):
+    """search_index=ivfadc end-to-end: a BOE searcher with the FULL
+    IVFADC structure attached (coarse lists + PQ/ADC ordering before
+    the exact rerank — searcher.jl:120-125 + ivfadc.jl) answers the
+    mixed-env request identically to the full-scan searcher, single
+    and batched; candidates_batch agrees with per-query candidates."""
+    from garamond_jl_spark.config import EngineConfig
+    from garamond_jl_spark.operators.build import build_index
+    from garamond_jl_spark.operators.semantic import (
+        BOESearcher, synthetic_word_vectors)
+    from garamond_jl_spark.plans.lifecycle import (InternalRequest,
+                                                   SearchEnv, search_many)
+    from garamond_jl_spark.plans.lifecycle import search as lsearch
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(spark, docs, EngineConfig(score_alpha=0.4),
+                      id_col="doc_id", text_col="text")
+    tok = (docs.select("doc_id",
+                       F.explode(F.split("text", " ")).alias("term"))
+           .where(F.col("term") != ""))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    wv = synthetic_word_vectors(tf.select("term"), dim=16, seed=0)
+
+    req = InternalRequest(query="spark join data", max_matches=10,
+                          tiebreak_round=6)
+    exact = BOESearcher.from_tokens(tf, wv, score_alpha=0.4)
+    env_e = SearchEnv(spark=spark, index=idx, score_weight=0.8,
+                      searchers=[(exact, 0.8)], aggregation="mean")
+    want = sorted(lsearch(env_e, req).collect(), key=lambda r: r["rank"])
+
+    ann = BOESearcher.from_tokens(tf, wv, score_alpha=0.4) \
+        .with_candidate_index("ivfadc", n_centroids=4, m=4, n_codes=16,
+                              n_probe=4, n_iter=3, seed=0)
+    assert ann.candidate_index.dim == 16          # derived from embeddings
+    env_a = SearchEnv(spark=spark, index=idx, score_weight=0.8,
+                      searchers=[(ann, 0.8)], aggregation="mean")
+    got = sorted(lsearch(env_a, req).collect(), key=lambda r: r["rank"])
+    assert [(r["doc_id"], r["rank"]) for r in got] == \
+        [(r["doc_id"], r["rank"]) for r in want]
+    for a, b in zip(got, want):
+        assert a["score"] == pytest.approx(b["score"], abs=1e-12)
+
+    # batched path through candidates_batch
+    reqs = [req, InternalRequest(query="window merge", max_matches=5,
+                                 tiebreak_round=6)]
+    many = search_many(env_a, reqs).collect()
+    single0 = {(r["doc_id"], r["rank"]) for r in got}
+    got0 = {(r["doc_id"], r["rank"]) for r in many
+            if r["request_id"] == 0}
+    assert got0 == single0
+
+    # candidates_batch ≡ per-query candidates at the same rerank
+    qv = ann.embed_query(spark, "spark join data")
+    qv_rows = [(int(r["i"]), float(r["qv"])) for r in qv.collect()]
+    solo = {r["doc_id"] for r in
+            ann.candidate_index.candidates(qv_rows, rerank=50).collect()}
+    batch = {r["doc_id"] for r in
+             ann.candidate_index.candidates_batch({0: qv_rows},
+                                                  rerank=50).collect()}
+    assert batch == solo
