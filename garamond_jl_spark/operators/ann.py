@@ -741,6 +741,45 @@ class IVFADCIndex:
         dv = doc_embeddings.join(F.broadcast(cand), "doc_id", "left_semi")
         return cosine_topk(dv, qv_rows, k)
 
+    def extend(self, new_embeddings: DataFrame,
+               packed: DataFrame | None = None) -> "IVFADCIndex":
+        """M1 push! analog for the full structure: list-assign AND
+        PQ-code the NEW rows against the FROZEN quantizers (the
+        reference freezes stats on append the same way), union both
+        tables — one pass over the new rows only.  ``packed``: the new
+        rows' (doc_id, emb) twin routes both passes through the arrow
+        kernels.  Quantizer drift under heavy append is the usual IVF
+        retrain-offline concern — a full rebuild recomputes both."""
+        spark = new_embeddings.sparkSession
+        cent_rows = [(c, i, v) for c, comp in self.ivf._cent.items()
+                     for i, v in comp.items()]
+        cb_rows = [(s, c, j, v) for (s, c), comp in self._cb.items()
+                   for j, v in comp.items()]
+        if packed is not None:
+            na = assign_lists_arrow(packed, _cent_matrix(cent_rows))
+            ncodes = assign_pq_arrow(packed.join(na, "doc_id"),
+                                     _cent_matrix(cent_rows), cb_rows,
+                                     self.dim, self.m)
+        else:
+            cent = F.broadcast(spark.createDataFrame(
+                cent_rows, "cid INT, i INT, cv DOUBLE"))
+            na = _assign_join(new_embeddings, cent)
+            resid = (new_embeddings.join(na, "doc_id")
+                     .join(cent, ["cid", "i"], "left")
+                     .select("doc_id", "i",
+                             (F.col("dv") - F.coalesce("cv", F.lit(0.0)))
+                             .alias("rv")))
+            cbb = F.broadcast(spark.createDataFrame(
+                cb_rows, "sub INT, code INT, j INT, cv DOUBLE"))
+            sv = _with_subspace(resid, self.dim // self.m)
+            ncodes = (_pq_assign(sv, cbb)
+                      .join(na, "doc_id")
+                      .select("doc_id", "cid", "sub", "code"))
+        new_ivf = IVFCandidateIndex(self.ivf.asg.unionByName(na),
+                                    cent_rows, self.ivf.n_probe)
+        return IVFADCIndex(new_ivf, self.codes.unionByName(ncodes),
+                           cb_rows, self.dim, self.m, self.n_codes)
+
     def save(self, out_dir: str) -> None:
         """Persist the whole IVFADC structure: lists + quantizer (the
         nested IVF index), PQ codes (partitioned by cid — the probed

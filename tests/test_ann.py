@@ -513,3 +513,41 @@ def test_dense_searcher_ivfadc_backed_matches_exact(spark):
              ann.candidate_index.candidates_batch({0: qv_rows},
                                                   rerank=50).collect()}
     assert batch == solo
+
+
+def test_ivfadc_extend_frozen_quantizers(spark):
+    """IVFADCIndex.extend: appended docs are list-assigned AND PQ-coded
+    against the frozen quantizers in one pass over the new rows — the
+    arrow-kernel and join-shaped variants produce identical codes, old
+    codes are untouched, and the extended index finds appended docs."""
+    _, mat = _clustered(per=12)
+    half = mat.shape[0] // 2
+    dv_a = _long(spark, mat[:half])
+    dv_b = spark.createDataFrame(
+        [(int(d + half), int(i) + 1, float(v))
+         for d, vec in enumerate(mat[half:]) for i, v in enumerate(vec)],
+        "doc_id LONG, i INT, dv DOUBLE")
+    packed_b = spark.createDataFrame(
+        [(int(d + half), [float(x) for x in vec])
+         for d, vec in enumerate(mat[half:])],
+        "doc_id LONG, emb ARRAY<DOUBLE>")
+    base = IVFADCIndex.build(dv_a, dim=16, n_centroids=4, m=4,
+                             n_codes=16, n_probe=2, n_iter=3, seed=0,
+                             persist=False)
+    key = ["doc_id", "cid", "sub", "code"]
+    old = sorted(tuple(r[c] for c in key) for r in base.codes.collect())
+
+    ext_j = base.extend(dv_b)
+    ext_a = base.extend(dv_b, packed=packed_b)
+    cj = sorted(tuple(r[c] for c in key) for r in ext_j.codes.collect())
+    ca = sorted(tuple(r[c] for c in key) for r in ext_a.codes.collect())
+    assert cj == ca                               # arrow ≡ join coding
+    assert [t for t in cj if t[0] < half] == old  # old codes untouched
+    assert {t[0] for t in cj} == set(range(mat.shape[0]))
+
+    dv_full = _long(spark, mat)
+    q = half + 3
+    qv = [(i + 1, float(v)) for i, v in enumerate(mat[q])]
+    got = [r["doc_id"] for r in
+           ext_j.search(dv_full, qv, k=3, rerank=60).collect()]
+    assert q in got                               # appended doc found
