@@ -186,7 +186,8 @@ CPMEAN_POWERS = ("min", "geo", "mean", "max")  # T[-Inf, 0, 1, Inf], cpmean.jl:1
 
 def sif_doc_embeddings(tokens: DataFrame, word_vectors: DataFrame,
                        lexicon: DataFrame, alpha: float = SIF_ALPHA,
-                       remove_pc: bool = True) -> DataFrame:
+                       remove_pc: bool = True,
+                       total: float | None = None) -> DataFrame:
     """E2 SIF (src/embedder/sif.jl:53-81, Arora et al. 2017):
     dv = (1/W_d)·Σ_w α/(α+p_w)·v_w with p_w the corpus lexicon
     probability (count/total), then the projection onto the first
@@ -202,8 +203,11 @@ def sif_doc_embeddings(tokens: DataFrame, word_vectors: DataFrame,
     plus a driver-side eigendecomposition of that tiny matrix.
 
     ``lexicon``: (term, count) corpus frequencies (the reference passes
-    the searcher lexicon, sif.jl:60)."""
-    total = lexicon.agg(F.sum("count")).collect()[0][0] or 1
+    the searcher lexicon, sif.jl:60).  ``total``: the precomputed
+    Σcount — pass the frozen corpus total when embedding QUERIES against
+    a built searcher so the scalar is not re-collected per call."""
+    if total is None:
+        total = lexicon.agg(F.sum("count")).collect()[0][0] or 1
     lx = lexicon.select("term", (F.col("count") / F.lit(float(total)))
                         .alias("p"))
     weighted = (tokens.join(F.broadcast(word_vectors), "term")
@@ -350,8 +354,18 @@ def disc_doc_embeddings(tokens_pos: DataFrame, word_vectors: DataFrame,
     Documented deviation: for documents shorter than k tokens the
     reference clamps k down (disc.jl:81) so the k-block duplicates a
     lower-order block; here the block is simply absent (contributes
-    nothing to a cosine), which avoids a per-doc conditional join."""
-    base = (tokens_pos.join(F.broadcast(word_vectors), "term")
+    nothing to a cosine), which avoids a per-doc conditional join.
+
+    OOV tokens COMPACT: the reference forms k-grams over the matrix of
+    EMBEDDED words only (disc.jl:64-75 — the lookup skips OOV), so
+    "consecutive" means consecutive-among-embedded; positions are
+    re-densified after the vocabulary filter (one window shuffle by
+    doc_id over the token rows, before the dim-fold expansion)."""
+    vocab = word_vectors.select("term").distinct()
+    seq = (tokens_pos.join(F.broadcast(vocab), "term")
+           .withColumn("pos", F.row_number().over(
+               Window.partitionBy("doc_id").orderBy("pos")) - 1))
+    base = (seq.join(F.broadcast(word_vectors), "term")
             .select("doc_id", "pos", "i", "v"))
     parts = []
     for k in range(1, n + 1):
@@ -860,6 +874,191 @@ class LSASearcher(DenseVectorSearcher):
         return (qt.join(F.broadcast(self.v_table), "term")
                 .groupBy("query_id", "i")
                 .agg(F.sum(F.col("qw") * F.col("v")).alias("qv")))
+
+
+class _QueryAsDocSearcher(DenseVectorSearcher):
+    """Shared base for the doc2vec_method env searchers (sif / borep /
+    cpmean / disc): the reference embeds a QUERY by running it through
+    the very same embedder as the documents (searcher.jl:163:
+    ``embed(srcher.input_embedder[], [qentry])``), so these searchers
+    embed queries by calling their own doc-embedding function on a tiny
+    (doc_id=query_id, term, tf) DataFrame — query semantics are
+    identical to document semantics BY CONSTRUCTION, and the batch form
+    is one plan for the whole batch (doc_id carries query_id).
+
+    Subclasses supply :meth:`_embed_tokens(tokens_df)` → long-form
+    (doc_id, i, dv) using the same function the constructor used for
+    the corpus."""
+
+    def __init__(self, word_vectors: DataFrame, doc_embeddings: DataFrame,
+                 score_alpha: float = 0.4):
+        super().__init__(doc_embeddings, score_alpha)
+        self.word_vectors = word_vectors
+
+    def _embed_tokens(self, tokens: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    @staticmethod
+    def _query_token_rows(queries: list[str]) -> list[tuple[int, str, int]]:
+        rows = []
+        for qid, q in enumerate(queries):
+            counts: dict[str, int] = {}
+            for t in (q or "").split(" "):
+                if t:
+                    counts[t] = counts.get(t, 0) + 1
+            rows.extend((qid, t, c) for t, c in sorted(counts.items()))
+        return rows
+
+    def _query_tokens_df(self, spark: SparkSession,
+                         queries: list[str]) -> DataFrame:
+        return spark.createDataFrame(
+            self._query_token_rows(queries) or [],
+            "doc_id INT, term STRING, tf INT")
+
+    def embed_query(self, spark: SparkSession, query: str
+                    ) -> DataFrame | None:
+        qt = self._query_tokens_df(spark, [query])
+        return self._embed_tokens(qt).select("i", F.col("dv").alias("qv"))
+
+    def embed_queries_df(self, spark: SparkSession,
+                         queries: list[str]) -> DataFrame:
+        qt = self._query_tokens_df(spark, queries)
+        return self._embed_tokens(qt).select(
+            F.col("doc_id").cast("int").alias("query_id"), "i",
+            F.col("dv").alias("qv"))
+
+
+class SIFSearcher(_QueryAsDocSearcher):
+    """E2 ``doc2vec_method=sif`` env searcher (src/embedder/sif.jl:
+    53-81): documents carry the corpus-PC-removed SIF embeddings;
+    queries embed with the SAME frozen corpus frequencies (the searcher
+    lexicon, sif.jl:60) WITHOUT PC removal — a single query vector
+    would vanish under its own projector, and the corpus projector is a
+    rank-1 direction shared by all docs, so ranks are unaffected (the
+    same convention as the semantic_sif_topk parity query)."""
+
+    def __init__(self, word_vectors: DataFrame, lexicon: DataFrame,
+                 total: float, doc_embeddings: DataFrame,
+                 alpha: float = SIF_ALPHA, score_alpha: float = 0.4):
+        super().__init__(word_vectors, doc_embeddings, score_alpha)
+        self.lexicon = lexicon
+        self.total = float(total)
+        self.alpha = float(alpha)
+
+    @classmethod
+    def from_tokens(cls, tokens: DataFrame, word_vectors: DataFrame,
+                    alpha: float = SIF_ALPHA, score_alpha: float = 0.4,
+                    remove_pc: bool = True) -> "SIFSearcher":
+        lexicon = (tokens.groupBy("term").agg(F.sum("tf").alias("count"))
+                   .persist())
+        total = float(lexicon.agg(F.sum("count")).collect()[0][0] or 1)
+        dv = sif_doc_embeddings(tokens, word_vectors, lexicon,
+                                alpha=alpha, remove_pc=remove_pc,
+                                total=total)
+        return cls(word_vectors, lexicon, total, dv, alpha, score_alpha)
+
+    def _embed_tokens(self, tokens: DataFrame) -> DataFrame:
+        return sif_doc_embeddings(tokens, self.word_vectors, self.lexicon,
+                                  alpha=self.alpha, remove_pc=False,
+                                  total=self.total)
+
+
+class BOREPSearcher(_QueryAsDocSearcher):
+    """E3 ``doc2vec_method=borep`` env searcher (src/embedder/borep.jl:
+    25-60): deterministic ±1/√d random projection of word vectors with
+    ``sum`` or ``max`` pooling (config knobs ``borep_dimension`` /
+    ``borep_pooling_function``); queries project through the SAME
+    frozen R."""
+
+    def __init__(self, word_vectors: DataFrame, doc_embeddings: DataFrame,
+                 dim_in: int, dim_out: int, pooling: str = BOREP_POOLING,
+                 seed: int = 0, score_alpha: float = 0.4):
+        super().__init__(word_vectors, doc_embeddings, score_alpha)
+        self.dim_in, self.dim_out = int(dim_in), int(dim_out)
+        self.pooling, self.seed = pooling, int(seed)
+
+    @classmethod
+    def from_tokens(cls, tokens: DataFrame, word_vectors: DataFrame,
+                    dim_in: int = DEFAULT_DIM, dim_out: int = 64,
+                    pooling: str = BOREP_POOLING, seed: int = 0,
+                    score_alpha: float = 0.4) -> "BOREPSearcher":
+        dv = borep_doc_embeddings(tokens, word_vectors, dim_in=dim_in,
+                                  dim_out=dim_out, pooling=pooling,
+                                  seed=seed)
+        return cls(word_vectors, dv, dim_in, dim_out, pooling, seed,
+                   score_alpha)
+
+    def _embed_tokens(self, tokens: DataFrame) -> DataFrame:
+        return borep_doc_embeddings(tokens, self.word_vectors,
+                                    dim_in=self.dim_in,
+                                    dim_out=self.dim_out,
+                                    pooling=self.pooling, seed=self.seed)
+
+
+class CPMeanSearcher(_QueryAsDocSearcher):
+    """E4 ``doc2vec_method=cpmean`` env searcher (src/embedder/
+    cpmean.jl:49-89): concatenated per-dimension power means
+    (min / signed geomean / mean / max), z-normalized per block; the
+    query's blocks z-normalize over the query's own values — the same
+    per-document window the doc side uses."""
+
+    def __init__(self, word_vectors: DataFrame, doc_embeddings: DataFrame,
+                 dim: int, powers: tuple = CPMEAN_POWERS,
+                 znorm: bool = True, score_alpha: float = 0.4):
+        super().__init__(word_vectors, doc_embeddings, score_alpha)
+        self.dim, self.powers, self.znorm = int(dim), tuple(powers), znorm
+
+    @classmethod
+    def from_tokens(cls, tokens: DataFrame, word_vectors: DataFrame,
+                    dim: int = DEFAULT_DIM, powers: tuple = CPMEAN_POWERS,
+                    znorm: bool = True,
+                    score_alpha: float = 0.4) -> "CPMeanSearcher":
+        dv = cpmean_doc_embeddings(tokens, word_vectors, dim=dim,
+                                   powers=powers, znorm=znorm)
+        return cls(word_vectors, dv, dim, powers, znorm, score_alpha)
+
+    def _embed_tokens(self, tokens: DataFrame) -> DataFrame:
+        return cpmean_doc_embeddings(tokens, self.word_vectors,
+                                     dim=self.dim, powers=self.powers,
+                                     znorm=self.znorm)
+
+
+class DisCSearcher(_QueryAsDocSearcher):
+    """E5 ``doc2vec_method=disc`` env searcher (src/embedder/disc.jl:
+    49-90): concatenated k-gram product-sum blocks over ORDERED tokens
+    (config knob ``disc_ngram``); queries keep their token order the
+    same way."""
+
+    def __init__(self, word_vectors: DataFrame, doc_embeddings: DataFrame,
+                 dim: int, n: int = DISC_NGRAM, score_alpha: float = 0.4):
+        super().__init__(word_vectors, doc_embeddings, score_alpha)
+        self.dim, self.n = int(dim), int(n)
+
+    @classmethod
+    def from_tokens_pos(cls, tokens_pos: DataFrame,
+                        word_vectors: DataFrame, dim: int = DEFAULT_DIM,
+                        n: int = DISC_NGRAM,
+                        score_alpha: float = 0.4) -> "DisCSearcher":
+        """``tokens_pos``: (doc_id, pos, term), pos dense from 0."""
+        dv = disc_doc_embeddings(tokens_pos, word_vectors, dim=dim, n=n)
+        return cls(word_vectors, dv, dim, n, score_alpha)
+
+    @staticmethod
+    def _query_token_rows(queries: list[str]) -> list[tuple[int, int, str]]:
+        return [(qid, pos, t)
+                for qid, q in enumerate(queries)
+                for pos, t in enumerate(t for t in (q or "").split(" ")
+                                        if t)]
+
+    def _query_tokens_df(self, spark: SparkSession,
+                         queries: list[str]) -> DataFrame:
+        return spark.createDataFrame(
+            self._query_token_rows(queries) or [],
+            "doc_id INT, pos INT, term STRING")
+
+    def _embed_tokens(self, tokens_pos: DataFrame) -> DataFrame:
+        return disc_doc_embeddings(tokens_pos, self.word_vectors,
+                                   dim=self.dim, n=self.n)
 
 
 def pack_doc_embeddings(dv: DataFrame, dim: int) -> DataFrame:

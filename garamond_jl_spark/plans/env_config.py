@@ -64,9 +64,32 @@ SEMANTIC_VECTORS = ("word2vec", "glove", "conceptnet")
 DEFAULT_VECTORS = "bm25"                 # defaults.jl:10
 DEFAULT_TRANSFORM = "none"               # defaults.jl:11
 DEFAULT_DOC2VEC = "boe"                  # defaults.jl:22
+DOC2VEC_METHODS = ("boe", "sif", "borep", "cpmean", "disc")
 DEFAULT_OOV_POLICY = "none"              # defaults.jl:26
 DEFAULT_AGGREGATION = "mean"             # defaults.jl:29
 AGGREGATIONS = ("mean", "min", "max", "median", "product")
+DEFAULT_SIF_ALPHA = 0.01                 # defaults.jl DEFAULT_SIF_ALPHA
+DEFAULT_BOREP_DIMENSION = 1024           # defaults.jl
+DEFAULT_BOREP_POOLING = "sum"            # defaults.jl (:sum | :max)
+DEFAULT_DISC_NGRAM = 2                   # defaults.jl
+EMBEDDINGS_KINDS = ("binary", "text", "parquet")  # defaults.jl (:binary |
+# :text are the reference's file kinds; parquet is this engine's native)
+# config_parser.jl:137-140 warns+defaults outside the reference's
+# SUPPORTED_LANGUAGES list (defaults.jl)
+SUPPORTED_LANGUAGES = ("english", "german", "romanian", "french",
+                       "italian", "dutch")
+DEFAULT_LANGUAGE = "english"
+# defaults.jl HEURISTIC_TO_DISTANCE keys → functions/suggest.py metrics
+HEURISTIC_TO_METRIC = {"levenshtein": "levenshtein",
+                       "dameraulevenshtein": "damerau",
+                       "hamming": "hamming", "jaro": "jaro"}
+# defaults.jl DEFAULT_VECTORS_ELTYPE is Float32; this engine's scoring
+# pipeline is Float64 end-to-end (every parity oracle pins doubles), so
+# the DEFAULT here is Float64 — a documented deviation.  An explicit
+# Float32 quantizes dense doc-embedding STORAGE to f32 precision
+# (computation stays double).
+VECTORS_ELTYPES = ("Float32", "Float64")
+DEFAULT_VECTORS_ELTYPE = "Float64"
 
 
 def _warn(eid: str, msg: str) -> None:
@@ -95,10 +118,17 @@ def parse_configuration(config_path: str) -> dict:
                                      "identity_sampler"),
         "id_key": cfg.get("id_key", "doc_id"),
         "aggregation": cfg.get("aggregation", DEFAULT_AGGREGATION),
+        "vectors_eltype": str(cfg.get("vectors_eltype",
+                                      DEFAULT_VECTORS_ELTYPE)),
     }
     if out["aggregation"] not in AGGREGATIONS:
         _warn("env", f"Defaulting aggregation={DEFAULT_AGGREGATION}.")
         out["aggregation"] = DEFAULT_AGGREGATION
+    if out["vectors_eltype"].lower() in ("float32", "float64"):
+        out["vectors_eltype"] = out["vectors_eltype"].capitalize()
+    if out["vectors_eltype"] not in VECTORS_ELTYPES:
+        _warn("env", f"Defaulting vectors_eltype={DEFAULT_VECTORS_ELTYPE}.")
+        out["vectors_eltype"] = DEFAULT_VECTORS_ELTYPE
 
     embedders = []
     for i, e in enumerate(cfg.get("embedders", [])):
@@ -117,12 +147,61 @@ def parse_configuration(config_path: str) -> dict:
             _warn(eid, "Defaulting vectors_dimension=64.")
             dim = 64
         doc2vec = str(e.get("doc2vec_method", DEFAULT_DOC2VEC))
-        if not classic and doc2vec != "boe":
-            # sif/borep/cpmean/disc embedders exist as functions
-            # (operators/semantic.py) but are not yet wired as env
-            # searchers — same soft-default spirit as the reference
+        if not classic and doc2vec not in DOC2VEC_METHODS:
+            # config_parser.jl:186-189
             _warn(eid, f"Defaulting doc2vec_method={DEFAULT_DOC2VEC}.")
             doc2vec = DEFAULT_DOC2VEC
+        sif_alpha = float(e.get("sif_alpha", DEFAULT_SIF_ALPHA))
+        borep_dim = int(e.get("borep_dimension", DEFAULT_BOREP_DIMENSION))
+        if doc2vec == "borep" and borep_dim <= 0:
+            # config_parser.jl:199-203
+            _warn(eid, f"Defaulting borep_dimension={DEFAULT_BOREP_DIMENSION}.")
+            borep_dim = DEFAULT_BOREP_DIMENSION
+        borep_pool = str(e.get("borep_pooling_function",
+                               DEFAULT_BOREP_POOLING))
+        if doc2vec == "borep" and borep_pool not in ("sum", "max"):
+            _warn(eid, f"Defaulting borep_pooling_function="
+                       f"{DEFAULT_BOREP_POOLING}.")
+            borep_pool = DEFAULT_BOREP_POOLING
+        disc_ngram = int(e.get("disc_ngram", DEFAULT_DISC_NGRAM))
+        if doc2vec == "disc" and disc_ngram <= 0:
+            # config_parser.jl:208-213
+            _warn(eid, f"Defaulting disc_ngram={DEFAULT_DISC_NGRAM}.")
+            disc_ngram = DEFAULT_DISC_NGRAM
+        language = str(e.get("language", DEFAULT_LANGUAGE)).lower()
+        if language not in SUPPORTED_LANGUAGES:
+            # config_parser.jl:137-140
+            _warn(eid, f"Defaulting language={DEFAULT_LANGUAGE}.")
+            language = DEFAULT_LANGUAGE
+        stem = bool(e.get("stem_words", False))
+        if stem:
+            # DEFAULT_STEM_WORDS=false; a Snowball-stemming tokenize
+            # path is not provided by this engine — soft-default with a
+            # warning rather than silently indexing unstemmed text
+            _warn(eid, "stem_words=true is not supported by this engine; "
+                       "defaulting stem_words=false.")
+            stem = False
+        ekind = str(e.get("embeddings_kind", "parquet"))
+        if ekind not in EMBEDDINGS_KINDS:
+            # config_parser.jl:181-184 (reference kinds :binary/:text
+            # are file-format hints; embeddings_path here is parquet)
+            _warn(eid, "Defaulting embeddings_kind=parquet.")
+            ekind = "parquet"
+        ekw = e.get("embedder_kwarguments", {})
+        if not isinstance(ekw, dict):
+            # config_parser.jl:221-225
+            _warn(eid, "Defaulting embedder_kwarguments={}.")
+            ekw = {}
+        glove_vocab = e.get("glove_vocabulary")
+        if (vectors == "glove" and ekind == "binary"
+                and (glove_vocab is None
+                     or not os.path.isfile(str(glove_vocab)))):
+            # config_parser.jl:192-197: a binary GloVe embedder without
+            # a vocabulary file errors inside the per-embedder try and
+            # the embedder is IGNORED (dropped) with a warning
+            _warn(eid, "glove_vocabulary missing for binary GloVe "
+                       "embeddings; ignoring embedder.")
+            continue
         oov = str(e.get("oov_policy", DEFAULT_OOV_POLICY))
         if oov not in ("none", "large_vector"):
             _warn(eid, f"Defaulting oov_policy={DEFAULT_OOV_POLICY}.")
@@ -133,11 +212,21 @@ def parse_configuration(config_path: str) -> dict:
             ngram = 1
         embedders.append({
             "id": eid,
+            "description": str(e.get("description", "")),
             "vectors": vectors,
             "classic": classic,
             "vectors_transform": transform if classic else "none",
             "vectors_dimension": dim,
             "doc2vec_method": doc2vec,
+            "sif_alpha": sif_alpha,
+            "borep_dimension": borep_dim,
+            "borep_pooling_function": borep_pool,
+            "disc_ngram": disc_ngram,
+            "language": language,
+            "stem_words": stem,
+            "embeddings_kind": ekind,
+            "glove_vocabulary": glove_vocab,
+            "embedder_kwarguments": ekw,
             "oov_policy": oov,
             "ngram_complexity": ngram,
             "kappa": float(e.get("kappa", REFERENCE_BM25_KAPPA)),
@@ -167,15 +256,53 @@ def parse_configuration(config_path: str) -> dict:
         if raw_ix not in index_map:
             _warn(sid, "Defaulting search_index=naive.")
             raw_ix = "naive"
+        # the reference splits positional ``search_index_arguments``
+        # (a list, config_parser.jl:263) from ``search_index_kwarguments``
+        # (a dict, :264-268); this engine's index builders are
+        # keyword-only, so a dict under either key becomes kwargs
+        # (kwarguments win on collision) and a non-empty LIST of
+        # positionals is warned away (soft default [])
+        ix_args = s.get("search_index_arguments", {})
+        ix_kwargs = s.get("search_index_kwarguments", {})
+        if not isinstance(ix_kwargs, dict):
+            _warn(sid, "Defaulting search_index_kwarguments={}.")
+            ix_kwargs = {}
+        if isinstance(ix_args, list):
+            if ix_args:
+                _warn(sid, "positional search_index_arguments are not "
+                           "supported (builders are keyword-only); "
+                           "defaulting search_index_arguments=[].")
+            ix_args = {}
+        elif not isinstance(ix_args, dict):
+            _warn(sid, "Defaulting search_index_arguments=[].")
+            ix_args = {}
+        heuristic = s.get("heuristic")   # absent/None ⇒ no suggestions
+        if heuristic is not None:
+            heuristic = str(heuristic).lower()
+            if heuristic not in HEURISTIC_TO_METRIC:
+                # config_parser.jl:297-300 (DEFAULT_HEURISTIC is nothing)
+                _warn(sid, "Defaulting heuristic=None.")
+                heuristic = None
+        indexable = s.get("indexable_fields")
+        if indexable is not None and not isinstance(indexable, list):
+            _warn(sid, "Defaulting indexable_fields=None.")
+            indexable = None
+        data_emb = s.get("data_embedder")
         searchers.append({
             "id": sid,
+            "description": str(s.get("description", "")),
+            "id_aggregation": str(s.get("id_aggregation", "")) or None,
             "enabled": bool(s.get("enabled", True)),
-            "data_embedder": s.get("data_embedder"),
+            "data_embedder": data_emb,
+            # searcher.jl:163 embeds the QUERY with the input embedder;
+            # defaults to the data embedder (config_parser.jl:276)
+            "input_embedder": s.get("input_embedder", data_emb),
+            "heuristic": heuristic,
+            "indexable_fields": indexable,
             "score_alpha": float(s.get("score_alpha", DEFAULT_SCORE_ALPHA)),
             "score_weight": float(s.get("score_weight", 1.0)),
             "search_index": index_map[raw_ix],
-            "search_index_arguments": dict(
-                s.get("search_index_arguments", {})),
+            "search_index_arguments": {**ix_args, **ix_kwargs},
         })
 
     # --- last checks (config_parser.jl:324-360): structural — abort ----
@@ -189,7 +316,11 @@ def parse_configuration(config_path: str) -> dict:
     eids = [e["id"] for e in embedders]
     if len(eids) != len(set(eids)):
         raise ConfigError("Embedder ids are not unique!")
-    unknown = {s["data_embedder"] for s in searchers} - set(eids)
+    # config_parser.jl:344-350 validates BOTH the data and the input
+    # embedder ids of every searcher
+    used = ({s["data_embedder"] for s in searchers}
+            | {s["input_embedder"] for s in searchers})
+    unknown = used - set(eids)
     if unknown:
         raise ConfigError(f"Embedders: {sorted(unknown)} are unknown!")
 
@@ -255,8 +386,10 @@ def build_search_env(spark: SparkSession, config_path: str,
             ngram_complexity=e["ngram_complexity"],
             oov_policy=e["oov_policy"])
 
-    def build_classic(e: dict, score_alpha: float):
-        df, text_col = _embeddable_text(data, e["embeddable_fields"],
+    def build_classic(e: dict, score_alpha: float,
+                      fields: list[str] | None = None):
+        df, text_col = _embeddable_text(data,
+                                        fields or e["embeddable_fields"],
                                         e["id"])
         return build_index(spark, df, engine_config(e, score_alpha),
                            id_col=id_key, text_col=text_col)
@@ -298,39 +431,137 @@ def build_search_env(spark: SparkSession, config_path: str,
         return searcher.with_candidate_index(
             kind, **s["search_index_arguments"])
 
-    def build_searcher(s: dict):
+    def _quantize_f32(searcher):
+        """vectors_eltype=Float32: quantize dense doc-embedding STORAGE
+        to f32 precision (scoring arithmetic stays double — the
+        reference's T=Float32 touches scores too; the engine's parity
+        oracles pin doubles, so this is the documented halfway point)."""
+        if cfg["vectors_eltype"] == "Float32":
+            searcher.doc_embeddings = searcher.doc_embeddings.withColumn(
+                "dv", F.col("dv").cast("float").cast("double"))
+        return searcher
+
+    def build_semantic(e: dict, s: dict):
+        """One doc2vec_method=... dense searcher over the loaded data
+        (config_parser.jl:186-214's semantic branch — boe/sif/borep/
+        cpmean/disc all dispatch here)."""
         from garamond_jl_spark.operators.semantic import (BOESearcher,
-                                                          LSASearcher,
-                                                          RPSearcher)
-        e = emb_by_id[s["data_embedder"]]
-        if e["classic"]:
-            idx = build_classic(e, s["score_alpha"])
-            if e["vectors_transform"] == "rp":
-                return attach_index(
-                    RPSearcher(idx, dim_out=e["vectors_dimension"],
-                               seed=e["embeddings_seed"],
-                               score_alpha=s["score_alpha"]), s)
-            if e["vectors_transform"] == "lsa":
-                return attach_index(
-                    LSASearcher.from_index(
-                        idx, dim_out=e["vectors_dimension"],
-                        score_alpha=s["score_alpha"]), s)
-            if s["search_index"] != "naive":
-                _warn(s["id"], "search_index applies to dense searchers "
-                               "only; ignoring.")
-            return idx
-        df, text_col = _embeddable_text(data, e["embeddable_fields"],
-                                        e["id"])
+                                                          BOREPSearcher,
+                                                          CPMeanSearcher,
+                                                          DisCSearcher,
+                                                          SIFSearcher)
+        fields = s.get("indexable_fields") or e["embeddable_fields"]
+        df, text_col = _embeddable_text(data, fields, e["id"])
         wv = word_vector_table(e, df, text_col)
+        wv_dim = e["vectors_dimension"] or 16
+        method = e["doc2vec_method"]
+        alpha = s["score_alpha"]
+        if method == "disc":
+            tokens_pos = (df.select(
+                F.col(id_key).alias("doc_id"),
+                F.posexplode(F.split(F.col(text_col), " "))
+                .alias("pos", "term"))
+                .where(F.col("term") != ""))
+            return DisCSearcher.from_tokens_pos(
+                tokens_pos, wv, dim=wv_dim, n=e["disc_ngram"],
+                score_alpha=alpha)
         tokens = (df.select(F.col(id_key).alias("doc_id"),
                             F.explode(F.split(F.col(text_col), " "))
                             .alias("term"))
                   .where(F.col("term") != "")
                   .groupBy("doc_id", "term")
                   .agg(F.count("*").alias("tf")))
+        if method == "sif":
+            return SIFSearcher.from_tokens(tokens, wv,
+                                           alpha=e["sif_alpha"],
+                                           score_alpha=alpha)
+        if method == "borep":
+            return BOREPSearcher.from_tokens(
+                tokens, wv, dim_in=wv_dim, dim_out=e["borep_dimension"],
+                pooling=e["borep_pooling_function"],
+                seed=e["embeddings_seed"], score_alpha=alpha)
+        if method == "cpmean":
+            return CPMeanSearcher.from_tokens(tokens, wv, dim=wv_dim,
+                                              score_alpha=alpha)
+        return BOESearcher.from_tokens(tokens, wv, score_alpha=alpha)
+
+    def _dense_dim(e: dict) -> int | None:
+        """Output dimensionality of an embedder's DENSE embedding, or
+        None when the embedder yields no dense space (plain classic)."""
+        wv_dim = e["vectors_dimension"] or 16
+        if e["classic"]:
+            return (e["vectors_dimension"]
+                    if e["vectors_transform"] in ("rp", "lsa") else None)
+        return {"boe": wv_dim, "sif": wv_dim,
+                "borep": e["borep_dimension"], "cpmean": 4 * wv_dim,
+                "disc": e["disc_ngram"] * wv_dim}[e["doc2vec_method"]]
+
+    def bind_input_embedder(searcher, s: dict):
+        """searcher.jl:163 embeds the QUERY with ``input_embedder``
+        (may differ from the data embedder).  Supported here when the
+        built searcher is dense and the input embedder is SEMANTIC with
+        the same output dimensionality: a query-side instance of the
+        input embedder (over the same loaded data — its document side
+        stays lazy and unused) takes over ``embed_query`` /
+        ``embed_queries_df``.  Classic searchers embed queries with
+        their own index stats by construction; a differing input
+        embedder there (or a dimension mismatch) warns and falls back
+        to the data embedder — the reference would score vectors from
+        disjoint spaces, which is never what a config means."""
+        from garamond_jl_spark.operators.semantic import \
+            DenseVectorSearcher
+        if s["input_embedder"] in (None, s["data_embedder"]):
+            return searcher
+        e_in = emb_by_id[s["input_embedder"]]
+        e_data = emb_by_id[s["data_embedder"]]
+        if not isinstance(searcher, DenseVectorSearcher):
+            _warn(s["id"], "input_embedder != data_embedder is only "
+                           "supported for dense searchers; using the "
+                           "data embedder for queries.")
+            return searcher
+        if e_in["classic"]:
+            _warn(s["id"], "classic input_embedder over a dense searcher "
+                           "is not supported; using the data embedder "
+                           "for queries.")
+            return searcher
+        if _dense_dim(e_in) != _dense_dim(e_data):
+            _warn(s["id"], "input_embedder dimensionality "
+                           f"({_dense_dim(e_in)}) != data embedder's "
+                           f"({_dense_dim(e_data)}); using the data "
+                           "embedder for queries.")
+            return searcher
+        qe = build_semantic(e_in, s)
+        searcher.embed_query = qe.embed_query
+        searcher.embed_queries_df = qe.embed_queries_df
+        return searcher
+
+    def build_searcher(s: dict):
+        from garamond_jl_spark.operators.semantic import (LSASearcher,
+                                                          RPSearcher)
+        e = emb_by_id[s["data_embedder"]]
+        if e["classic"]:
+            idx = build_classic(e, s["score_alpha"],
+                                fields=s.get("indexable_fields"))
+            if e["vectors_transform"] == "rp":
+                return attach_index(bind_input_embedder(_quantize_f32(
+                    RPSearcher(idx, dim_out=e["vectors_dimension"],
+                               seed=e["embeddings_seed"],
+                               score_alpha=s["score_alpha"])), s), s)
+            if e["vectors_transform"] == "lsa":
+                return attach_index(bind_input_embedder(_quantize_f32(
+                    LSASearcher.from_index(
+                        idx, dim_out=e["vectors_dimension"],
+                        score_alpha=s["score_alpha"])), s), s)
+            if s["search_index"] != "naive":
+                _warn(s["id"], "search_index applies to dense searchers "
+                               "only; ignoring.")
+            if s["input_embedder"] not in (None, s["data_embedder"]):
+                _warn(s["id"], "input_embedder != data_embedder is only "
+                               "supported for dense searchers; using the "
+                               "data embedder for queries.")
+            return idx
         return attach_index(
-            BOESearcher.from_tokens(tokens, wv,
-                                    score_alpha=s["score_alpha"]), s)
+            bind_input_embedder(_quantize_f32(build_semantic(e, s)), s), s)
 
     def make(s: dict):
         if _keep is not None and s["id"] in _keep:
@@ -344,11 +575,17 @@ def build_search_env(spark: SparkSession, config_path: str,
             "the first enabled searcher must use a classic embedder with "
             "vectors_transform=none (it provides the docs table/schema)")
     rest = [(make(s), s["score_weight"]) for s in enabled[1:]]
+    heuristic = enabled[0]["heuristic"]
     return SearchEnv(spark=spark, index=first, id_key=id_key,
                      score_weight=enabled[0]["score_weight"],
                      searchers=rest, aggregation=cfg["aggregation"],
                      config_path=config_path,
-                     searcher_ids=[s["id"] for s in enabled])
+                     searcher_ids=[s["id"] for s in enabled],
+                     # reference DEFAULT_HEURISTIC is nothing (no
+                     # suggestions); config-built envs follow it
+                     suggest_metric=(HEURISTIC_TO_METRIC[heuristic]
+                                     if heuristic else None),
+                     agg_ids=[s["id_aggregation"] for s in enabled])
 
 
 def reindex_searchers(env: SearchEnv, which: str = "*") -> SearchEnv:

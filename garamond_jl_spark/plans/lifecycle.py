@@ -91,6 +91,18 @@ class SearchEnv:
     # searcher by id (env_operations.jl:35-64)
     config_path: str | None = None
     searcher_ids: list[str] = field(default_factory=list)
+    # suggestion distance for OOV query terms (defaults.jl
+    # HEURISTIC_TO_DISTANCE via the primary searcher's ``heuristic``
+    # config key): one of functions/suggest.DISTANCES, or None for no
+    # suggestions (the reference's DEFAULT_HEURISTIC=nothing).  Directly
+    # built envs keep the historical levenshtein default.
+    suggest_metric: str | None = "levenshtein"
+    # per enabled searcher: its ``id_aggregation`` group (results.jl:
+    # 54-96 merges the searchers that SHARE a group id; None = the
+    # shared environment-level id, i.e. everything merges — the
+    # reference's default where id_aggregation falls back to the
+    # environment id)
+    agg_ids: list[str | None] = field(default_factory=list)
 
     @property
     def schema(self) -> dict[str, str]:
@@ -524,10 +536,15 @@ def response_json(env: SearchEnv, request: InternalRequest) -> str:
     rows = [r.asDict() for r in respond(env, request).collect()]
     rows.sort(key=lambda r: r["rank"])
     suggestions: dict[str, list[str]] = {}
-    if request.max_suggestions > 0 and request.operation == "search":
+    if (request.max_suggestions > 0 and request.operation == "search"
+            and env.suggest_metric is not None):
         # A8/F10: suggestions for query tokens missing from the vocab
         # (src/search/index.jl:116-127; disabled by default like the
-        # reference heuristic=nothing, defaults.jl:18)
+        # reference heuristic=nothing, defaults.jl:18).  The distance
+        # comes from the primary searcher's ``heuristic`` config key
+        # (env.suggest_metric; None ⇒ no suggestions even when the
+        # request asks).  jaro distances live in [0,1] — its band is
+        # the reference BKTree's small-radius regime, not edit counts.
         from garamond_jl_spark.functions.query_parser import parse_input
         from garamond_jl_spark.functions.suggest import (missing_needles,
                                                          suggest_terms)
@@ -536,8 +553,11 @@ def response_json(env: SearchEnv, request: InternalRequest) -> str:
         toks = prepare_and_tokenize(parsed.search, env.index.cfg)
         missed = missing_needles(env.index.terms, toks)
         if missed:
+            max_d = 0.25 if env.suggest_metric == "jaro" else 2
             for r in suggest_terms(env.index.terms, missed,
-                                   max_suggestions=request.max_suggestions) \
+                                   max_distance=max_d,
+                                   max_suggestions=request.max_suggestions,
+                                   metric=env.suggest_metric) \
                     .collect():
                 suggestions.setdefault(r["needle"], []).append(r["suggestion"])
     return json.dumps({

@@ -291,3 +291,189 @@ def test_reindex_searchers_selective(spark, tmp_path):
     with pytest.raises(ConfigError, match="config-built"):
         reindex_searchers(SearchEnv(spark=spark, index=env.index),
                           "searcher_1")
+
+
+def test_doc2vec_methods_build_and_search(spark, tmp_path):
+    """doc2vec_method ∈ {sif, borep, cpmean, disc} builds the matching
+    env searcher class (config_parser.jl:186-214's semantic dispatch —
+    these used to soft-default to boe) and each mixed env answers a
+    request."""
+    from garamond_jl_spark.operators.semantic import (
+        BOREPSearcher, CPMeanSearcher, DisCSearcher, SIFSearcher)
+    classes = {"sif": SIFSearcher, "borep": BOREPSearcher,
+               "cpmean": CPMeanSearcher, "disc": DisCSearcher}
+    c = _base_config()
+    for m in classes:
+        c["embedders"].append(
+            {"id": f"e_{m}", "vectors": "word2vec", "doc2vec_method": m,
+             "vectors_dimension": 8, "borep_dimension": 12,
+             "embeddable_fields": ["text"]})
+        c["searchers"].append(
+            {"id": f"s_{m}", "data_embedder": f"e_{m}",
+             "score_weight": 0.5})
+    env = build_search_env(spark, _write(tmp_path, c))
+    got = {sid: type(s) for sid, (s, _) in
+           zip(env.searcher_ids[1:], env.searchers)}
+    for m, cls in classes.items():
+        assert got[f"s_{m}"] is cls
+    req = InternalRequest(query="spark join data", max_matches=5,
+                          tiebreak_round=6)
+    assert lsearch(env, req).count() == 5
+    # knobs landed on the built searchers
+    sif = env.searchers[0][0]
+    assert isinstance(sif, SIFSearcher) and sif.alpha == 0.01
+    borep = env.searchers[1][0]
+    assert (borep.dim_out, borep.pooling) == (12, "sum")
+    disc = env.searchers[3][0]
+    assert disc.n == 2
+
+
+def test_new_knob_soft_defaults_warn(tmp_path):
+    """Round-4 key coverage: every value-level problem defaults with a
+    warning (config_parser.jl's @warn+default), structural ones raise."""
+    c = _base_config()
+    c["vectors_eltype"] = "Float16"
+    c["embedders"][0]["language"] = "klingon"
+    c["embedders"][0]["stem_words"] = True
+    c["embedders"].append(
+        {"id": "e2", "vectors": "word2vec", "doc2vec_method": "wrong",
+         "sif_alpha": 0.02, "embedder_kwarguments": "not-a-dict",
+         "embeddable_fields": ["text"]})
+    c["embedders"].append(
+        {"id": "e3", "vectors": "word2vec", "doc2vec_method": "borep",
+         "borep_dimension": -3, "borep_pooling_function": "median",
+         "embeddable_fields": ["text"]})
+    c["embedders"].append(
+        {"id": "e4", "vectors": "word2vec", "doc2vec_method": "disc",
+         "disc_ngram": 0, "embeddable_fields": ["text"]})
+    c["searchers"].append(
+        {"id": "s2", "data_embedder": "e2", "heuristic": "soundex",
+         "search_index_arguments": [1, 2],
+         "search_index_kwarguments": {"n_planes": 4},
+         "indexable_fields": "text"})
+    with pytest.warns(UserWarning):
+        parsed = parse_configuration(_write(tmp_path, c))
+    assert parsed["vectors_eltype"] == "Float64"
+    e1, e2, e3, e4 = parsed["embedders"]
+    assert e1["language"] == "english" and e1["stem_words"] is False
+    assert e2["doc2vec_method"] == "boe"          # invalid → default
+    assert e2["sif_alpha"] == 0.02                # valid value kept
+    assert e2["embedder_kwarguments"] == {}
+    # borep/disc knobs validate INSIDE their method branch only
+    # (config_parser.jl:199-213)
+    assert e3["borep_dimension"] == 1024
+    assert e3["borep_pooling_function"] == "sum"
+    assert e4["disc_ngram"] == 2
+    s2 = parsed["searchers"][1]
+    assert s2["heuristic"] is None
+    assert s2["search_index_arguments"] == {"n_planes": 4}
+    assert s2["indexable_fields"] is None
+    assert s2["input_embedder"] == "e2"           # defaults to data
+
+
+def test_glove_binary_without_vocabulary_drops_embedder(tmp_path):
+    """config_parser.jl:192-197: binary GloVe embeddings without a
+    vocabulary file error inside the per-embedder try — the embedder is
+    IGNORED; a searcher referencing it then fails the structural
+    unknown-embedder check."""
+    c = _base_config()
+    c["embedders"].append(
+        {"id": "e_glove", "vectors": "glove", "embeddings_kind": "binary",
+         "embeddable_fields": ["text"]})
+    with pytest.warns(UserWarning, match="glove_vocabulary"):
+        parsed = parse_configuration(_write(tmp_path, c))
+    assert [e["id"] for e in parsed["embedders"]] == ["embedder_1"]
+    c["searchers"].append({"id": "s_g", "data_embedder": "e_glove"})
+    with pytest.warns(UserWarning):
+        with pytest.raises(ConfigError, match="unknown"):
+            parse_configuration(_write(tmp_path, c))
+
+
+def test_unknown_input_embedder_is_structural(tmp_path):
+    """config_parser.jl:344-350 validates input embedder ids too."""
+    c = _base_config()
+    c["searchers"][0]["input_embedder"] = "ghost"
+    with pytest.raises(ConfigError, match="unknown"):
+        parse_configuration(_write(tmp_path, c))
+
+
+def test_input_embedder_binds_query_side(spark, tmp_path):
+    """searcher.jl:163: the QUERY embeds through input_embedder.  A BOE
+    data searcher with a SIF input embedder of the same dimensionality
+    must produce the SIF query vector; a dimension mismatch warns and
+    keeps the data embedder."""
+    from garamond_jl_spark.operators.semantic import SIFSearcher
+    c = _base_config()
+    c["embedders"] += [
+        {"id": "e_boe", "vectors": "word2vec", "doc2vec_method": "boe",
+         "vectors_dimension": 8, "embeddable_fields": ["text"]},
+        {"id": "e_sif", "vectors": "word2vec", "doc2vec_method": "sif",
+         "vectors_dimension": 8, "embeddable_fields": ["text"]},
+        {"id": "e_wide", "vectors": "word2vec", "doc2vec_method": "boe",
+         "vectors_dimension": 4, "embeddable_fields": ["text"]},
+    ]
+    c["searchers"].append(
+        {"id": "s_x", "data_embedder": "e_boe", "input_embedder": "e_sif",
+         "score_weight": 0.5})
+    env = build_search_env(spark, _write(tmp_path, c))
+    xs = env.searchers[0][0]
+    # query vector comes from the SIF instance bound over embed_query
+    ref = SIFSearcher.from_tokens(
+        xs.doc_embeddings.sparkSession.read.parquet(DOCS)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term").agg(F.count("*").alias("tf")),
+        xs.word_vectors)
+    q = "spark join data"
+    got = {r["i"]: r["qv"] for r in xs.embed_query(env.spark, q).collect()}
+    want = {r["i"]: r["qv"] for r in ref.embed_query(env.spark, q).collect()}
+    assert got == pytest.approx(want)
+    req = InternalRequest(query=q, max_matches=5, tiebreak_round=6)
+    assert lsearch(env, req).count() == 5
+
+    c["searchers"][-1]["input_embedder"] = "e_wide"     # 4 ≠ 8 dims
+    with pytest.warns(UserWarning, match="dimensionality"):
+        env2 = build_search_env(spark, _write(tmp_path, c))
+    ys = env2.searchers[0][0]
+    boe_q = {r["i"]: r["qv"]
+             for r in ys.embed_query(env2.spark, q).collect()}
+    assert set(boe_q) and boe_q != pytest.approx(want)  # fell back to BOE
+
+
+def test_vectors_eltype_float32_quantizes_storage(spark, tmp_path):
+    """vectors_eltype=Float32 quantizes dense doc-embedding storage to
+    f32 precision (every stored dv survives a float32 round-trip);
+    the default Float64 stores exact doubles."""
+    import numpy as np
+    c = _base_config()
+    c["vectors_eltype"] = "float32"
+    c["embedders"].append(
+        {"id": "e_b", "vectors": "word2vec", "doc2vec_method": "boe",
+         "vectors_dimension": 8, "embeddable_fields": ["text"]})
+    c["searchers"].append(
+        {"id": "s_b", "data_embedder": "e_b", "score_weight": 0.5})
+    env = build_search_env(spark, _write(tmp_path, c))
+    vals = [r["dv"] for r in
+            env.searchers[0][0].doc_embeddings.limit(200).collect()]
+    assert vals and all(float(np.float32(v)) == v for v in vals)
+
+
+def test_heuristic_gates_suggestions(spark, tmp_path):
+    """The primary searcher's ``heuristic`` drives suggestion behavior
+    (reference DEFAULT_HEURISTIC=nothing ⇒ NO suggestions even when the
+    request asks; an explicit heuristic turns them on with its
+    distance)."""
+    import json as _json
+    from garamond_jl_spark.plans.lifecycle import response_json
+    c = _base_config()
+    env_off = build_search_env(spark, _write(tmp_path, c))
+    assert env_off.suggest_metric is None
+    req = InternalRequest(query="spak join", max_suggestions=3)
+    out = _json.loads(response_json(env_off, req))
+    assert out["suggestions"] == {}
+
+    c["searchers"][0]["heuristic"] = "levenshtein"
+    env_on = build_search_env(spark, _write(tmp_path, c))
+    assert env_on.suggest_metric == "levenshtein"
+    out = _json.loads(response_json(env_on, req))
+    assert "spak" in out["suggestions"]

@@ -336,3 +336,159 @@ def test_batch_embed_matches_single_rp_lsa_boe(spark):
             for i, v in single.items():
                 assert got[i] == pytest.approx(v, abs=1e-12), \
                     (type(s).__name__, qid, i)
+
+
+QUERY = "red yellow red"
+
+
+def _numpy_query_embeddings(vecs, method, **kw):
+    """NumPy twin of each _QueryAsDocSearcher's embed_query for QUERY —
+    the same math the semantic_*_topk parity queries use driver-side."""
+    from collections import Counter
+    toks = QUERY.split()
+    qc = Counter(toks)
+    if method == "sif":
+        counts, alpha = kw["counts"], kw["alpha"]
+        total = sum(counts.values())
+        out = np.zeros(DIM)
+        for t, c in qc.items():
+            p = counts[t] / total
+            out += c * alpha / (alpha + p) * vecs[t]
+        return {i + 1: out[i] / len(toks) for i in range(DIM)}
+    if method == "borep":
+        R = np.zeros((kw["dim_out"], DIM))
+        for o, i, r in borep_projection(DIM, kw["dim_out"], seed=0):
+            R[o - 1, i - 1] = r
+        if kw["pooling"] == "sum":
+            boe = np.zeros(DIM)
+            for t, c in qc.items():
+                boe += c * vecs[t]
+            out = R @ boe
+        else:                          # max over per-word projections
+            out = np.max(np.stack([R @ vecs[t] for t in qc]), axis=0)
+        return {o + 1: out[o] for o in range(kw["dim_out"])}
+    if method == "cpmean":
+        A = np.stack([vecs[t] for t in toks], axis=1)
+        n = A.shape[1]
+        blocks = [A.min(axis=1),
+                  np.sign(np.prod(A, axis=1))
+                  * np.exp(np.sum(np.log(np.abs(A) + 1e-300), axis=1) / n),
+                  A.mean(axis=1), A.max(axis=1)]
+        order = {"min": 0, "geo": 1, "mean": 2, "max": 3}
+        out = {}
+        for bi, p in enumerate(CPMEAN_POWERS):
+            b = blocks[order[p]]
+            zb = (b - b.mean()) / (b.std(ddof=1) + 1e-16)
+            out.update({bi * DIM + i + 1: zb[i] for i in range(DIM)})
+        return out
+    if method == "disc":
+        seq = [vecs[t] for t in toks]
+        out = {i + 1: np.sum(seq, axis=0)[i] for i in range(DIM)}
+        b2 = np.sum([seq[j] * seq[j + 1]
+                     for j in range(len(seq) - 1)], axis=0) / 2.0
+        out.update({DIM + i + 1: b2[i] for i in range(DIM)})
+        return out
+    raise ValueError(method)
+
+
+def _searchers(spark, corpus):
+    from garamond_jl_spark.operators.semantic import (
+        BOREPSearcher, CPMeanSearcher, DisCSearcher, SIFSearcher)
+    _, tok, tf, wv, vecs = corpus
+    return {
+        "sif": SIFSearcher.from_tokens(tf, wv, alpha=SIF_ALPHA),
+        "borep_sum": BOREPSearcher.from_tokens(tf, wv, dim_in=DIM,
+                                               dim_out=6, pooling="sum",
+                                               seed=0),
+        "borep_max": BOREPSearcher.from_tokens(tf, wv, dim_in=DIM,
+                                               dim_out=6, pooling="max",
+                                               seed=0),
+        "cpmean": CPMeanSearcher.from_tokens(tf, wv, dim=DIM),
+        "disc": DisCSearcher.from_tokens_pos(
+            tok.select("doc_id", "pos", "term"), wv, dim=DIM, n=2),
+    }
+
+
+def test_query_as_doc_searchers_match_numpy(spark, corpus):
+    """The doc2vec env searchers (sif/borep/cpmean/disc) embed a QUERY
+    through the same function as documents; the result must equal the
+    NumPy query math the semantic_*_topk parity queries use."""
+    _, _, tf, wv, vecs = corpus
+    counts = {}
+    for _, text in DOCS:
+        for t in text.split():
+            counts[t] = counts.get(t, 0) + 1
+    expected = {
+        "sif": _numpy_query_embeddings(vecs, "sif", counts=counts,
+                                       alpha=SIF_ALPHA),
+        "borep_sum": _numpy_query_embeddings(vecs, "borep", dim_out=6,
+                                             pooling="sum"),
+        "borep_max": _numpy_query_embeddings(vecs, "borep", dim_out=6,
+                                             pooling="max"),
+        "cpmean": _numpy_query_embeddings(vecs, "cpmean"),
+        "disc": _numpy_query_embeddings(vecs, "disc"),
+    }
+    for name, s in _searchers(spark, corpus).items():
+        got = {r["i"]: r["qv"]
+               for r in s.embed_query(spark, QUERY).collect()}
+        exp = expected[name]
+        assert set(got) == set(exp), name
+        for i, v in exp.items():
+            assert got[i] == pytest.approx(v, abs=1e-9), (name, i)
+
+
+def test_query_as_doc_batch_matches_single(spark, corpus):
+    """embed_queries_df ≡ per-query embed_query for the four new
+    searcher kinds (incl. an all-OOV query that must gate out)."""
+    queries = [QUERY, "green blue", "zzz_oov_zzz"]
+    for name, s in _searchers(spark, corpus).items():
+        batch = {}
+        for r in s.embed_queries_df(spark, queries).collect():
+            batch.setdefault(r["query_id"], {})[r["i"]] = r["qv"]
+        assert 2 not in batch or not any(batch[2].values()), name
+        for qid, q in enumerate(queries[:2]):
+            single = {r["i"]: r["qv"]
+                      for r in s.embed_query(spark, q).collect()}
+            got = batch.get(qid, {})
+            assert set(got) == set(single), (name, qid)
+            for i, v in single.items():
+                assert got[i] == pytest.approx(v, abs=1e-12), (name, qid, i)
+
+
+def test_query_as_doc_sparse_hits_rank(spark, corpus):
+    """sparse_hits (the lifecycle merge interface) ranks identically to
+    cosine_topk over the same doc embeddings + query vector — the
+    score transform is monotone, so ranks carry over."""
+    for name, s in _searchers(spark, corpus).items():
+        qv_rows = [(r["i"], r["qv"])
+                   for r in s.embed_query(spark, QUERY).collect()]
+        want = [r["doc_id"] for r in
+                cosine_topk(s.doc_embeddings, qv_rows, k=5,
+                            tiebreak_round=9).collect()]
+        hits = s.sparse_hits(spark, QUERY)
+        got = [r["doc_id"] for r in
+               hits.orderBy(F.round("score", 9).desc(),
+                            F.col("doc_id").asc()).limit(5).collect()]
+        assert got == want, name
+
+
+def test_disc_oov_tokens_compact(spark):
+    """disc: OOV tokens compact out of the sequence before k-grams
+    (disc.jl:64-75 builds the matrix from EMBEDDED words only) — the
+    bigram must SPAN a dropped token, not break on it."""
+    from garamond_jl_spark.operators.semantic import (
+        disc_doc_embeddings, synthetic_word_vectors, word_vector_component)
+    d = spark.createDataFrame([(0, "red OOVX blue")],
+                              "doc_id LONG, text STRING")
+    tok = d.select("doc_id", F.posexplode(F.split("text", " "))
+                   .alias("pos", "term"))
+    vocab = spark.createDataFrame([("red",), ("blue",)], "term STRING")
+    wv = synthetic_word_vectors(vocab, dim=DIM, seed=0)
+    got = _collect_dv(disc_doc_embeddings(tok, wv, dim=DIM, n=2))
+    red = np.array([word_vector_component("red", i, 0)
+                    for i in range(1, DIM + 1)])
+    blue = np.array([word_vector_component("blue", i, 0)
+                     for i in range(1, DIM + 1)])
+    b2 = red * blue / 2.0
+    for i in range(DIM):
+        assert got[(0, DIM + i + 1)] == pytest.approx(b2[i], abs=1e-12)
