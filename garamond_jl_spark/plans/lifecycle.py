@@ -122,9 +122,16 @@ def _linear_scores(ranked: DataFrame) -> DataFrame:
         "rank")
 
 
-def search(env: SearchEnv, request: InternalRequest) -> DataFrame:
+def search(env: SearchEnv, request: InternalRequest,
+           _searcher_subset: list[int] | None = None) -> DataFrame:
     """main.jl:1-56: parse input, pick one of the three plan shapes,
-    execute as one DataFrame DAG → (doc_id, score, rank)."""
+    execute as one DataFrame DAG → (doc_id, score, rank).
+
+    ``_searcher_subset``: positions into [index] + searchers to merge
+    (used by :func:`search_grouped` for the reference's per-
+    ``id_aggregation`` result groups); None = every searcher, the
+    reference's default where all searchers share the environment
+    aggregation id."""
     parsed = parse_input(env.schema, request.query, request.input_parser,
                          searchable_filters=request.searchable_filters)
     k = min(request.max_matches,
@@ -158,11 +165,16 @@ def search(env: SearchEnv, request: InternalRequest) -> DataFrame:
         return env.spark.createDataFrame(
             [], "doc_id LONG, score DOUBLE, rank INT")
 
-    multi = bool(env.searchers)
+    all_sets = [(env.index, env.score_weight)] + list(env.searchers)
+    chosen = (all_sets if _searcher_subset is None
+              else [all_sets[p] for p in _searcher_subset])
+    primary = chosen[0][0]
+    multi = (len(chosen) > 1
+             or not isinstance(primary, InvertedIndex))
     if not multi and not has_filter:
-        # search-only, single searcher: the standard batched top-k plan
-        qt = embed_queries(env.spark, env.index, [parsed.search])
-        return topk_plan(env.index, qt, k,
+        # search-only, single classic searcher: standard batched top-k
+        qt = embed_queries(env.spark, primary, [parsed.search])
+        return topk_plan(primary, qt, k,
                          tiebreak_round=request.tiebreak_round,
                          pad_to_k=True).select("doc_id", "score", "rank")
 
@@ -229,8 +241,7 @@ def search(env: SearchEnv, request: InternalRequest) -> DataFrame:
         # round-1 behavior where its full set was empty.
         from garamond_jl_spark.operators.aggregate import (aggregate_results,
                                                            strategy_scalar)
-        all_sets = [(env.index, env.score_weight)] + list(env.searchers)
-        sets = [(*searcher_hits(ix), wgt) for ix, wgt in all_sets]
+        sets = [(*searcher_hits(ix), wgt) for ix, wgt in chosen]
         sets = [(h, wgt, s0) for h, s0, wgt in sets if h is not None]
         if not sets:
             return env.spark.createDataFrame(
@@ -262,11 +273,11 @@ def search(env: SearchEnv, request: InternalRequest) -> DataFrame:
                .orderBy("doc_id").limit(2 * k))
         pad = low.withColumn("score", F.lit(float(pad_score)))
     else:
-        hits = sparse_hits(env.index)
+        hits = sparse_hits(primary)
         if hits is None:  # OOV query ⇒ no results (is_embedded gate)
             return env.spark.createDataFrame(
                 [], "doc_id LONG, score DOUBLE, rank INT")
-        pad_score = fill_score(env.index.cfg)
+        pad_score = fill_score(primary.cfg)
         pad_cands = hits.select("doc_id")
         # BM25 cosine ≥ 0 ⇒ every match outranks every fill row, so the
         # cheap limit-then-anti construction is exact here
@@ -285,6 +296,36 @@ def search(env: SearchEnv, request: InternalRequest) -> DataFrame:
             .select("doc_id", "score", "rank"))
 
 
+
+
+def search_grouped(env: SearchEnv, request: InternalRequest
+                   ) -> dict[str, DataFrame]:
+    """Per-``id_aggregation`` result groups (results.jl:48-96
+    ``aggregate!``): searchers SHARING an aggregation id merge into one
+    result under the env strategy; searchers with their own id keep a
+    separate result — the reference returns this list of SearchResults,
+    here a dict {aggregation id → (doc_id, score, rank)}.
+
+    ``env.agg_ids`` aligns with [index] + searchers (set by
+    plans.env_config from each searcher's ``id_aggregation`` key); a
+    None entry means the shared environment-level id — the reference's
+    default, where everything merges (so an env with no explicit
+    ``id_aggregation`` returns exactly ``{"__env__": search(env, req)}``).
+    Filter-only and empty requests have no per-searcher results in the
+    reference either — they produce the single environment entry."""
+    parsed = parse_input(env.schema, request.query, request.input_parser,
+                         searchable_filters=request.searchable_filters)
+    ids = env.agg_ids or []
+    ids = (list(ids) + [None] * (1 + len(env.searchers)))[
+        :1 + len(env.searchers)]
+    if not parsed.search.strip() or all(g is None for g in ids):
+        return {"__env__": search(env, request)}
+    groups: dict[str, list[int]] = {}
+    for pos, gid in enumerate(ids):
+        groups.setdefault(gid if gid is not None else "__env__",
+                          []).append(pos)
+    return {gid: search(env, request, _searcher_subset=pos)
+            for gid, pos in groups.items()}
 
 
 def search_many(env: SearchEnv, requests: list[InternalRequest]

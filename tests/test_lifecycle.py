@@ -380,3 +380,68 @@ def test_search_many_mixed_tiebreak_on_fallback_requests(spark):
            InternalRequest(query="window merge", tiebreak_round=3)]
     with pytest.raises(ValueError, match="uniform tiebreak_round"):
         search_many(env, bad)
+
+
+def test_search_grouped_id_aggregation(spark, env):
+    """results.jl:48-96 aggregate!-by-id semantics: searchers sharing an
+    ``id_aggregation`` merge into one result; searchers with their own
+    id keep a separate result.  All-None groups ≡ plain search; a
+    singleton classic group reproduces the classic-only search; a
+    two-searcher group reproduces the equivalent merged env."""
+    import math
+    from garamond_jl_spark.operators.semantic import (
+        BOESearcher, synthetic_word_vectors)
+    from garamond_jl_spark.plans.lifecycle import SearchEnv as SE
+    from garamond_jl_spark.plans.lifecycle import search_grouped
+    from garamond_jl_spark.operators.build import assign_dense_ids
+    docs = assign_dense_ids(corpus_df(spark, 120, seed=42, partitions=4),
+                            ["repo", "path", "commit"])
+    tok = (docs.select(
+        "doc_id", F.explode(F.split("content", " ")).alias("term"))
+        .where(F.col("term") != ""))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    wv = synthetic_word_vectors(tf.select("term"), dim=16, seed=0)
+    boe_a = BOESearcher.from_tokens(tf, wv, score_alpha=CFG.score_alpha)
+    boe_b = BOESearcher.from_tokens(tf, wv, score_alpha=0.6)
+    req = InternalRequest(query="main run data", max_matches=6,
+                          tiebreak_round=9)
+
+    def rows(df):
+        return [(r["doc_id"], round(r["score"], 9)) for r in
+                sorted(df.collect(), key=lambda r: r["rank"])]
+
+    # all-None agg ids ⇒ one env-level group identical to search()
+    menv = SE(spark=spark, index=env.index, score_weight=0.8,
+              searchers=[(boe_a, 0.8), (boe_b, 0.5)], aggregation="mean")
+    got = search_grouped(menv, req)
+    assert set(got) == {"__env__"}
+    assert rows(got["__env__"]) == rows(search(menv, req))
+
+    # classic alone + the two BOE searchers sharing "dense"
+    genv = SE(spark=spark, index=env.index, score_weight=0.8,
+              searchers=[(boe_a, 0.8), (boe_b, 0.5)], aggregation="mean",
+              agg_ids=["classic", "dense", "dense"])
+    got = search_grouped(genv, req)
+    assert set(got) == {"classic", "dense"}
+    solo = search(SE(spark=spark, index=env.index), req)
+    assert rows(got["classic"]) == rows(solo)
+    dense_env = SE(spark=spark, index=env.index, score_weight=0.8,
+                   searchers=[(boe_a, 0.8), (boe_b, 0.5)],
+                   aggregation="mean",
+                   agg_ids=["classic", "dense", "dense"])
+    # expected "dense" group: merge of ONLY the two BOE searchers —
+    # verify the top row against the hand-computed mean of their
+    # (fill-padded) scores
+    top_id, top_score = rows(got["dense"])[0]
+    ha = {r["doc_id"]: r["score"]
+          for r in boe_a.sparse_hits(spark, "main run data").collect()}
+    hb = {r["doc_id"]: r["score"]
+          for r in boe_b.sparse_hits(spark, "main run data").collect()}
+    fa, fb = boe_a.fill_score(), boe_b.fill_score()
+    want = (0.8 * ha.get(top_id, fa) + 0.5 * hb.get(top_id, fb)) / 2
+    assert top_score == pytest.approx(round(want, 9), abs=1e-8)
+
+    # filter-only request collapses to the single env entry
+    freq = InternalRequest(query='lang:"en"', max_matches=5)
+    gf = search_grouped(genv, freq)
+    assert set(gf) == {"__env__"}
