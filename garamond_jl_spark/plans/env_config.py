@@ -83,6 +83,21 @@ DEFAULT_LANGUAGE = "english"
 HEURISTIC_TO_METRIC = {"levenshtein": "levenshtein",
                        "dameraulevenshtein": "damerau",
                        "hamming": "hamming", "jaro": "jaro"}
+# text_strip_flags: the reference forwards a StringAnalysis UInt32
+# bitmask straight to prepare() (embedder/interface.jl:63,171).  The
+# bit layout belongs to that library, so a raw integer is not portable;
+# this engine accepts the flag NAMES as a JSON list and maps them onto
+# the textprep knobs (functions/textprep.prepare_and_tokenize).  The
+# "inherent" names are always-on behaviors of the tokenizer (it
+# replaces punctuation/whitespace and decodes UTF-8 by construction) —
+# accepted and inert.
+TEXT_STRIP_INHERENT = frozenset({"strip_punctuation", "strip_whitespace",
+                                 "strip_corrupt_utf8",
+                                 "strip_non_letters"})
+TEXT_STRIP_KNOWN = TEXT_STRIP_INHERENT | {
+    "strip_case", "strip_accents", "strip_articles",
+    "strip_prepositions", "strip_pronouns", "strip_stopwords",
+    "strip_numbers"}
 # defaults.jl DEFAULT_VECTORS_ELTYPE is Float32; this engine's scoring
 # pipeline is Float64 end-to-end (every parity oracle pins doubles), so
 # the DEFAULT here is Float64 — a documented deviation.  An explicit
@@ -187,6 +202,19 @@ def parse_configuration(config_path: str) -> dict:
             # are file-format hints; embeddings_path here is parquet)
             _warn(eid, "Defaulting embeddings_kind=parquet.")
             ekind = "parquet"
+        raw_flags = e.get("text_strip_flags")
+        strip_flags = None
+        if raw_flags is not None:
+            if isinstance(raw_flags, list):
+                names = [str(x) for x in raw_flags]
+                bad = sorted(set(names) - TEXT_STRIP_KNOWN)
+                if bad:
+                    _warn(eid, f"unknown text_strip_flags {bad} ignored.")
+                strip_flags = [n for n in names if n in TEXT_STRIP_KNOWN]
+            else:
+                _warn(eid, "integer text_strip_flags are a StringAnalysis "
+                           "bitmask and not portable; pass flag NAMES as "
+                           "a list. Defaulting text_strip_flags=None.")
         ekw = e.get("embedder_kwarguments", {})
         if not isinstance(ekw, dict):
             # config_parser.jl:221-225
@@ -224,6 +252,7 @@ def parse_configuration(config_path: str) -> dict:
             "disc_ngram": disc_ngram,
             "language": language,
             "stem_words": stem,
+            "text_strip_flags": strip_flags,
             "embeddings_kind": ekind,
             "glove_vocabulary": glove_vocab,
             "embedder_kwarguments": ekw,
@@ -377,7 +406,7 @@ def build_search_env(spark: SparkSession, config_path: str,
         raise ConfigError("No enabled searchers!")
 
     def engine_config(e: dict, score_alpha: float) -> EngineConfig:
-        return EngineConfig(
+        kw = dict(
             kappa=e["kappa"], beta=e["beta"], score_alpha=score_alpha,
             weighting=e["vectors"], lowercase=e["lowercase"],
             strip_accents=e["strip_accents"],
@@ -385,6 +414,19 @@ def build_search_env(spark: SparkSession, config_path: str,
             token_pattern=e["token_pattern"],
             ngram_complexity=e["ngram_complexity"],
             oov_policy=e["oov_policy"])
+        fl = e.get("text_strip_flags")
+        if fl is not None:
+            # explicit flag names OVERRIDE the boolean knobs — the
+            # reference's flags fully determine prepare()'s behavior
+            fset = set(fl)
+            kw["lowercase"] = "strip_case" in fset
+            kw["strip_accents"] = "strip_accents" in fset
+            kw["strip_stopwords"] = bool(
+                fset & {"strip_articles", "strip_prepositions",
+                        "strip_pronouns", "strip_stopwords"})
+            if "strip_numbers" in fset:
+                kw["token_pattern"] = r"[a-z_]+"
+        return EngineConfig(**kw)
 
     def build_classic(e: dict, score_alpha: float,
                       fields: list[str] | None = None):

@@ -477,3 +477,29 @@ def test_heuristic_gates_suggestions(spark, tmp_path):
     assert env_on.suggest_metric == "levenshtein"
     out = _json.loads(response_json(env_on, req))
     assert "spak" in out["suggestions"]
+
+
+def test_text_strip_flags_names(spark, tmp_path):
+    """text_strip_flags as flag NAMES (the portable form of the
+    reference's StringAnalysis bitmask, interface.jl:63) drive the
+    classic embedder's textprep: strip_numbers removes digit runs from
+    the vocabulary; an integer mask warns and is ignored; unknown names
+    warn and are dropped."""
+    c = _base_config()
+    c["embedders"][0]["text_strip_flags"] = [
+        "strip_case", "strip_accents", "strip_punctuation",
+        "strip_numbers"]
+    env = build_search_env(spark, _write(tmp_path, c))
+    vocab = [r["term"] for r in env.index.terms.limit(2000).collect()]
+    assert vocab and not any(any(ch.isdigit() for ch in t)
+                             for t in vocab)
+
+    c["embedders"][0]["text_strip_flags"] = ["strip_case", "strip_html"]
+    with pytest.warns(UserWarning, match="unknown text_strip_flags"):
+        parsed = parse_configuration(_write(tmp_path, c))
+    assert parsed["embedders"][0]["text_strip_flags"] == ["strip_case"]
+
+    c["embedders"][0]["text_strip_flags"] = 0x0f
+    with pytest.warns(UserWarning, match="not portable"):
+        parsed = parse_configuration(_write(tmp_path, c))
+    assert parsed["embedders"][0]["text_strip_flags"] is None
