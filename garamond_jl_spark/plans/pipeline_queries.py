@@ -1044,6 +1044,83 @@ def semantic_cpmean_topk(spark, sf_dir):
                        F.col("rank").cast("long").alias("rnk"))
 
 
+
+@q("lifecycle_grouped_dense_cpmean", f"""
+WITH {_BOE_WV_CTE},
+{_CPM_BLOCKS.format(tf="tf", dim=BOE_DIM, out="dv")},
+qt(qdoc, term, tf) AS (VALUES {", ".join(f"(0, '{t}', {c})" for t, c in
+    sorted(__import__('collections').Counter(BOE_QUERY.split()).items()))}),
+qpd AS (SELECT q.qdoc AS doc_id, w.i, min(w.v) AS p_min, max(w.v) AS p_max,
+               sum(w.v * q.tf) AS sum_v,
+               sum(CASE WHEN w.v < 0 THEN q.tf ELSE 0 END) AS negs,
+               sum(q.tf * ln(abs(w.v) + 1e-300)) AS loga
+        FROM qt q JOIN wv w USING (term) GROUP BY 1, 2),
+qnn AS (SELECT qdoc AS doc_id, sum(tf) AS n FROM qt GROUP BY 1),
+qblk AS (
+  SELECT doc_id, i, p_min AS dv, 0 AS b FROM qpd
+  UNION ALL
+  SELECT qpd.doc_id, i + {BOE_DIM},
+         (CASE WHEN negs % 2 = 1 THEN -1.0 ELSE 1.0 END)
+         * exp(loga / qnn.n), 1 FROM qpd JOIN qnn USING (doc_id)
+  UNION ALL
+  SELECT qpd.doc_id, i + 2 * {BOE_DIM}, sum_v / qnn.n, 2
+  FROM qpd JOIN qnn USING (doc_id)
+  UNION ALL
+  SELECT doc_id, i + 3 * {BOE_DIM}, p_max, 3 FROM qpd
+),
+qz AS (SELECT doc_id, b, avg(dv) AS mu, stddev_samp(dv) AS sd
+       FROM qblk GROUP BY 1, 2),
+qv AS (SELECT qblk.i, (dv - mu) / (sd + 1e-16) AS qv
+       FROM qblk JOIN qz USING (doc_id, b)),
+qn AS (SELECT sqrt(sum(qv * qv)) AS nq FROM qv),
+dn AS (SELECT doc_id, sqrt(sum(dv * dv)) AS nd FROM dv GROUP BY 1),
+dots AS (SELECT dv.doc_id, sum(dv.dv * qv.qv) AS dot
+         FROM dv JOIN qv USING (i) GROUP BY 1),
+cosd AS (SELECT d.doc_id, d.dot / (n.nd * (SELECT nq FROM qn)) AS c
+         FROM dots d JOIN dn n USING (doc_id)),
+merged AS (
+  SELECT d.doc_id,
+         0.8 * (2 / (exp(2 * 0.4 * (1 - coalesce(c.c, 0))) + 1)) AS score
+  FROM documents d LEFT JOIN cosd c USING (doc_id))
+SELECT doc_id, cast(round(score * 1e6) AS BIGINT) AS score_e6,
+       cast(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC)
+            AS BIGINT) AS rnk
+FROM merged QUALIFY rnk <= {BOE_K}
+""")
+def lifecycle_grouped_dense_cpmean(spark, sf_dir):
+    """Per-id_aggregation result groups through the driver gate
+    (results.jl:48-96 aggregate!-by-id): a classic BM25 searcher
+    (id_aggregation="classic") and a CPMean dense searcher
+    (id_aggregation="dense", weight 0.8) do NOT merge —
+    lifecycle.search_grouped returns one result per group, and this row
+    checks the "dense" group: 0.8 x (1 - tanh(0.4 x (1 - cpmean cos)))
+    over every document (docs outside the searcher's hit set take the
+    cos=0 fill), top-10.  Exercises the round-4 doc2vec_method=cpmean
+    env searcher + the grouped-search path end-to-end against SQL."""
+    from garamond_jl_spark.operators.semantic import (
+        CPMeanSearcher, synthetic_word_vectors)
+    from garamond_jl_spark.plans.lifecycle import InternalRequest
+    from garamond_jl_spark.plans.lifecycle import SearchEnv as LSE
+    from garamond_jl_spark.plans.lifecycle import search_grouped
+    from garamond_jl_spark.plans.testdata_queries import _ft_index
+    idx = _ft_index(spark, sf_dir)
+    d = load_testdata(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+           .where(F.col("term") != ""))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    wv = synthetic_word_vectors(tf.select("term"), dim=BOE_DIM,
+                                seed=BOE_SEED)
+    cpm = CPMeanSearcher.from_tokens(tf, wv, dim=BOE_DIM, score_alpha=0.4)
+    env = LSE(spark=spark, index=idx, score_weight=1.0,
+              searchers=[(cpm, 0.8)], aggregation="mean",
+              agg_ids=["classic", "dense"])
+    req = InternalRequest(query=BOE_QUERY, max_matches=BOE_K,
+                          tiebreak_round=6)
+    hits = search_grouped(env, req)["dense"]
+    return hits.select("doc_id", e6(F.col("score")).alias("score_e6"),
+                       F.col("rank").cast("long").alias("rnk"))
+
+
 BOREP_OUT = 32
 _BOREP_INV = 0.25  # 1/sqrt(BOE_DIM=16), exactly representable
 
