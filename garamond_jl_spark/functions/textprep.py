@@ -70,6 +70,13 @@ def prepare_and_tokenize(text: str | None, cfg: EngineConfig) -> list[str]:
     toks = _token_re(cfg.token_pattern).findall(text)
     if cfg.strip_stopwords:
         toks = [t for t in toks if t not in _STOPWORDS]
+    if cfg.stem_words:
+        # Porter stemming (interface.jl:63's stem_words flag) — applied
+        # symmetrically at build (inside the Arrow UDF batches) and at
+        # query embedding because THIS function is the one tokenizer;
+        # lru-cached per token so Zipf-head repeats cost a dict hit
+        from garamond_jl_spark.functions.stemmer import porter_stem
+        toks = [porter_stem(t) for t in toks]
     return toks
 
 

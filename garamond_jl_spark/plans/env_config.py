@@ -189,12 +189,13 @@ def parse_configuration(config_path: str) -> dict:
             _warn(eid, f"Defaulting language={DEFAULT_LANGUAGE}.")
             language = DEFAULT_LANGUAGE
         stem = bool(e.get("stem_words", False))
-        if stem:
-            # DEFAULT_STEM_WORDS=false; a Snowball-stemming tokenize
-            # path is not provided by this engine — soft-default with a
-            # warning rather than silently indexing unstemmed text
-            _warn(eid, "stem_words=true is not supported by this engine; "
-                       "defaulting stem_words=false.")
+        if stem and language != "english":
+            # the engine ships the Porter stemmer (functions/stemmer.py)
+            # — English only; the reference stems via per-language
+            # Snowball.  Non-english + stem_words soft-defaults off.
+            _warn(eid, "stem_words=true is English-only in this engine; "
+                       f"defaulting stem_words=false for language="
+                       f"{language}.")
             stem = False
         ekind = str(e.get("embeddings_kind", "parquet"))
         if ekind not in EMBEDDINGS_KINDS:
@@ -412,6 +413,7 @@ def build_search_env(spark: SparkSession, config_path: str,
             strip_accents=e["strip_accents"],
             strip_stopwords=e["strip_stopwords"],
             token_pattern=e["token_pattern"],
+            stem_words=e["stem_words"],
             ngram_complexity=e["ngram_complexity"],
             oov_policy=e["oov_policy"])
         fl = e.get("text_strip_flags")

@@ -334,7 +334,7 @@ def test_new_knob_soft_defaults_warn(tmp_path):
     c = _base_config()
     c["vectors_eltype"] = "Float16"
     c["embedders"][0]["language"] = "klingon"
-    c["embedders"][0]["stem_words"] = True
+    c["embedders"][0]["stem_words"] = False
     c["embedders"].append(
         {"id": "e2", "vectors": "word2vec", "doc2vec_method": "wrong",
          "sif_alpha": 0.02, "embedder_kwarguments": "not-a-dict",
@@ -503,3 +503,25 @@ def test_text_strip_flags_names(spark, tmp_path):
     with pytest.warns(UserWarning, match="not portable"):
         parsed = parse_configuration(_write(tmp_path, c))
     assert parsed["embedders"][0]["text_strip_flags"] is None
+
+
+def test_stem_words_builds_stemmed_index(spark, tmp_path):
+    """stem_words=true (english) Porter-stems the classic vocabulary at
+    build AND query — a query inflection matches documents that only
+    contain other inflections of the stem; german + stem_words warns
+    and defaults off (Porter is English-only here, the reference stems
+    per-language via Snowball)."""
+    c = _base_config()
+    c["embedders"][0]["stem_words"] = True
+    env = build_search_env(spark, _write(tmp_path, c))
+    assert env.index.cfg.stem_words is True
+    vocab = {r["term"] for r in env.index.terms.collect()}
+    # the testdata corpus contains "windows"/"sorted" style inflections;
+    # a stemmed vocabulary must not keep both an -s form and its stem
+    assert not any(t.endswith("s") and t[:-1] in vocab for t in vocab
+                   if len(t) > 3)
+
+    c["embedders"][0]["language"] = "german"
+    with pytest.warns(UserWarning, match="English-only"):
+        parsed = parse_configuration(_write(tmp_path, c))
+    assert parsed["embedders"][0]["stem_words"] is False

@@ -63,3 +63,62 @@ def test_searchable_filters_appended():
 def test_parse_error_ignored():
     got = base_input_parser(SCHEMA, "x:notanint rest")
     assert got.filter == {} and got.search == "rest"
+
+
+def test_porter_stemmer_golden_vectors():
+    """functions/stemmer.porter_stem against the example vocabulary of
+    Porter (1980) — full-pipeline outputs (e.g. agreed → agre after
+    step 5a drops the final e)."""
+    from garamond_jl_spark.functions.stemmer import porter_stem
+    gold = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti",
+        "caress": "caress", "cats": "cat", "feed": "feed",
+        "agreed": "agre", "plastered": "plaster", "bled": "bled",
+        "motoring": "motor", "sing": "sing", "conflated": "conflat",
+        "troubled": "troubl", "sized": "size", "hopping": "hop",
+        "tanned": "tan", "falling": "fall", "hissing": "hiss",
+        "fizzed": "fizz", "failing": "fail", "filing": "file",
+        "happy": "happi", "sky": "sky", "relational": "relat",
+        "conditional": "condit", "rational": "ration",
+        "valenci": "valenc", "hesitanci": "hesit",
+        "digitizer": "digit", "conformabli": "conform",
+        "radicalli": "radic", "differentli": "differ", "vileli": "vile",
+        "analogousli": "analog", "vietnamization": "vietnam",
+        "predication": "predic", "operator": "oper",
+        "feudalism": "feudal", "decisiveness": "decis",
+        "hopefulness": "hope", "callousness": "callous",
+        "formaliti": "formal", "sensitiviti": "sensit",
+        "sensibiliti": "sensibl", "triplicate": "triplic",
+        "formative": "form", "formalize": "formal",
+        "electriciti": "electr", "electrical": "electr",
+        "hopeful": "hope", "goodness": "good", "revival": "reviv",
+        "allowance": "allow", "inference": "infer",
+        "airliner": "airlin", "gyroscopic": "gyroscop",
+        "adjustable": "adjust", "defensible": "defens",
+        "irritant": "irrit", "replacement": "replac",
+        "adjustment": "adjust", "dependent": "depend",
+        "adoption": "adopt", "communism": "commun",
+        "activate": "activ", "angulariti": "angular",
+        "homologous": "homolog", "effective": "effect",
+        "bowdlerize": "bowdler", "probate": "probat", "rate": "rate",
+        "cease": "ceas", "controll": "control", "roll": "roll",
+    }
+    bad = {w: (porter_stem(w), want) for w, want in gold.items()
+           if porter_stem(w) != want}
+    assert not bad, bad
+
+
+def test_stem_words_config_round_trip_and_tokenizer():
+    """stem_words round-trips through cfg_to_dict/cfg_from_dict (the
+    meta.json rule: every EngineConfig field the query path reads) and
+    drives the canonical tokenizer symmetrically."""
+    from garamond_jl_spark.config import (EngineConfig, cfg_from_dict,
+                                          cfg_to_dict)
+    from garamond_jl_spark.functions.textprep import prepare_and_tokenize
+    cfg = EngineConfig(stem_words=True)
+    assert cfg_from_dict(cfg_to_dict(cfg)).stem_words is True
+    assert prepare_and_tokenize("Motoring ponies agreed", cfg) == \
+        ["motor", "poni", "agre"]
+    off = EngineConfig()
+    assert prepare_and_tokenize("Motoring ponies", off) == \
+        ["motoring", "ponies"]
