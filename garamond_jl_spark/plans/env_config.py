@@ -479,10 +479,18 @@ def build_search_env(spark: SparkSession, config_path: str,
         """vectors_eltype=Float32: quantize dense doc-embedding STORAGE
         to f32 precision (scoring arithmetic stays double — the
         reference's T=Float32 touches scores too; the engine's parity
-        oracles pin doubles, so this is the documented halfway point)."""
+        oracles pin doubles, so this is the documented halfway point).
+
+        Also PERSISTS the doc embeddings: a config-built env is a
+        long-lived serving structure (the reference materializes its
+        embedding matrices at build, searcher.jl:60-89), and without a
+        persist every request would re-run the whole doc-embedding DAG
+        (an .explain audit of one CPMean request showed ~130 exchanges,
+        nearly all the per-query recomputed build half)."""
         if cfg["vectors_eltype"] == "Float32":
             searcher.doc_embeddings = searcher.doc_embeddings.withColumn(
                 "dv", F.col("dv").cast("float").cast("double"))
+        searcher.doc_embeddings = searcher.doc_embeddings.persist()
         return searcher
 
     def build_semantic(e: dict, s: dict):
