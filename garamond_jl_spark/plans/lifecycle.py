@@ -166,6 +166,18 @@ def search(env: SearchEnv, request: InternalRequest,
             [], "doc_id LONG, score DOUBLE, rank INT")
 
     all_sets = [(env.index, env.score_weight)] + list(env.searchers)
+    if request.custom_weights:
+        # results.jl:79: each searcher's score_weight multiplies the
+        # request's custom weight for its id at aggregation time (ids
+        # come from the config via env.searcher_ids; searchers of a
+        # hand-built env have no ids and keep weight × 1).  The
+        # reference applies custom weights only inside __aggregate —
+        # the single-searcher plan below is unaffected there too.
+        ids = env.searcher_ids
+        all_sets = [
+            (s, w * float(request.custom_weights.get(
+                ids[p] if p < len(ids) else None, 1.0)))
+            for p, (s, w) in enumerate(all_sets)]
     chosen = (all_sets if _searcher_subset is None
               else [all_sets[p] for p in _searcher_subset])
     primary = chosen[0][0]

@@ -525,3 +525,30 @@ def test_stem_words_builds_stemmed_index(spark, tmp_path):
     with pytest.warns(UserWarning, match="English-only"):
         parsed = parse_configuration(_write(tmp_path, c))
     assert parsed["embedders"][0]["stem_words"] is False
+
+
+def test_custom_weights_rescale_searchers(spark, tmp_path):
+    """results.jl:79: request-level custom_weights multiply each
+    searcher's score_weight by its config id at aggregation — a request
+    weighting the dense searcher 2x must equal the env built with the
+    doubled score_weight; unknown ids are weight 1."""
+    c = _base_config()
+    c["embedders"].append(
+        {"id": "e_b", "vectors": "word2vec", "doc2vec_method": "boe",
+         "vectors_dimension": 8, "embeddable_fields": ["text"]})
+    c["searchers"].append(
+        {"id": "s_b", "data_embedder": "e_b", "score_weight": 0.4})
+    env = build_search_env(spark, _write(tmp_path, c))
+    req = InternalRequest(query="spark join data", max_matches=8,
+                          tiebreak_round=9,
+                          custom_weights={"s_b": 2.0, "ghost": 9.0})
+    got = [(r["doc_id"], round(r["score"], 9)) for r in
+           sorted(lsearch(env, req).collect(), key=lambda r: r["rank"])]
+
+    c["searchers"][1]["score_weight"] = 0.8
+    env2 = build_search_env(spark, _write(tmp_path, c))
+    want = [(r["doc_id"], round(r["score"], 9)) for r in
+            sorted(lsearch(env2, InternalRequest(
+                query="spark join data", max_matches=8,
+                tiebreak_round=9)).collect(), key=lambda r: r["rank"])]
+    assert got == want
