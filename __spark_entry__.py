@@ -46,7 +46,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # full compare_oracle.py replay still covers every entry.
 GATE_TAIL = [
     "score_transform", "chop_to_length", "make_a_string", "entry_lookup",
-    "union_distinct", "filter_in_set", "groupby_agg", "ann_lsh_buckets",
+    "union_distinct", "filter_in_set", "groupby_agg", "anti_join_missing",
+    "ann_lsh_buckets",
     "dedup_simhash", "semantic_sif_topk", "semantic_disc_topk",
     "semantic_lsa_topk", "text_summarize", "multimodal_features",
 ]

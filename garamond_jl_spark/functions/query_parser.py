@@ -101,13 +101,19 @@ class ParsedInput:
 
 def base_input_parser(schema: dict[str, str], query: str,
                       separator: str = ":",
-                      searchable_filters: list[str] | None = None) -> ParsedInput:
+                      searchable_filters: list[str] | None = None,
+                      keep_punct: bool = False) -> ParsedInput:
     """schema: column name → Spark SQL type string (db_create_schema
-    analog, src/data/db.jl:1-9)."""
+    analog, src/data/db.jl:1-9).
+
+    ``keep_punct``: keep punctuation-bearing residual tokens — the
+    regex search method needs its metacharacters to survive parsing
+    (the filter DSL is still extracted)."""
     searchable_filters = searchable_filters or []
     rx = match_expr(separator)
     residual = rx.sub("", query)
-    toks = [t for t in residual.split() if not _PUNCT_RE.search(t)]
+    toks = [t for t in residual.split()
+            if keep_punct or not _PUNCT_RE.search(t)]
     search_query = " ".join(toks).strip()
     filter_only = not search_query
 
@@ -140,7 +146,8 @@ DEFAULT_INPUT_PARSER = "base_input_parser"
 
 
 def pre_parser(schema: dict[str, str], query: str, separator: str = ":",
-               searchable_filters: list[str] | None = None) -> ParsedInput:
+               searchable_filters: list[str] | None = None,
+               keep_punct: bool = False) -> ParsedInput:
     """F9 parser-prefix dispatch with recursion (text_parsers.jl:44-54)."""
     m = _MAGIC_RE.match(query)
     name = DEFAULT_INPUT_PARSER
@@ -148,10 +155,14 @@ def pre_parser(schema: dict[str, str], query: str, separator: str = ":",
         query = _MAGIC_RE.sub("", query).strip()
         name = m.group(0).rstrip(">").strip()
     if name == "pre_parser":
-        return pre_parser(schema, query, separator, searchable_filters)
+        return pre_parser(schema, query, separator, searchable_filters,
+                          keep_punct)
     parser = PARSERS.get(name, PARSERS[DEFAULT_INPUT_PARSER])
+    if parser is noop_input_parser:
+        return parser(schema, query)
     return parser(schema, query, separator=separator,
-                  searchable_filters=searchable_filters)
+                  searchable_filters=searchable_filters,
+                  keep_punct=keep_punct)
 
 
 PARSERS["pre_parser"] = pre_parser
@@ -160,11 +171,13 @@ PARSERS["pre_parser"] = pre_parser
 def parse_input(schema: dict[str, str], query: str,
                 input_parser: str = DEFAULT_INPUT_PARSER,
                 separator: str = ":",
-                searchable_filters: list[str] | None = None) -> ParsedInput:
+                searchable_filters: list[str] | None = None,
+                keep_punct: bool = False) -> ParsedInput:
     """parse_input dispatch with safe fallback (text_parsers.jl:27-31,
     safe_symbol_eval analog parse_and_eval.jl:20-27)."""
     parser = PARSERS.get(input_parser, PARSERS[DEFAULT_INPUT_PARSER])
     if parser is noop_input_parser:
         return parser(schema, query)
     return parser(schema, query, separator=separator,
-                  searchable_filters=searchable_filters)
+                  searchable_filters=searchable_filters,
+                  keep_punct=keep_punct)

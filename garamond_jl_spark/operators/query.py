@@ -28,6 +28,7 @@ yields zero rows (is_embedded gate, dtv.jl:53-58 + index.jl:106-113).
 from __future__ import annotations
 
 import math
+from collections import Counter
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -47,29 +48,62 @@ QTERMS_SCHEMA = StructType([
 
 
 def embed_queries(spark: SparkSession, index: InvertedIndex,
-                  queries: list[str]) -> DataFrame:
+                  queries: list[str], isregex: bool = False) -> DataFrame:
     """Queries → (query_id, term, qw) with qw the L2-normalized
     pseudo-document weight computed from corpus stats (dtv.jl:29-41).
 
     Stats for the union of query terms are fetched with ONE filtered
     read of the terms table (Catalyst pushes the isin filter into the
-    scan) — never a full-dictionary collect."""
+    scan) — never a full-dictionary collect.
+
+    ``isregex`` (F7's ``search_method=:regex``, dtv.jl:27
+    ``dtv_regex``): each query token is an UNANCHORED regular
+    expression matched against the whole vocabulary; every matching
+    vocabulary term joins the pseudo-document with the token's count,
+    then the standard weighting applies to the expanded counts.  The
+    expansion is one ``rlike`` join of the terms table against the
+    broadcast pattern list (the reference scans its lexicon per token
+    the same way).  Documented deviation: regex queries tokenize by
+    whitespace ONLY (plus the configured lowercase), because the
+    standard prepare() would strip the regex metacharacters."""
     cfg = index.cfg
-    tok = index.tokenizer or (lambda s: tokenize_with_config(s, cfg))
-    tokenized = [tok(q) for q in queries]
-    all_terms = sorted({t for toks in tokenized for t in toks})
-    if not all_terms:
-        return spark.createDataFrame([], QTERMS_SCHEMA)
-    stats = {r["term"]: r["df"] for r in
-             index.terms.where(F.col("term").isin(all_terms))
-                        .select("term", "df").collect()}
+    if isregex:
+        tokenized = [[(t.lower() if cfg.lowercase else t)
+                      for t in (q or "").split() if t] for q in queries]
+        pats = [(qid, pat, c)
+                for qid, toks in enumerate(tokenized)
+                for pat, c in sorted(Counter(toks).items())]
+        if not pats:
+            return spark.createDataFrame([], QTERMS_SCHEMA)
+        pdf = F.broadcast(spark.createDataFrame(
+            pats, "query_id INT, pat STRING, c INT"))
+        matched = (index.terms.select("term", "df")
+                   .join(pdf, F.expr("term rlike pat"))
+                   .select("query_id", "term", "df", "c").collect())
+        stats = {r["term"]: r["df"] for r in matched}
+        exp_counts: dict[int, dict[str, int]] = {}
+        for r in matched:
+            qc = exp_counts.setdefault(int(r["query_id"]), {})
+            qc[r["term"]] = qc.get(r["term"], 0) + int(r["c"])
+    else:
+        tok = index.tokenizer or (lambda s: tokenize_with_config(s, cfg))
+        tokenized = [tok(q) for q in queries]
+        all_terms = sorted({t for toks in tokenized for t in toks})
+        if not all_terms:
+            return spark.createDataFrame([], QTERMS_SCHEMA)
+        stats = {r["term"]: r["df"] for r in
+                 index.terms.where(F.col("term").isin(all_terms))
+                            .select("term", "df").collect()}
     n_docs, avgdl = float(index.meta["n_docs"]), index.meta["avgdl"]
     rows = []
     for qid, toks in enumerate(tokenized):
-        counts: dict[str, int] = {}
-        for t in toks:
-            if t in stats:
-                counts[t] = counts.get(t, 0) + 1
+        if isregex:
+            counts = exp_counts.get(qid, {})
+        else:
+            counts = {}
+            for t in toks:
+                if t in stats:
+                    counts[t] = counts.get(t, 0) + 1
         qlen = float(sum(counts.values()))
         if qlen == 0.0:
             continue  # OOV-only ⇒ no rows ⇒ no hits

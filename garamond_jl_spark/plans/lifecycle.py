@@ -133,7 +133,8 @@ def search(env: SearchEnv, request: InternalRequest,
     reference's default where all searchers share the environment
     aggregation id."""
     parsed = parse_input(env.schema, request.query, request.input_parser,
-                         searchable_filters=request.searchable_filters)
+                         searchable_filters=request.searchable_filters,
+                         keep_punct=(request.search_method == "regex"))
     k = min(request.max_matches,
             env.index.meta.get("n_live_docs", env.index.meta["n_docs"]))
     has_search = bool(parsed.search.strip())
@@ -185,7 +186,8 @@ def search(env: SearchEnv, request: InternalRequest,
              or not isinstance(primary, InvertedIndex))
     if not multi and not has_filter:
         # search-only, single classic searcher: standard batched top-k
-        qt = embed_queries(env.spark, primary, [parsed.search])
+        qt = embed_queries(env.spark, primary, [parsed.search],
+                           isregex=(request.search_method == "regex"))
         return topk_plan(primary, qt, k,
                          tiebreak_round=request.tiebreak_round,
                          pad_to_k=True).select("doc_id", "score", "rank")
@@ -215,7 +217,8 @@ def search(env: SearchEnv, request: InternalRequest,
         single- and multi-searcher branches inherit the semantics; that
         score is ≥ the :none fill, so the pad invariants are
         unchanged."""
-        qt = embed_queries(env.spark, index, [parsed.search])
+        qt = embed_queries(env.spark, index, [parsed.search],
+                           isregex=(request.search_method == "regex"))
         rows = qt.collect()                 # |query terms| rows — tiny
         if not rows:
             return None

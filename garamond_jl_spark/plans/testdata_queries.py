@@ -166,6 +166,51 @@ def fulltext_bm25_topk_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("rank").cast("long").alias("rnk"))
 
 
+@q("fulltext_regex_topk", f"""
+WITH {FT_STATS_CTE},
+qpat(pat, c) AS (VALUES ('^s', 1), ('jo.n', 1), ('or', 1)),
+qtf AS (
+  SELECT d.term, sum(q.c)::DOUBLE AS cnt
+  FROM dfreq d JOIN qpat q ON regexp_matches(d.term, q.pat)
+  GROUP BY 1
+),
+qst AS (SELECT coalesce(sum(cnt), 0) AS qlen FROM qtf),
+qw AS (
+  SELECT t.term,
+         (ln(s.n / (d.df + 1)) + 1)
+         * ((2.0 + 1) * sqrt(t.cnt / greatest(q.qlen, 1.0)))
+         / (2.0 * (1 - 0.75 + 0.75 * q.qlen / s.avgdl)
+            + sqrt(t.cnt / greatest(q.qlen, 1.0))) AS wq
+  FROM qtf t JOIN dfreq d USING (term) CROSS JOIN stat s CROSS JOIN qst q
+),
+qn AS (SELECT sqrt(sum(wq * wq)) AS qn FROM qw),
+sc AS (
+  SELECT w.doc_id, sum((w.w / n.nrm) * (qw.wq / (SELECT qn FROM qn))) AS cosv
+  FROM w JOIN nrm n USING (doc_id) JOIN qw USING (term) GROUP BY 1
+)
+SELECT doc_id,
+       cast(round((2 / (exp(2 * 0.4 * (1 - cosv)) + 1)) * 1e6) AS BIGINT) AS score_e6,
+       row_number() OVER (ORDER BY round(2 / (exp(2 * 0.4 * (1 - cosv)) + 1), 6) DESC,
+                          doc_id ASC) AS rnk
+FROM sc
+QUALIFY rnk <= {FT_K}
+""")
+def fulltext_regex_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 ``search_method=regex`` (dtv.jl:27 dtv_regex): each query
+    token is an UNANCHORED regex expanded against the vocabulary (one
+    rlike join of the terms table vs the broadcast pattern list), the
+    expanded counts feed the standard BM25 pseudo-document — '^s' fans
+    to six terms, 'or' to three, and 'sort' matches BOTH (count 2),
+    exercising the per-term count summation.  Oracle mirrors with
+    DuckDB regexp_matches (both engines' regexes are find-unanchored)."""
+    from garamond_jl_spark.operators.query import embed_queries, topk_plan
+    idx = _ft_index(spark, sf_dir)
+    qt = embed_queries(spark, idx, ["^s jo.n or"], isregex=True)
+    hits = topk_plan(idx, qt, FT_K, tiebreak_round=6, pad_to_k=False)
+    return hits.select("doc_id", e6(F.col("score")).alias("score_e6"),
+                       F.col("rank").cast("long").alias("rnk"))
+
+
 @q("lifecycle_combined_search_filter", f"""
 WITH {FT_STATS_CTE},
 qraw AS (SELECT term FROM (VALUES ('spark'), ('join'), ('data')) AS q(term)),

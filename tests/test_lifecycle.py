@@ -445,3 +445,38 @@ def test_search_grouped_id_aggregation(spark, env):
     freq = InternalRequest(query='lang:"en"', max_matches=5)
     gf = search_grouped(genv, freq)
     assert set(gf) == {"__env__"}
+
+
+def test_search_method_regex(spark, env):
+    """F7 search_method=regex (dtv.jl:27 dtv_regex): each query token
+    is an unanchored regex expanded against the vocabulary; the request
+    must rank identically to the exact query listing every matched term
+    once.  An all-non-matching pattern hits the is_embedded gate."""
+    from garamond_jl_spark.operators.query import embed_queries
+    vocab = {r["term"] for r in env.index.terms.collect()}
+    import re as _re
+    pat = "parse_[0-3]"
+    matched = sorted(t for t in vocab if _re.search(pat, t))
+    assert len(matched) >= 2, "fixture assumption: parse_0..3 in vocab"
+
+    rreq = InternalRequest(query=pat, max_matches=8, tiebreak_round=9,
+                           search_method="regex")
+    ereq = InternalRequest(query=" ".join(matched), max_matches=8,
+                           tiebreak_round=9)
+    got = [(r["doc_id"], round(r["score"], 9)) for r in
+           sorted(search(env, rreq).collect(), key=lambda r: r["rank"])]
+    want = [(r["doc_id"], round(r["score"], 9)) for r in
+            sorted(search(env, ereq).collect(), key=lambda r: r["rank"])]
+    assert got == want and got
+
+    # qterms expansion is count-weighted: the same pattern twice doubles
+    # the counts, which cancels in the normalized pseudo-doc → same qw
+    q1 = {(r["term"],): r["qw"] for r in embed_queries(
+        spark, env.index, [pat], isregex=True).collect()}
+    q2 = {(r["term"],): r["qw"] for r in embed_queries(
+        spark, env.index, [pat + " " + pat], isregex=True).collect()}
+    assert set(q1) == set(q2)
+
+    none = InternalRequest(query="zzz_nothing_matches_9x", max_matches=5,
+                           search_method="regex")
+    assert search(env, none).count() == 0
