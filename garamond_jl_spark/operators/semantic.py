@@ -19,9 +19,13 @@ Reference counterparts:
 
 Spark shape: everything stays in LONG form (term|doc_id, i, v) — sums
 and dot products are groupBy aggregations and equi-joins, never
-per-row Python.  The word-vector join broadcasts (vocab ≪ corpus);
-document embedding is one shuffle (doc_id, i); query embedding touches
-only the query's own terms.
+per-row Python.  The doc-side word-vector joins carry NO forced
+broadcast hint: a code corpus's vocabulary grows with the corpus
+(1.5M distinct identifiers at 1M docs, bench/embedders_scale.py), so
+hinting OOM'd at scale — AQE still broadcasts a genuinely small vocab
+at runtime.  Query-side joins keep their hints (query tables are tiny
+by construction).  Document embedding is one shuffle (doc_id, i);
+query embedding touches only the query's own terms.
 """
 
 from __future__ import annotations
@@ -77,7 +81,7 @@ def boe_doc_embeddings(tokens: DataFrame, word_vectors: DataFrame) -> DataFrame:
     """tokens(doc_id, term, tf) ⋈ word vectors → long-form document
     embeddings (doc_id, i, dv) with dv = Σ_t tf·v (boe.jl:12-24 sum;
     OOV terms drop at the inner join).  One shuffle by (doc_id, i)."""
-    return (tokens.join(F.broadcast(word_vectors), "term")
+    return (tokens.join(word_vectors, "term")
             .groupBy("doc_id", "i")
             .agg(F.sum(F.col("tf") * F.col("v")).alias("dv")))
 
@@ -210,8 +214,8 @@ def sif_doc_embeddings(tokens: DataFrame, word_vectors: DataFrame,
         total = lexicon.agg(F.sum("count")).collect()[0][0] or 1
     lx = lexicon.select("term", (F.col("count") / F.lit(float(total)))
                         .alias("p"))
-    weighted = (tokens.join(F.broadcast(word_vectors), "term")
-                .join(F.broadcast(lx), "term", "left")
+    weighted = (tokens.join(word_vectors, "term")
+                .join(lx, "term", "left")
                 .withColumn("p", F.coalesce("p", F.lit(1e-12)))
                 .withColumn("wv", F.lit(alpha) / (F.lit(alpha) + F.col("p"))
                             * F.col("v") * F.col("tf")))
@@ -221,28 +225,68 @@ def sif_doc_embeddings(tokens: DataFrame, word_vectors: DataFrame,
           .select("doc_id", "i", (F.col("dv") / F.col("wcount")).alias("dv")))
     if not remove_pc:
         return dv
-    # corpus-level first principal component: Gram = Σ_d x_d x_dᵀ is
-    # dim² aggregates (one shuffle); eigenvector on the driver
+    # corpus-level first principal component: Gram = Σ_d x_d x_dᵀ as a
+    # MAP-ONLY pass — pack each doc's vector and accumulate the partial
+    # XᵀX per Arrow partition (dim² doubles each), sum on the driver.
+    # The first cut computed this as a dv ⋈ dv self-join on doc_id
+    # (|docs|·dim² intermediate rows); at 1M docs Spark tried to
+    # broadcast one 16M-row side and OOM'd — the packed outer product
+    # never shuffles more than one dim²-row per partition.
     import numpy as np
-    a = dv.select("doc_id", F.col("i").alias("ii"), F.col("dv").alias("va"))
-    b = dv.select("doc_id", F.col("i").alias("jj"), F.col("dv").alias("vb"))
-    gram_rows = (a.join(b, "doc_id")
-                 .groupBy("ii", "jj").agg(F.sum(F.col("va") * F.col("vb"))
-                                          .alias("g")).collect())
-    dim = max(r["ii"] for r in gram_rows)
+    import pyarrow as pa
+    dim = int(dv.agg(F.max("i")).first()[0])
+    packed = pack_doc_embeddings(dv, dim).persist()
+
+    def _partial_gram(batches):
+        acc = np.zeros((dim, dim))
+        seen = False
+        for b in batches:
+            vecs = b.column(b.schema.get_field_index("emb"))
+            if len(vecs) == 0:
+                continue
+            flat = vecs.flatten().to_numpy(zero_copy_only=False)
+            X = np.asarray(flat, dtype=np.float64).reshape(len(vecs), -1)
+            acc += X.T @ X
+            seen = True
+        if seen:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([acc.reshape(-1).tolist()],
+                          type=pa.list_(pa.float64()))], names=["g"])
+
+    parts = (packed.select("emb")
+             .mapInArrow(_partial_gram, "g ARRAY<DOUBLE>").collect())
     G = np.zeros((dim, dim))
-    for r in gram_rows:
-        G[r["ii"] - 1, r["jj"] - 1] = r["g"]
-    vals, vecs = np.linalg.eigh(G)
-    u = vecs[:, -1]
-    spark = dv.sparkSession
-    u_df = F.broadcast(spark.createDataFrame(
-        [(i + 1, float(u[i])) for i in range(dim)], "i INT, u DOUBLE"))
-    s = (dv.join(u_df, "i")
-         .groupBy("doc_id").agg(F.sum(F.col("dv") * F.col("u")).alias("s")))
-    return (dv.join(u_df, "i").join(s, "doc_id")
-            .select("doc_id", "i",
-                    (F.col("dv") - F.col("u") * F.col("s")).alias("dv")))
+    for r in parts:
+        G += np.asarray(r["g"], dtype=np.float64).reshape(dim, dim)
+    vals, eig = np.linalg.eigh(G)
+    u = np.asarray(eig[:, -1], dtype=np.float64)
+
+    # subtraction is the second map pass over the SAME packed table:
+    # X − (X·u)uᵀ per batch, emitted back in long form.  The first cut
+    # joined dv ⋈ u ⋈ (per-doc s) — recomputing the whole embedding
+    # plan on both join sides; and it left a doc's ABSENT dims absent,
+    # though PC removal makes them −u_i·s_d ≠ 0 (the NumPy oracle
+    # subtracts densely) — the packed pass is both map-only and dense.
+    def _remove_pc(batches):
+        for b in batches:
+            ids = b.column(b.schema.get_field_index("doc_id"))
+            vecs_ = b.column(b.schema.get_field_index("emb"))
+            n = len(vecs_)
+            if n == 0:
+                continue
+            flat = vecs_.flatten().to_numpy(zero_copy_only=False)
+            X = np.asarray(flat, dtype=np.float64).reshape(n, -1)
+            Xr = X - np.outer(X @ u, u)
+            id_np = np.asarray(ids.to_numpy(zero_copy_only=False),
+                               dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.repeat(id_np, dim), type=pa.int64()),
+                 pa.array(np.tile(np.arange(1, dim + 1), n),
+                          type=pa.int32()),
+                 pa.array(Xr.reshape(-1), type=pa.float64())],
+                names=["doc_id", "i", "dv"])
+
+    return packed.mapInArrow(_remove_pc, "doc_id LONG, i INT, dv DOUBLE")
 
 
 def borep_projection(dim_in: int, dim_out: int, seed: int = 0) -> list[tuple]:
@@ -272,7 +316,7 @@ def borep_doc_embeddings(tokens: DataFrame, word_vectors: DataFrame,
     R = F.broadcast(spark.createDataFrame(
         borep_projection(dim_in, dim_out, seed), "o INT, i INT, r DOUBLE"))
     if pooling == "sum":
-        boe = (tokens.join(F.broadcast(word_vectors), "term")
+        boe = (tokens.join(word_vectors, "term")
                .groupBy("doc_id", "i")
                .agg(F.sum(F.col("tf") * F.col("v")).alias("dv")))
         return (boe.join(R, "i")
@@ -284,7 +328,7 @@ def borep_doc_embeddings(tokens: DataFrame, word_vectors: DataFrame,
     # max pooling: per-WORD projection, then max per projected dim.
     # tf>1 repeats don't change a max; distinct terms suffice.
     proj = (tokens.select("doc_id", "term").distinct()
-            .join(F.broadcast(word_vectors), "term")
+            .join(word_vectors, "term")
             .join(R, "i")
             .groupBy("doc_id", "term", "o")
             .agg(F.sum(F.col("r") * F.col("v")).alias("pw")))
@@ -304,7 +348,7 @@ def cpmean_doc_embeddings(tokens: DataFrame, word_vectors: DataFrame,
 
     The word multiset weights by tf (each occurrence counts, matching
     hcat of per-word columns, cpmean.jl:55)."""
-    wv = (tokens.join(F.broadcast(word_vectors), "term")
+    wv = (tokens.join(word_vectors, "term")
           .select("doc_id", "i", "v", "tf"))
     n = tokens.groupBy("doc_id").agg(F.sum("tf").alias("n"))
     per_dim = wv.groupBy("doc_id", "i").agg(
@@ -362,10 +406,10 @@ def disc_doc_embeddings(tokens_pos: DataFrame, word_vectors: DataFrame,
     re-densified after the vocabulary filter (one window shuffle by
     doc_id over the token rows, before the dim-fold expansion)."""
     vocab = word_vectors.select("term").distinct()
-    seq = (tokens_pos.join(F.broadcast(vocab), "term")
+    seq = (tokens_pos.join(vocab, "term")
            .withColumn("pos", F.row_number().over(
                Window.partitionBy("doc_id").orderBy("pos")) - 1))
-    base = (seq.join(F.broadcast(word_vectors), "term")
+    base = (seq.join(word_vectors, "term")
             .select("doc_id", "pos", "i", "v"))
     parts = []
     for k in range(1, n + 1):
