@@ -24,7 +24,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 def run_level(cpus: int, docs: int, queries: int, attempts: int = 2,
               partitions: int = 64, mode: str = "flat",
               executors: int = 0, exec_cores: int = 4,
-              shuffle: int = 0) -> dict:
+              shuffle: int = 0, scratch: str = "/tmp") -> dict:
     """One fresh-JVM leg; a transiently-failed JVM (host pressure) is
     retried once with the failing leg's stderr surfaced, so a crash in
     the second leg cannot silently discard the first leg's 20+ minutes."""
@@ -35,7 +35,8 @@ def run_level(cpus: int, docs: int, queries: int, attempts: int = 2,
              "--cpus", str(cpus), "--docs", str(docs),
              "--queries", str(queries), "--partitions", str(partitions),
              "--mode", mode, "--executors", str(executors),
-             "--exec-cores", str(exec_cores), "--shuffle", str(shuffle)],
+             "--exec-cores", str(exec_cores), "--shuffle", str(shuffle),
+             "--scratch", scratch],
             capture_output=True, text=True)
         if out.returncode == 0:
             lines = [ln for ln in out.stdout.splitlines()
@@ -69,16 +70,20 @@ def main() -> None:
     ap.add_argument("--executors-high", type=int, default=0)
     ap.add_argument("--exec-cores", type=int, default=4)
     ap.add_argument("--shuffle", type=int, default=0)
+    ap.add_argument("--scratch", default="/tmp",
+                    help="/dev/shm = tmpfs I/O-removal experiment")
     args = ap.parse_args()
 
     lo = run_level(args.low, args.docs, args.queries,
                    partitions=args.partitions, mode=args.mode,
                    executors=args.executors_low,
-                   exec_cores=args.exec_cores, shuffle=args.shuffle)
+                   exec_cores=args.exec_cores, shuffle=args.shuffle,
+                   scratch=args.scratch)
     hi = run_level(args.high, args.docs, args.queries,
                    partitions=args.partitions, mode=args.mode,
                    executors=args.executors_high,
-                   exec_cores=args.exec_cores, shuffle=args.shuffle)
+                   exec_cores=args.exec_cores, shuffle=args.shuffle,
+                   scratch=args.scratch)
     ratio = args.low / args.high
     eff_build = (lo["build_sec"] / hi["build_sec"]) * ratio
     eff_query = (lo["query_sec"] / hi["query_sec"]) * ratio

@@ -50,7 +50,23 @@ def main() -> None:
                          "(postings written as parquet tables — the "
                          "north-star production shape, no 600M-row "
                          "executor cache)")
+    ap.add_argument("--scratch", default="/tmp",
+                    help="base dir for the materialized corpus, the "
+                         "persistent index output AND spark.local.dir "
+                         "(shuffle/spill).  Point it at /dev/shm to run "
+                         "the I/O-removal experiment: same topology, "
+                         "shared-disk bottleneck excised, isolating the "
+                         "memory-bus ceiling from the disk ceiling")
     args = ap.parse_args()
+
+    if args.scratch != "/tmp":
+        local_dir = os.path.join(args.scratch, "spark-local")
+        os.makedirs(local_dir, exist_ok=True)
+        # both routes: executors launched by local-cluster workers read
+        # the env; local-mode reads the conf
+        os.environ["SPARK_LOCAL_DIRS"] = local_dir
+        os.environ.setdefault("SPARK_WORKER_DIR",
+                              os.path.join(args.scratch, "spark-worker"))
 
     if args.executors:
         import subprocess
@@ -79,7 +95,8 @@ def main() -> None:
     # MATERIALIZED once as a parquet table (the north-rule input is an
     # Iceberg table on storage, not a generator) and reused across
     # levels; only executor threads vary between runs
-    corpus_dir = f"/tmp/garamond_scaling_corpus_{args.docs}"
+    corpus_dir = os.path.join(args.scratch,
+                              f"garamond_scaling_corpus_{args.docs}")
     if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
         corpus_df(spark, args.docs, seed=42,
                   partitions=args.partitions).write.mode("overwrite") \
@@ -101,7 +118,8 @@ def main() -> None:
             from garamond_jl_spark.operators.build import assign_dense_ids
             from garamond_jl_spark.operators.persist import (build_persistent,
                                                              load_index)
-            out_dir = f"/tmp/garamond_scaling_pidx_{args.cpus}_{rep}"
+            out_dir = os.path.join(
+                args.scratch, f"garamond_scaling_pidx_{args.cpus}_{rep}")
             shutil.rmtree(out_dir, ignore_errors=True)
             ddocs = assign_dense_ids(docs, ["repo", "path", "commit"])
             t0 = time.time()
