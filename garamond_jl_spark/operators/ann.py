@@ -817,3 +817,218 @@ class IVFADCIndex:
                 "bits_per_vector_raw": raw_bits,
                 "compression_ratio": raw_bits / code_bits,
                 "codebook_floats": len(self._cb) * (self.dim // self.m)}
+
+
+# ---------------------------------------------------------------------------
+# Sharded HNSW candidate index (the real src/index/hnsw.jl counterpart)
+# ---------------------------------------------------------------------------
+
+def _hnsw_pack(doc_embeddings: DataFrame, dim: int) -> DataFrame:
+    from garamond_jl_spark.operators.semantic import pack_doc_embeddings
+    return pack_doc_embeddings(doc_embeddings, dim)
+
+
+_HNSW_GRAPH_SCHEMA = ("shard INT, doc_id LONG, level INT, "
+                      "nbrs ARRAY<ARRAY<BIGINT>>, emb ARRAY<DOUBLE>")
+
+
+class HNSWCandidateIndex:
+    """Sharded HNSW graphs as a candidate generator — the reference's
+    default million-scale index (src/index/hnsw.jl:14-45, a
+    HierarchicalNSW wrapper; "Million-scale indexing using hnsw",
+    docs/src/index.md) re-expressed for Spark's execution model:
+
+    * build: the corpus is hash-split into ``n_shards`` deterministic
+      shards; ONE ``applyInPandas`` pass builds an independent graph
+      per shard (operators/hnsw_graph.NumpyHNSW — the published
+      Malkov-Yashunin algorithm, md5-derandomized level draws,
+      sorted-key insertion).  Shards never talk to each other, so
+      adding machines adds shards — the same per-bucket independence
+      as the postings build.
+    * query: every shard beam-searches the batch in parallel (one
+      ``applyInPandas`` over the graph table grouped by shard) and the
+      union of per-shard top-``ef`` results is the candidate set for
+      the searcher's exact rerank.  Per-shard work is O(ef·M·log n)
+      distance evaluations — sublinear in shard size — vs the naive
+      corpus scan's n·dim.
+    * ``normalize=True`` builds the graph over L2-normalized vectors
+      (L2 order == cosine order — the public hnswlib "cosine space"
+      convention), matching the cosine rerank of the dense searchers;
+      ``False`` keeps raw Euclidean, the reference HNSW default
+      (hnsw.jl:33 "Uses Euclidean distance by default").
+
+    ``ef`` ≥ shard size makes the beam exhaustive over each connected
+    shard graph (candidates ⊇ the exact top-k), which is what the
+    DuckDB parity row pins at sf0.01; recall at production ``ef`` is
+    pytest- and bench-measured instead (the reference's own HNSW is
+    approximate the same way).
+
+    On this box each request streams the persisted graph table through
+    Arrow once; the at-scale posture is the graph parquet written
+    PARTITIONED BY shard with long-lived executors keeping their
+    shards' deserialized graphs resident (the ``from_rows`` rebuild is
+    one pass over the shard's rows)."""
+
+    def __init__(self, graph: DataFrame, dim: int, M: int,
+                 ef_construction: int, ef: int, seed: int,
+                 normalize: bool, shard_hi: int):
+        self.graph = graph                  # (shard, doc_id, level, nbrs, emb)
+        self.dim = int(dim)
+        self.M = int(M)
+        self.efc = int(ef_construction)
+        self.ef = int(ef)
+        self.seed = int(seed)
+        self.normalize = bool(normalize)
+        self.shard_hi = int(shard_hi)       # next free shard id (extend)
+
+    # -- builders -----------------------------------------------------------
+    @staticmethod
+    def _build_graphs(packed_sharded: DataFrame, M: int, efc: int,
+                      seed: int, normalize: bool) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        from garamond_jl_spark.operators.hnsw_graph import build_shard
+
+        def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+            keys = pdf["doc_id"].to_numpy()
+            mat = np.asarray([np.asarray(e, dtype=np.float64)
+                              for e in pdf["emb"]])
+            if normalize:
+                nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+                np.divide(mat, nrm, out=mat, where=nrm > 0)
+            g = build_shard(keys, mat, M=M, ef_construction=efc, seed=seed)
+            shard = int(pdf["shard"].iloc[0])
+            rows = [(shard, key, lvl, nb, vec)
+                    for key, lvl, nb, vec in g.to_rows()]
+            return pd.DataFrame(rows, columns=["shard", "doc_id", "level",
+                                               "nbrs", "emb"])
+
+        return (packed_sharded.groupBy("shard")
+                .applyInPandas(_build, _HNSW_GRAPH_SCHEMA))
+
+    @classmethod
+    def build(cls, doc_embeddings: DataFrame, dim: int | None = None,
+              M: int = 8, ef_construction: int = 100, ef: int = 50,
+              n_shards: int = 4, seed: int = 0, normalize: bool = True,
+              packed: DataFrame | None = None,
+              persist: bool = True) -> "HNSWCandidateIndex":
+        """``doc_embeddings``: long form (doc_id, i, dv) — or pass the
+        packed (doc_id, emb) twin directly to skip the packing pass.
+        Shard assignment is ``pmod(xxhash64(doc_id, seed), n_shards)``
+        — deterministic, so the whole index is rebuildable anywhere."""
+        if dim is None:
+            dim = int(doc_embeddings.agg(F.max("i")).first()[0])
+        if packed is None:
+            packed = _hnsw_pack(doc_embeddings, dim)
+        sharded = packed.withColumn(
+            "shard", F.pmod(F.xxhash64("doc_id", F.lit(seed)),
+                            F.lit(n_shards)).cast("int"))
+        graph = cls._build_graphs(sharded, M, ef_construction, seed,
+                                  normalize)
+        if persist:
+            graph = graph.persist()
+        return cls(graph, dim, M, ef_construction, ef, seed, normalize,
+                   n_shards)
+
+    # -- query --------------------------------------------------------------
+    def _qvec(self, qv_rows: list[tuple[int, float]]) -> list[float]:
+        import numpy as np
+        q = np.zeros(self.dim, dtype=np.float64)
+        for i, v in qv_rows:
+            q[i - 1] = float(v)             # 1-based dims, like the pack
+        if self.normalize:
+            n = float(np.linalg.norm(q))
+            if n > 0:
+                q /= n
+        return q.tolist()
+
+    def candidates_batch(self, qv_map: dict[int, list[tuple[int, float]]],
+                         ef: int | None = None,
+                         k: int | None = None) -> DataFrame:
+        """{query_id: qv_rows} → (query_id, doc_id): per shard, each
+        query's beam-search top-``ef`` (one applyInPandas pass for the
+        whole batch; shards are disjoint so no dedup is needed)."""
+        spark = self.graph.sparkSession
+        if not qv_map:
+            return spark.createDataFrame([], "query_id INT, doc_id LONG")
+        queries = [(int(qid), self._qvec(qv))
+                   for qid, qv in sorted(qv_map.items())]
+        ef_ = int(ef if ef is not None else self.ef)
+        k_ = int(k if k is not None else ef_)
+        dim, M, efc, seed = self.dim, self.M, self.efc, self.seed
+
+        import numpy as np
+        import pandas as pd
+
+        from garamond_jl_spark.operators.hnsw_graph import NumpyHNSW
+
+        def _search(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = list(zip(pdf["doc_id"], pdf["level"], pdf["nbrs"],
+                            pdf["emb"]))
+            out = []
+            if ef_ >= len(rows):
+                # exhaustive mode by definition: ef admits the whole
+                # shard, so skip the walk and emit every key (also
+                # immune to the rare trim-stranded node — the
+                # guarantee the parity rows lean on)
+                for qid, _qv in queries:
+                    out.extend((qid, int(r[0])) for r in rows)
+                return pd.DataFrame(out, columns=["query_id", "doc_id"])
+            g = NumpyHNSW.from_rows(rows, dim, M, efc, seed,
+                                    symmetric=True)
+            for qid, qv in queries:
+                q = np.asarray(qv, dtype=np.float64)
+                for key, _d in g.search(q, k_, ef=ef_):
+                    out.append((qid, key))
+            return pd.DataFrame(out, columns=["query_id", "doc_id"])
+
+        return (self.graph.groupBy("shard")
+                .applyInPandas(_search, "query_id INT, doc_id LONG"))
+
+    def candidates(self, qv_rows: list[tuple[int, float]],
+                   ef: int | None = None) -> DataFrame:
+        """(doc_id) — union of the per-shard beam results."""
+        return (self.candidates_batch({0: qv_rows}, ef=ef)
+                .select("doc_id"))
+
+    # -- maintenance ---------------------------------------------------------
+    def extend(self, new_embeddings: DataFrame,
+               n_shards: int = 1) -> "HNSWCandidateIndex":
+        """Index appended docs (M1 push! analog) as NEW shard segments
+        — O(batch) graph builds, existing shards untouched (the same
+        frozen-structure append as the IVF/LSH extend; a full rebuild
+        re-balances).  Queries search appendix shards alongside."""
+        packed = _hnsw_pack(new_embeddings, self.dim)
+        sharded = packed.withColumn(
+            "shard", (F.lit(self.shard_hi)
+                      + F.pmod(F.xxhash64("doc_id", F.lit(self.seed)),
+                               F.lit(n_shards))).cast("int"))
+        ng = self._build_graphs(sharded, self.M, self.efc, self.seed,
+                                self.normalize)
+        return HNSWCandidateIndex(self.graph.unionByName(ng), self.dim,
+                                  self.M, self.efc, self.ef, self.seed,
+                                  self.normalize, self.shard_hi + n_shards)
+
+    # -- persistence ----------------------------------------------------------
+    def save(self, out_dir: str) -> None:
+        """Graph table PARTITIONED BY shard (a resident executor loads
+        only its shards' files) + parameters."""
+        self.graph.write.mode("overwrite").partitionBy("shard") \
+            .parquet(os.path.join(out_dir, "graph"))
+        _write_meta(out_dir, {"kind": "hnsw", "dim": self.dim, "M": self.M,
+                              "ef_construction": self.efc, "ef": self.ef,
+                              "seed": self.seed,
+                              "normalize": self.normalize,
+                              "shard_hi": self.shard_hi})
+
+    @classmethod
+    def load(cls, spark: SparkSession, out_dir: str) -> "HNSWCandidateIndex":
+        m = _read_meta(out_dir)
+        if m.get("kind") != "hnsw":
+            raise ValueError(f"{out_dir} holds a {m.get('kind')!r} index")
+        g = spark.read.parquet(os.path.join(out_dir, "graph")) \
+            .select(F.col("shard").cast("int").alias("shard"), "doc_id",
+                    "level", "nbrs", "emb")
+        return cls(g, m["dim"], m["M"], m["ef_construction"], m["ef"],
+                   m["seed"], m["normalize"], m["shard_hi"])

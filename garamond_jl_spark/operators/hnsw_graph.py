@@ -1,0 +1,247 @@
+"""Partition-local HNSW graphs — the algorithmic core behind
+``operators.ann.HNSWCandidateIndex``.
+
+Reference counterpart: /root/reference/src/index/hnsw.jl:14-45 wraps a
+``HierarchicalNSW`` graph ("Million-scale indexing using hnsw",
+docs/src/index.md) whose build and walk are inherently sequential
+pointer-chasing — unusable as a single distributed structure.  The
+Spark-native shape is SHARDED: the corpus is hash-split into shards,
+each shard owns an independent in-memory graph built here, and a query
+beam-searches every shard in parallel (one ``applyInPandas`` pass),
+taking the union of per-shard results as the candidate set for the
+searcher's exact rerank.  Adding machines adds shards — the same
+scale story as the per-bucket index build.
+
+This module is pure numpy + stdlib (no Spark imports) so the same
+code runs on the driver (unit tests) and inside pandas UDF workers.
+It implements the published algorithm — Y. A. Malkov, D. A. Yashunin,
+"Efficient and robust approximate nearest neighbor search using
+Hierarchical Navigable Small World graphs" (arXiv:1603.09320),
+Algorithms 1, 2 and 5, with the SELECT-NEIGHBORS-SIMPLE rule (§4,
+Alg. 3) — keep the M closest — rather than the heuristic variant.
+
+Determinism: the per-node level draw (the only randomness in HNSW) is
+the repo-wide md5 derandomization trick — ``u = md5(seed:HL:key)``
+mapped to (0,1), ``level = floor(-ln(u)·mL)`` — and shard insertion
+order is sorted by key, so an index is rebuildable anywhere with no
+stored RNG state.  Distances are squared Euclidean internally
+(monotone in L2, saves the sqrt in every comparison); ``search``
+reports true L2.  Cosine/angular use is the caller normalizing rows
+first (then L2 order == cosine order), the same public convention as
+hnswlib's "cosine" space.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import heapq
+import math
+
+import numpy as np
+
+
+def level_for(key: int, m_l: float, seed: int = 0) -> int:
+    """Deterministic HNSW level draw: md5-uniform u ∈ (0,1) →
+    floor(-ln(u)·mL) (arXiv:1603.09320 Alg. 1 line 4)."""
+    h = hashlib.md5(f"{seed}:HL:{key}".encode()).hexdigest()
+    u = (int(h[:13], 16) + 0.5) / 16.0 ** 13
+    return int(-math.log(u) * m_l)
+
+
+class NumpyHNSW:
+    """One shard's graph.  ``add`` builds incrementally (Alg. 1);
+    ``search`` is the layered beam search (Alg. 5).  ``ef`` ≥ the shard
+    size makes the level-0 beam exhaustive over the connected graph —
+    the exact mode the parity rows pin at small scale."""
+
+    def __init__(self, dim: int, M: int = 8, ef_construction: int = 100,
+                 seed: int = 0):
+        if M < 2:
+            raise ValueError("HNSW needs M >= 2")
+        self.dim = int(dim)
+        self.M = int(M)
+        self.M0 = 2 * int(M)          # level-0 degree cap (paper §4.1)
+        self.efc = int(ef_construction)
+        self.seed = int(seed)
+        self.m_l = 1.0 / math.log(M)
+        self.keys: list[int] = []
+        self.pos: dict[int, int] = {}
+        self.levels: list[int] = []
+        self.nbrs: list[list[list[int]]] = []   # idx -> level -> [idx]
+        self._vecs = np.empty((0, self.dim), dtype=np.float64)
+        self._n2 = np.empty((0,), dtype=np.float64)
+        self._n = 0
+        self.entry = -1
+        self.max_level = -1
+
+    # -- storage ----------------------------------------------------------
+    def __len__(self) -> int:
+        return self._n
+
+    def _grow(self) -> None:
+        if self._n < self._vecs.shape[0]:
+            return
+        cap = max(64, 2 * self._vecs.shape[0])
+        v = np.empty((cap, self.dim), dtype=np.float64)
+        v[:self._n] = self._vecs[:self._n]
+        n2 = np.empty((cap,), dtype=np.float64)
+        n2[:self._n] = self._n2[:self._n]
+        self._vecs, self._n2 = v, n2
+
+    def _dists(self, q: np.ndarray, qn2: float, idxs) -> np.ndarray:
+        """Squared L2 from q to the given node indexes, one matvec."""
+        X = self._vecs[idxs]
+        return np.maximum(self._n2[idxs] + qn2 - 2.0 * (X @ q), 0.0)
+
+    # -- Algorithm 2: beam search on one layer -----------------------------
+    def _search_layer(self, q: np.ndarray, qn2: float, eps: list[int],
+                      ef: int, level: int) -> list[tuple[float, int]]:
+        eps = list(dict.fromkeys(eps))
+        d0 = self._dists(q, qn2, np.asarray(eps, dtype=np.int64))
+        visited = set(eps)
+        cand = sorted(zip(d0.tolist(), eps))          # min-heap
+        res = [(-d, i) for d, i in cand[:ef]]         # max-heap, ≤ ef
+        heapq.heapify(res)
+        while cand:
+            d, c = heapq.heappop(cand)
+            if d > -res[0][0] and len(res) >= ef:
+                break
+            nb = [n for n in self.nbrs[c][level] if n not in visited]
+            if not nb:
+                continue
+            visited.update(nb)
+            nd = self._dists(q, qn2, np.asarray(nb, dtype=np.int64))
+            for dn, n in zip(nd.tolist(), nb):
+                if len(res) < ef:
+                    heapq.heappush(cand, (dn, n))
+                    heapq.heappush(res, (-dn, n))
+                elif dn < -res[0][0]:
+                    heapq.heappush(cand, (dn, n))
+                    heapq.heapreplace(res, (-dn, n))
+        return [(-md, i) for md, i in res]
+
+    # -- Algorithm 1: insert ------------------------------------------------
+    def add(self, key: int, vec: np.ndarray) -> None:
+        key = int(key)
+        if key in self.pos:
+            raise ValueError(f"duplicate key {key}")
+        vec = np.asarray(vec, dtype=np.float64)
+        lvl = level_for(key, self.m_l, self.seed)
+        idx = self._n
+        self._grow()
+        self._vecs[idx] = vec
+        self._n2[idx] = float(vec @ vec)
+        self._n += 1
+        self.keys.append(key)
+        self.pos[key] = idx
+        self.levels.append(lvl)
+        self.nbrs.append([[] for _ in range(lvl + 1)])
+        if self.entry < 0:
+            self.entry, self.max_level = idx, lvl
+            return
+        qn2 = self._n2[idx]
+        eps = [self.entry]
+        for lev in range(self.max_level, lvl, -1):
+            w = self._search_layer(vec, qn2, eps, 1, lev)
+            eps = [min(w)[1]]
+        for lev in range(min(lvl, self.max_level), -1, -1):
+            w = self._search_layer(vec, qn2, eps, self.efc, lev)
+            w.sort()
+            neigh = [i for _, i in w[:self.M]]
+            self.nbrs[idx][lev] = list(neigh)
+            mmax = self.M0 if lev == 0 else self.M
+            for n in neigh:
+                ln = self.nbrs[n][lev]
+                ln.append(idx)
+                if len(ln) > mmax:      # shrink to the mmax closest
+                    nd = self._dists(self._vecs[n], self._n2[n],
+                                     np.asarray(ln, dtype=np.int64))
+                    order = sorted(zip(nd.tolist(), ln))
+                    self.nbrs[n][lev] = [i for _, i in order[:mmax]]
+            eps = [i for _, i in w]
+        if lvl > self.max_level:
+            self.entry, self.max_level = idx, lvl
+
+    # -- Algorithm 5: query --------------------------------------------------
+    def search(self, qvec: np.ndarray, k: int,
+               ef: int = 50) -> list[tuple[int, float]]:
+        """Top-k as [(key, L2 distance)], ties broken by key — the
+        deterministic external contract."""
+        if self.entry < 0:
+            return []
+        q = np.asarray(qvec, dtype=np.float64)
+        qn2 = float(q @ q)
+        ep = self.entry
+        for lev in range(self.max_level, 0, -1):
+            w = self._search_layer(q, qn2, [ep], 1, lev)
+            ep = min(w)[1]
+        w = self._search_layer(q, qn2, [ep], max(ef, k), 0)
+        out = sorted((d, self.keys[i]) for d, i in w)
+        return [(key, math.sqrt(d)) for d, key in out[:k]]
+
+    # -- (de)serialization to plain rows -------------------------------------
+    def to_rows(self):
+        """Yield (key, level, nbrs-as-external-keys, vector) per node —
+        the columnar form the Spark graph table stores."""
+        for idx in range(self._n):
+            nb = [[self.keys[j] for j in lev] for lev in self.nbrs[idx]]
+            yield (self.keys[idx], self.levels[idx], nb,
+                   self._vecs[idx].tolist())
+
+    @classmethod
+    def from_rows(cls, rows, dim: int, M: int = 8,
+                  ef_construction: int = 100, seed: int = 0,
+                  symmetric: bool = False) -> "NumpyHNSW":
+        """Rebuild a searchable graph from ``to_rows`` output (no
+        re-insertion; adjacency is taken as stored).  Entry point =
+        highest level, ties to the smallest key — derived, not stored.
+
+        ``symmetric=True`` unions each node's out-edges with its
+        in-edges for SEARCH: insertion creates every link as a
+        bidirectional pair and the degree-cap trim then drops single
+        DIRECTIONS (Alg. 1's shrink step), which can strand a node
+        with in-degree 0 — the known HNSW disconnection mode.  The
+        undirected closure restores any edge either endpoint kept, so
+        beam search can reach such nodes; the ef cap still bounds the
+        work.  The Spark wrapper searches symmetric."""
+        g = cls(dim, M, ef_construction, seed)
+        rows = sorted(rows, key=lambda r: r[0])
+        n = len(rows)
+        g._vecs = np.empty((n, dim), dtype=np.float64)
+        g._n2 = np.empty((n,), dtype=np.float64)
+        for idx, (key, lvl, _nb, vec) in enumerate(rows):
+            key = int(key)
+            g.keys.append(key)
+            g.pos[key] = idx
+            g.levels.append(int(lvl))
+            v = np.asarray(vec, dtype=np.float64)
+            g._vecs[idx] = v
+            g._n2[idx] = float(v @ v)
+        g._n = n
+        for idx, (_key, _lvl, nb, _vec) in enumerate(rows):
+            g.nbrs.append([[g.pos[int(k)] for k in lev] for lev in nb])
+        if symmetric:
+            sym: list[list[set]] = [[set(lev) for lev in g.nbrs[i]]
+                                    for i in range(n)]
+            for i in range(n):
+                for lev, outs in enumerate(g.nbrs[i]):
+                    for j in outs:
+                        if lev < len(sym[j]):
+                            sym[j][lev].add(i)
+            g.nbrs = [[sorted(lev) for lev in sym[i]] for i in range(n)]
+        if n:
+            best = min(range(n), key=lambda i: (-g.levels[i], g.keys[i]))
+            g.entry, g.max_level = best, g.levels[best]
+        return g
+
+
+def build_shard(keys, mat: np.ndarray, M: int = 8,
+                ef_construction: int = 100, seed: int = 0) -> NumpyHNSW:
+    """Build one shard's graph over (keys, row-matrix), inserting in
+    sorted-key order (the determinism contract)."""
+    mat = np.asarray(mat, dtype=np.float64)
+    g = NumpyHNSW(mat.shape[1], M, ef_construction, seed)
+    order = sorted(range(len(keys)), key=lambda i: int(keys[i]))
+    for i in order:
+        g.add(int(keys[i]), mat[i])
+    return g

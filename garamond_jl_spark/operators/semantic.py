@@ -593,8 +593,31 @@ class DenseVectorSearcher:
         self.doc_embeddings = doc_embeddings
         self.score_alpha = float(score_alpha)
         self.candidate_index = candidate_index
+        self.metric = "cosine"
         self.packed: DataFrame | None = None
         self._norms: DataFrame | None = None
+
+    def with_metric(self, metric: str) -> "DenseVectorSearcher":
+        """``cosine`` (default) keeps the NaiveIndex semantics
+        (dist = 1 − cos, src/index/naive.jl:15-32); ``euclidean`` is
+        the BruteTree/KDTree/HNSW family's metric (brutetree.jl:22
+        "Uses Euclidean distance by default", kdtree.jl:20, hnsw.jl:33)
+        — dist = ‖q − d‖₂ over EVERY embedded doc (a doc sharing no
+        nonzero component with the query still has a distance), through
+        the same pinned ``1 − tanh(α·dist)`` transform, so both searcher
+        kinds stay on one score scale.  ``fill_score`` keeps the
+        dist = 1 convention in both metrics (the score-scale anchor for
+        docs this searcher did not embed).
+
+        Numerics: every path computes dist via ‖d‖² + ‖q‖² − 2·d·q (the
+        join/matmul-friendly form); its cancellation error is ~1e-7
+        absolute when dist ≈ 0 (a doc equal to the query) and ~1e-13
+        otherwise — ranking-safe, but don't expect 1e-12 value identity
+        on exact self-matches.  Returns self for chaining."""
+        if metric not in ("cosine", "euclidean"):
+            raise ValueError(f"unknown metric: {metric!r}")
+        self.metric = metric
+        return self
 
     def with_packed_storage(self, dim: int,
                             persist: bool = True) -> "DenseVectorSearcher":
@@ -612,21 +635,24 @@ class DenseVectorSearcher:
     def with_candidate_index(self, kind: str = "lsh",
                              **kwargs) -> "DenseVectorSearcher":
         """Attach a sublinear candidate index built over this searcher's
-        own doc embeddings: ``kind`` ∈ {lsh, ivf, ivfadc} (kwargs
-        forwarded to the builder; ivfadc derives ``dim`` from the
+        own doc embeddings: ``kind`` ∈ {lsh, ivf, ivfadc, hnsw} (kwargs
+        forwarded to the builder; ivfadc/hnsw derive ``dim`` from the
         embeddings when not given — the reference's full
         searcher-attached IVFADC structure, where the ADC pass orders
-        the probed lists before this searcher's exact rerank).
+        the probed lists before this searcher's exact rerank, and its
+        searcher-attached HNSW graph, searcher.jl:120-125).
         Returns self for chaining."""
-        from garamond_jl_spark.operators.ann import (IVFADCIndex,
+        from garamond_jl_spark.operators.ann import (HNSWCandidateIndex,
+                                                     IVFADCIndex,
                                                      IVFCandidateIndex,
                                                      LSHCandidateIndex)
         builder = {"lsh": LSHCandidateIndex,
                    "ivf": IVFCandidateIndex,
-                   "ivfadc": IVFADCIndex}.get(kind)
+                   "ivfadc": IVFADCIndex,
+                   "hnsw": HNSWCandidateIndex}.get(kind)
         if builder is None:
             raise ValueError(f"unknown candidate index kind: {kind!r}")
-        if kind == "ivfadc" and "dim" not in kwargs:
+        if kind in ("ivfadc", "hnsw") and "dim" not in kwargs:
             kwargs["dim"] = int(self.doc_embeddings
                                 .agg(F.max("i")).first()[0])
         self.candidate_index = builder.build(self.doc_embeddings, **kwargs)
@@ -685,16 +711,31 @@ class DenseVectorSearcher:
             if self.candidate_index is not None:
                 src = src.join(self.candidate_index.candidates(qv_rows),
                                "doc_id", "left_semi")
-            return packed_cosine_scores(src, qv_rows, self.score_alpha)
+            return packed_cosine_scores(src, qv_rows, self.score_alpha,
+                                        metric=self.metric)
         dv = self.doc_embeddings
+        norms = self._doc_norms()
         if self.candidate_index is not None:
             cand = self.candidate_index.candidates(qv_rows)
             dv = dv.join(cand, "doc_id", "left_semi")
+            norms = norms.join(cand, "doc_id", "left_semi")
         qvb = F.broadcast(spark.createDataFrame(qv_rows, "i INT, qv DOUBLE"))
         dots = (dv.join(qvb, "i")
                 .groupBy("doc_id")
                 .agg(F.sum(F.col("dv") * F.col("qv")).alias("dot")))
-        cosd = (dots.join(self._doc_norms(), "doc_id")
+        if self.metric == "euclidean":
+            # BruteTree semantics: every embedded doc has a distance,
+            # including docs whose dot with the query is 0 (no shared
+            # nonzero component) — hence the left join from the norms
+            dist = (norms.join(dots, "doc_id", "left")
+                    .select("doc_id", F.sqrt(F.greatest(
+                        F.lit(0.0),
+                        F.col("nd") * F.col("nd") + F.lit(nq * nq)
+                        - 2.0 * F.coalesce(F.col("dot"), F.lit(0.0))))
+                        .alias("dist")))
+            score = score_transform_expr(F.col("dist"), self.score_alpha)
+            return dist.select("doc_id", score.alias("score"))
+        cosd = (dots.join(norms, "doc_id")
                 .select("doc_id", (F.col("dot")
                                    / (F.col("nd") * F.lit(nq))).alias("cos")))
         score = score_transform_expr(F.lit(1.0) - F.col("cos"),
@@ -735,11 +776,13 @@ class DenseVectorSearcher:
                 src = src.join(cand.select("doc_id").distinct(),
                                "doc_id", "left_semi")
                 hits = (packed_cosine_scores_batch(src, qv_map,
-                                                   self.score_alpha)
+                                                   self.score_alpha,
+                                                   metric=self.metric)
                         .join(cand, ["query_id", "doc_id"], "left_semi"))
             else:
                 hits = packed_cosine_scores_batch(src, qv_map,
-                                                  self.score_alpha)
+                                                  self.score_alpha,
+                                                  metric=self.metric)
             return hits, embedded
         nqdf = (qv.groupBy("query_id")
                 .agg(F.sqrt(F.sum(F.col("qv") ** 2)).alias("nq"))
@@ -761,6 +804,25 @@ class DenseVectorSearcher:
             dots = (dv.join(F.broadcast(qv), "i")
                     .groupBy("query_id", "doc_id")
                     .agg(F.sum(F.col("dv") * F.col("qv")).alias("dot")))
+        if self.metric == "euclidean":
+            # every (live query, embedded doc) pair has a distance —
+            # candidates restrict the pairs when an index is attached,
+            # otherwise the pair set IS the brute full scan
+            if self.candidate_index is not None:
+                base = (cand.join(self._doc_norms(), "doc_id")
+                        .join(F.broadcast(nqdf), "query_id"))
+            else:
+                base = self._doc_norms().crossJoin(F.broadcast(nqdf))
+            dist = (base.join(dots, ["query_id", "doc_id"], "left")
+                    .select("query_id", "doc_id", F.sqrt(F.greatest(
+                        F.lit(0.0),
+                        F.col("nd") * F.col("nd") + F.col("nq") * F.col("nq")
+                        - 2.0 * F.coalesce(F.col("dot"), F.lit(0.0))))
+                        .alias("dist")))
+            score = score_transform_expr(F.col("dist"), self.score_alpha)
+            return (dist.select("query_id", "doc_id",
+                                score.alias("score")),
+                    nqdf.select("query_id"))
         cosd = (dots.join(self._doc_norms(), "doc_id")
                 .join(F.broadcast(nqdf), "query_id")
                 .select("query_id", "doc_id",
@@ -1130,11 +1192,14 @@ def pack_doc_embeddings(dv: DataFrame, dim: int) -> DataFrame:
 
 def packed_cosine_scores(packed: DataFrame,
                          qv_rows: list[tuple[int, float]],
-                         score_alpha: float) -> DataFrame:
+                         score_alpha: float,
+                         metric: str = "cosine") -> DataFrame:
     """(doc_id, score) over a packed embedding table: one mapInArrow
     pass computing dot/norm/transform as a blocked numpy matvec — no
     per-component join rows, no shuffle (the scorer is a map).  The
-    query side is the usual dim-sized driver vector."""
+    query side is the usual dim-sized driver vector.  ``metric``
+    matches :meth:`DenseVectorSearcher.with_metric`: cosine keeps the
+    NaiveIndex dist = 1 − cos; euclidean the BruteTree L2."""
     import numpy as np
     import pyarrow as pa
 
@@ -1144,6 +1209,7 @@ def packed_cosine_scores(packed: DataFrame,
         q[i - 1] = v
     nq = float(np.linalg.norm(q))
     alpha = float(score_alpha)
+    euclid = metric == "euclidean"
 
     def _score(batches):
         for b in batches:
@@ -1159,9 +1225,13 @@ def packed_cosine_scores(packed: DataFrame,
                 qb = np.zeros(X.shape[1])
                 qb[:min(len(q), len(qb))] = q[:len(qb)]
             nd = np.linalg.norm(X, axis=1)
-            nd[nd == 0.0] = np.inf            # zero vector → cos 0
-            cos = (X @ qb) / (nd * nq)
-            score = 1.0 - np.tanh(alpha * (1.0 - cos))
+            if euclid:
+                d = np.sqrt(np.maximum(
+                    nd * nd + nq * nq - 2.0 * (X @ qb), 0.0))
+            else:
+                nd[nd == 0.0] = np.inf        # zero vector → cos 0
+                d = 1.0 - (X @ qb) / (nd * nq)
+            score = 1.0 - np.tanh(alpha * d)
             yield pa.RecordBatch.from_arrays(
                 [ids, pa.array(score, type=pa.float64())],
                 names=["doc_id", "score"])
@@ -1172,7 +1242,8 @@ def packed_cosine_scores(packed: DataFrame,
 
 def packed_cosine_scores_batch(packed: DataFrame,
                                qv_map: dict[int, list[tuple[int, float]]],
-                               score_alpha: float) -> DataFrame:
+                               score_alpha: float,
+                               metric: str = "cosine") -> DataFrame:
     """(query_id, doc_id, score) over a packed embedding table for a
     WHOLE query batch: one mapInArrow pass computing the docs×queries
     score block as a numpy matmul — the batch twin of
@@ -1195,6 +1266,7 @@ def packed_cosine_scores_batch(packed: DataFrame,
     qid_arr = np.asarray(qids, dtype=np.int32)[live]
     Q, nq = Q[live], nq[live]
     alpha = float(score_alpha)
+    euclid = metric == "euclidean"
     out_schema = "query_id INT, doc_id LONG, score DOUBLE"
     if len(qid_arr) == 0:
         return packed.sparkSession.createDataFrame([], out_schema)
@@ -1214,15 +1286,21 @@ def packed_cosine_scores_batch(packed: DataFrame,
                 w = min(Q.shape[1], X.shape[1])
                 Qb[:, :w] = Q[:, :w]
             nd = np.linalg.norm(X, axis=1)
-            nd[nd == 0.0] = np.inf            # zero vector → cos 0
+            if not euclid:
+                nd[nd == 0.0] = np.inf        # zero vector → cos 0
             ids = np.asarray(ids_col.to_numpy(zero_copy_only=False),
                              dtype=np.int64)
             nq_row = nq[None, :]
             block = max(1, 4_000_000 // max(1, Qb.shape[0]))
             for s in range(0, X.shape[0], block):
                 Xs, nds, idss = X[s:s + block], nd[s:s + block], ids[s:s + block]
-                cos = (Xs @ Qb.T) / (nds[:, None] * nq_row)
-                score = 1.0 - np.tanh(alpha * (1.0 - cos))
+                if euclid:
+                    d = np.sqrt(np.maximum(
+                        nds[:, None] ** 2 + nq_row ** 2
+                        - 2.0 * (Xs @ Qb.T), 0.0))
+                else:
+                    d = 1.0 - (Xs @ Qb.T) / (nds[:, None] * nq_row)
+                score = 1.0 - np.tanh(alpha * d)
                 n = Xs.shape[0]
                 yield pa.RecordBatch.from_arrays(
                     [pa.array(np.tile(qid_arr, n), type=pa.int32()),

@@ -274,18 +274,28 @@ def parse_configuration(config_path: str) -> dict:
     for i, s in enumerate(cfg.get("searchers", [])):
         sid = str(s.get("id", f"searcher_{i + 1}"))
         # search_index (config_parser.jl / configgenerator.jl): the
-        # reference's :naive/:brutetree/:kdtree are exact scans → naive;
-        # :ivfadc → the full IVFADC structure (coarse lists + PQ/ADC
-        # ordering before the searcher's exact rerank); :hnsw → the lsh
-        # bucket index (the distributed stand-in for the same sublinear
-        # job, SURVEY §7.6); native names lsh/ivf accepted directly
+        # reference's :naive/:brutetree/:kdtree are exact scans → naive
+        # (kdtree's in-memory space-partitioning tree is a single-node
+        # structure; the exact scan is its honest distributed
+        # counterpart); :ivfadc → the full IVFADC structure (coarse
+        # lists + PQ/ADC ordering before the searcher's exact rerank);
+        # :hnsw → sharded HNSW graphs (operators/ann.HNSWCandidateIndex
+        # — the real hnsw.jl counterpart, replacing the round-3 LSH
+        # stand-in); native names lsh/ivf accepted directly.
+        # The metric follows the reference index family: naive is
+        # cosine (naive.jl:15-32), brutetree/kdtree/hnsw are Euclidean
+        # ("Uses Euclidean distance by default", brutetree.jl:22,
+        # kdtree.jl:20, hnsw.jl:33); ivfadc keeps the engine's pinned
+        # cosine rerank (its parity rows predate the metric knob).
         raw_ix = str(s.get("search_index", "naive")).lower()
         index_map = {"naive": "naive", "brutetree": "naive",
-                     "kdtree": "naive", "hnsw": "lsh", "ivfadc": "ivfadc",
+                     "kdtree": "naive", "hnsw": "hnsw", "ivfadc": "ivfadc",
                      "lsh": "lsh", "ivf": "ivf"}
         if raw_ix not in index_map:
             _warn(sid, "Defaulting search_index=naive.")
             raw_ix = "naive"
+        metric = ("euclidean" if raw_ix in ("brutetree", "kdtree", "hnsw")
+                  else "cosine")
         # the reference splits positional ``search_index_arguments``
         # (a list, config_parser.jl:263) from ``search_index_kwarguments``
         # (a dict, :264-268); this engine's index builders are
@@ -332,6 +342,7 @@ def parse_configuration(config_path: str) -> dict:
             "score_alpha": float(s.get("score_alpha", DEFAULT_SCORE_ALPHA)),
             "score_weight": float(s.get("score_weight", 1.0)),
             "search_index": index_map[raw_ix],
+            "metric": metric,
             "search_index_arguments": {**ix_args, **ix_kwargs},
         })
 
@@ -459,21 +470,47 @@ def build_search_env(spark: SparkSession, config_path: str,
     def attach_index(searcher, s: dict):
         """search_index != naive attaches a sublinear candidate index
         to a DENSE searcher (the reference's searcher-owns-an-index,
-        searcher.jl:120-125); a classic inverted index IS its own
-        sublinear structure, so the knob warns and no-ops there."""
+        searcher.jl:120-125) and sets the family's metric
+        (brutetree/kdtree/hnsw → Euclidean rerank); a classic inverted
+        index IS its own sublinear structure, so the knob warns and
+        no-ops there.  Unknown search_index_kwarguments soft-default
+        away (config_parser.jl's @warn + default posture) instead of
+        aborting the build."""
+        import inspect
+
+        from garamond_jl_spark.operators.ann import (HNSWCandidateIndex,
+                                                     IVFADCIndex,
+                                                     IVFCandidateIndex,
+                                                     LSHCandidateIndex)
         from garamond_jl_spark.operators.build import InvertedIndex
         from garamond_jl_spark.operators.semantic import \
             DenseVectorSearcher
         kind = s["search_index"]
+        dense = (isinstance(searcher, DenseVectorSearcher)
+                 and not isinstance(searcher, InvertedIndex))
+        if not dense:
+            if kind != "naive":
+                _warn(s["id"], "search_index applies to dense searchers "
+                               "only; ignoring.")
+            return searcher
+        searcher.with_metric(s["metric"])
         if kind == "naive":
             return searcher
-        if isinstance(searcher, InvertedIndex) or not isinstance(
-                searcher, DenseVectorSearcher):
-            _warn(s["id"], "search_index applies to dense searchers "
-                           "only; ignoring.")
-            return searcher
-        return searcher.with_candidate_index(
-            kind, **s["search_index_arguments"])
+        kwargs = dict(s["search_index_arguments"])
+        if kind == "hnsw":
+            # the graph searches the metric the rerank scores: raw
+            # Euclidean under the hnsw mapping, normalized (angular)
+            # only if a caller overrode the metric to cosine
+            kwargs.setdefault("normalize", s["metric"] == "cosine")
+        builder = {"lsh": LSHCandidateIndex, "ivf": IVFCandidateIndex,
+                   "ivfadc": IVFADCIndex, "hnsw": HNSWCandidateIndex}[kind]
+        allowed = set(inspect.signature(builder.build).parameters)
+        bad = sorted(set(kwargs) - allowed)
+        if bad:
+            _warn(s["id"], f"dropping search_index_kwarguments {bad} "
+                           f"unknown to the {kind} index.")
+            kwargs = {k: v for k, v in kwargs.items() if k in allowed}
+        return searcher.with_candidate_index(kind, **kwargs)
 
     def _quantize_f32(searcher):
         """vectors_eltype=Float32: quantize dense doc-embedding STORAGE
@@ -607,6 +644,11 @@ def build_search_env(spark: SparkSession, config_path: str,
             if s["search_index"] != "naive":
                 _warn(s["id"], "search_index applies to dense searchers "
                                "only; ignoring.")
+            elif s["metric"] != "cosine":
+                _warn(s["id"], "brutetree/kdtree Euclidean scoring "
+                               "applies to dense searchers only; the "
+                               "classic searcher keeps the pinned BM25 "
+                               "ranking.")
             if s["input_embedder"] not in (None, s["data_embedder"]):
                 _warn(s["id"], "input_embedder != data_embedder is only "
                                "supported for dense searchers; using the "

@@ -208,10 +208,13 @@ def test_env_custom_id_key(spark, tmp_path):
 def test_env_search_index_ann_backed(spark, tmp_path):
     """The search_index config knob (reference configgenerator.jl
     :ivfadc/:hnsw searchers): a semantic searcher built from JSON with
-    search_index=hnsw gets the LSH candidate index attached (the
-    distributed stand-in, SURVEY §7.6) and the mixed env still answers
-    the request with the exact top-10 of the full-scan env; a classic
-    searcher warns and ignores the knob."""
+    search_index=hnsw gets sharded HNSW graphs attached (the real
+    hnsw.jl counterpart) AND the family's Euclidean rerank
+    (hnsw.jl:33) — so with an exhaustive ef the mixed env answers
+    identically to a search_index=brutetree env (the exact Euclidean
+    full scan, brutetree.jl:20-28); a classic searcher warns and
+    ignores the knob; unknown index kwargs soft-default away."""
+    from garamond_jl_spark.operators.ann import HNSWCandidateIndex
     cfg = _base_config()
     cfg["embedders"].append(
         {"id": "embedder_2", "vectors": "word2vec",
@@ -222,18 +225,26 @@ def test_env_search_index_ann_backed(spark, tmp_path):
         {"id": "searcher_2", "data_embedder": "embedder_2",
          "score_alpha": 0.4, "score_weight": 0.8,
          "search_index": "hnsw",
-         "search_index_arguments": {"n_planes": 6, "radius": 3,
-                                    "seed": 0}})
-    env = build_search_env(spark, _write(tmp_path, cfg))
-    assert env.searchers[0][0].candidate_index is not None
+         "search_index_arguments": {"n_shards": 4, "M": 8,
+                                    "ef_construction": 100, "ef": 5000,
+                                    "seed": 0, "radius": 3}})
+    with pytest.warns(UserWarning, match="radius.*unknown to the hnsw"):
+        env = build_search_env(spark, _write(tmp_path, cfg))
+    s2 = env.searchers[0][0]
+    assert isinstance(s2.candidate_index, HNSWCandidateIndex)
+    assert s2.metric == "euclidean"
+    assert s2.candidate_index.normalize is False    # euclid graph
 
     exact_cfg = _base_config()
     exact_cfg["embedders"] = cfg["embedders"]
     exact_cfg["searchers"] = [dict(cfg["searchers"][0]),
                               {"id": "searcher_2",
                                "data_embedder": "embedder_2",
-                               "score_alpha": 0.4, "score_weight": 0.8}]
+                               "score_alpha": 0.4, "score_weight": 0.8,
+                               "search_index": "brutetree"}]
     env_e = build_search_env(spark, _write(tmp_path, exact_cfg))
+    assert env_e.searchers[0][0].metric == "euclidean"
+    assert env_e.searchers[0][0].candidate_index is None
 
     req = InternalRequest(query="spark join data", max_matches=10,
                           tiebreak_round=6)
