@@ -850,6 +850,93 @@ def ann_ivf_topk(spark, sf_dir):
                           list(ANN_QUERY_IDS), ANN_K)
 
 
+def ann_hnsw_search(u: DataFrame, query_ids: list[int], k: int,
+                    n_shards: int = 4, M: int = 8,
+                    ef_construction: int = 100,
+                    ef: int | None = None, seed: int = 0) -> DataFrame:
+    """END-TO-END sharded-HNSW ANN search — the reference's DEFAULT
+    million-scale index (src/index/hnsw.jl:14-45; "Million-scale
+    indexing using hnsw", docs/src/index.md) in the Spark-native idiom
+    (operators/ann.HNSWCandidateIndex over per-shard Malkov-Yashunin
+    graphs):
+
+    1. hash-shard the corpus, build one graph per shard (a single
+       applyInPandas pass; shards are independent — machines add
+       shards);
+    2. every shard beam-searches the query batch in parallel, the
+       union of per-shard top-``ef`` is the candidate set;
+    3. exact cosine rerank of the candidates, top-k.
+
+    ``ef=None`` runs the beam exhaustive (ef ≥ every shard), so the
+    candidates provably contain the exact top-k — the DuckDB-parity
+    mode, same "swap one knob" trick as the fixed IVF quantizer;
+    production ``ef`` recall is pytest/bench-measured
+    (tests/test_hnsw.py, BENCH.md)."""
+    from garamond_jl_spark.operators.ann import HNSWCandidateIndex
+
+    dv = u.select(F.col("vec_id").alias("doc_id"), "i",
+                  F.col("v").alias("dv"))
+    idx = HNSWCandidateIndex.build(dv, M=M, ef_construction=ef_construction,
+                                   ef=ef if ef is not None else (1 << 30),
+                                   n_shards=n_shards, seed=seed,
+                                   normalize=True, persist=False)
+    qv_map = {}
+    for r in u.where(F.col("vec_id").isin(*query_ids)).collect():
+        qv_map.setdefault(int(r["vec_id"]), []).append(
+            (int(r["i"]), float(r["v"])))
+    cand = (idx.candidates_batch(qv_map)
+            .select(F.col("query_id").cast("long").alias("query_id"),
+                    F.col("doc_id").alias("vec_id"))
+            .where(F.col("vec_id") != F.col("query_id")))
+    uq = u.select(F.col("vec_id").alias("query_id"), "i",
+                  F.col("v").alias("qv"))
+    dots = (cand.join(u, "vec_id")
+            .join(uq, ["query_id", "i"])
+            .groupBy("query_id", "vec_id")
+            .agg(F.sum(F.col("v") * F.col("qv")).alias("dot")))
+    nrm = u.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv"))
+    nq = nrm.select(F.col("vec_id").alias("query_id"),
+                    F.col("nv").alias("nq"))
+    cosd = (dots.join(nrm, "vec_id").join(F.broadcast(nq), "query_id")
+            .select("query_id", "vec_id",
+                    (F.col("dot") / (F.col("nv") * F.col("nq")))
+                    .alias("c")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("c"), 6).desc(), F.col("vec_id").asc())
+    return (cosd.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .where(F.col("rnk") <= k)
+            .select("query_id", "vec_id", e6(F.col("c")).alias("cos_e6"),
+                    "rnk"))
+
+
+@q("ann_hnsw_topk", f"""
+WITH {EMB_NORM_CTE},
+dots AS (
+  SELECT uq.vec_id AS query_id, u.vec_id, sum(u.v * uq.v) AS dot
+  FROM u JOIN u uq ON uq.i = u.i
+  WHERE uq.vec_id IN {ANN_QUERY_IDS} AND u.vec_id <> uq.vec_id
+  GROUP BY 1, 2
+),
+cosd AS (
+  SELECT d.query_id, d.vec_id, d.dot / (n.nv * nq.nv) AS c
+  FROM dots d JOIN nrm n ON n.vec_id = d.vec_id
+  JOIN nrm nq ON nq.vec_id = d.query_id
+)
+SELECT query_id, vec_id, cast(round(c * 1e6) AS BIGINT) AS cos_e6,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(c, 6) DESC, vec_id ASC) AS rnk
+FROM cosd QUALIFY rnk <= {ANN_K}
+""")
+def ann_hnsw_topk(spark, sf_dir):
+    """Parity wrapper: sharded-HNSW ANN over the embeddings table in
+    the exhaustive-ef mode (see :func:`ann_hnsw_search`) — the oracle
+    is the exact per-query cosine top-k, which the graph candidates
+    provably contain."""
+    return ann_hnsw_search(_emb_long(spark, sf_dir),
+                           list(ANN_QUERY_IDS), ANN_K)
+
+
 # --------------------------------------------------------------------------
 # Semantic search (BOE over deterministic synthetic word vectors, E1+E6)
 # --------------------------------------------------------------------------
@@ -914,6 +1001,73 @@ def semantic_boe_topk(spark, sf_dir):
     hits = boe_topk(spark, tf, wv, BOE_QUERY, k=BOE_K, tiebreak_round=6)
     return hits.select("doc_id", e6(F.col("score")).alias("cos_e6"),
                        F.col("rank").cast("long").alias("rnk"))
+
+
+BOE_EUCLID_ALPHA = 0.4
+
+
+@q("semantic_boe_euclid_topk", f"""
+WITH tok AS (
+  SELECT d.doc_id, t.term FROM documents d,
+  unnest(string_split(d.text, ' ')) AS t(term) WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+vocab AS (SELECT DISTINCT term FROM tf),
+dims AS (SELECT unnest(range(1, {BOE_DIM + 1})) AS i),
+wvh AS (
+  SELECT term, i,
+         md5(cast({BOE_SEED} AS VARCHAR) || ':' || term || ':' ||
+             cast(i AS VARCHAR)) AS h
+  FROM vocab CROSS JOIN dims
+),
+wv AS (SELECT term, i, ({_SEM.component_sql()}) / 8388608.0 - 1.0 AS v
+       FROM wvh),
+dv AS (SELECT doc_id, i, sum(tf * v) AS dv
+       FROM tf JOIN wv USING (term) GROUP BY 1, 2),
+dn AS (SELECT doc_id, sqrt(sum(dv * dv)) AS nd FROM dv GROUP BY 1),
+qt(term, qtf) AS (VALUES {_boe_query_values()}),
+qv AS (SELECT i, sum(qtf * v) AS qv FROM qt JOIN wv USING (term) GROUP BY 1),
+qn AS (SELECT sqrt(sum(qv * qv)) AS nq FROM qv),
+dots AS (SELECT dv.doc_id, sum(dv.dv * qv.qv) AS dot
+         FROM dv JOIN qv USING (i) GROUP BY 1),
+dist AS (
+  SELECT n.doc_id, sqrt(greatest(
+      0.0, n.nd * n.nd + (SELECT nq * nq FROM qn)
+      - 2.0 * coalesce(d.dot, 0.0))) AS dist
+  FROM dn n LEFT JOIN dots d USING (doc_id)
+),
+sc AS (SELECT doc_id,
+              2.0 / (exp(2.0 * {BOE_EUCLID_ALPHA} * dist) + 1.0) AS s
+       FROM dist)
+SELECT doc_id, cast(round(s * 1e6) AS BIGINT) AS score_e6,
+       cast(row_number() OVER (ORDER BY round(s, 6) DESC, doc_id ASC)
+            AS BIGINT) AS rnk
+FROM sc QUALIFY rnk <= {BOE_K}
+""")
+def semantic_boe_euclid_topk(spark, sf_dir):
+    """The BruteTree/KDTree metric family (brutetree.jl:20-28,
+    kdtree.jl:13-27 — "Uses Euclidean distance by default") through
+    the production searcher path: the BOE searcher with
+    ``with_metric('euclidean')`` scores EVERY embedded doc by
+    score = 1 − tanh(α·‖q − d‖₂), top-k on (round(score,6) desc,
+    doc_id asc).  The oracle writes 1 − tanh(y) as 2/(e^{2y}+1)
+    (DuckDB 1.0 has no tanh)."""
+    from garamond_jl_spark.operators.semantic import (
+        BOESearcher, synthetic_word_vectors)
+    d = load_testdata(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+           .where(F.col("term") != ""))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    wv = synthetic_word_vectors(tf.select("term"), dim=BOE_DIM,
+                                seed=BOE_SEED)
+    s = (BOESearcher.from_tokens(tf, wv, score_alpha=BOE_EUCLID_ALPHA)
+         .with_metric("euclidean"))
+    hits = s.sparse_hits(spark, BOE_QUERY)
+    w = Window.orderBy(F.round(F.col("score"), 6).desc(),
+                       F.col("doc_id").asc())
+    return (hits.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .where(F.col("rnk") <= BOE_K)
+            .select("doc_id", e6(F.col("score")).alias("score_e6"), "rnk"))
 
 
 # shared CTE chain: documents → tf → deterministic word vectors
