@@ -48,6 +48,7 @@ GATE_TAIL = [
     "score_transform", "chop_to_length", "make_a_string", "entry_lookup",
     "union_distinct", "filter_in_set", "groupby_agg", "anti_join_missing",
     "ann_lsh_buckets", "ann_hnsw_topk", "semantic_boe_euclid_topk",
+    "lifecycle_mixed_euclid_hnsw",
     "dedup_simhash", "semantic_sif_topk", "semantic_disc_topk",
     "semantic_lsa_topk", "text_summarize", "multimodal_features",
 ]

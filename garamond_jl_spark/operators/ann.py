@@ -871,7 +871,8 @@ class HNSWCandidateIndex:
 
     def __init__(self, graph: DataFrame, dim: int, M: int,
                  ef_construction: int, ef: int, seed: int,
-                 normalize: bool, shard_hi: int):
+                 normalize: bool, shard_hi: int,
+                 select: str = "heuristic"):
         self.graph = graph                  # (shard, doc_id, level, nbrs, emb)
         self.dim = int(dim)
         self.M = int(M)
@@ -880,11 +881,13 @@ class HNSWCandidateIndex:
         self.seed = int(seed)
         self.normalize = bool(normalize)
         self.shard_hi = int(shard_hi)       # next free shard id (extend)
+        self.select = select                # Alg.4 heuristic | Alg.3 simple
 
     # -- builders -----------------------------------------------------------
     @staticmethod
     def _build_graphs(packed_sharded: DataFrame, M: int, efc: int,
-                      seed: int, normalize: bool) -> DataFrame:
+                      seed: int, normalize: bool,
+                      select: str = "heuristic") -> DataFrame:
         import numpy as np
         import pandas as pd
 
@@ -897,7 +900,8 @@ class HNSWCandidateIndex:
             if normalize:
                 nrm = np.linalg.norm(mat, axis=1, keepdims=True)
                 np.divide(mat, nrm, out=mat, where=nrm > 0)
-            g = build_shard(keys, mat, M=M, ef_construction=efc, seed=seed)
+            g = build_shard(keys, mat, M=M, ef_construction=efc, seed=seed,
+                            select=select)
             shard = int(pdf["shard"].iloc[0])
             rows = [(shard, key, lvl, nb, vec)
                     for key, lvl, nb, vec in g.to_rows()]
@@ -911,7 +915,7 @@ class HNSWCandidateIndex:
     def build(cls, doc_embeddings: DataFrame, dim: int | None = None,
               M: int = 8, ef_construction: int = 100, ef: int = 50,
               n_shards: int = 4, seed: int = 0, normalize: bool = True,
-              packed: DataFrame | None = None,
+              packed: DataFrame | None = None, select: str = "heuristic",
               persist: bool = True) -> "HNSWCandidateIndex":
         """``doc_embeddings``: long form (doc_id, i, dv) — or pass the
         packed (doc_id, emb) twin directly to skip the packing pass.
@@ -925,11 +929,11 @@ class HNSWCandidateIndex:
             "shard", F.pmod(F.xxhash64("doc_id", F.lit(seed)),
                             F.lit(n_shards)).cast("int"))
         graph = cls._build_graphs(sharded, M, ef_construction, seed,
-                                  normalize)
+                                  normalize, select)
         if persist:
             graph = graph.persist()
         return cls(graph, dim, M, ef_construction, ef, seed, normalize,
-                   n_shards)
+                   n_shards, select)
 
     # -- query --------------------------------------------------------------
     def _qvec(self, qv_rows: list[tuple[int, float]]) -> list[float]:
@@ -1005,10 +1009,11 @@ class HNSWCandidateIndex:
                       + F.pmod(F.xxhash64("doc_id", F.lit(self.seed)),
                                F.lit(n_shards))).cast("int"))
         ng = self._build_graphs(sharded, self.M, self.efc, self.seed,
-                                self.normalize)
+                                self.normalize, self.select)
         return HNSWCandidateIndex(self.graph.unionByName(ng), self.dim,
                                   self.M, self.efc, self.ef, self.seed,
-                                  self.normalize, self.shard_hi + n_shards)
+                                  self.normalize, self.shard_hi + n_shards,
+                                  self.select)
 
     # -- persistence ----------------------------------------------------------
     def save(self, out_dir: str) -> None:
@@ -1020,7 +1025,8 @@ class HNSWCandidateIndex:
                               "ef_construction": self.efc, "ef": self.ef,
                               "seed": self.seed,
                               "normalize": self.normalize,
-                              "shard_hi": self.shard_hi})
+                              "shard_hi": self.shard_hi,
+                              "select": self.select})
 
     @classmethod
     def load(cls, spark: SparkSession, out_dir: str) -> "HNSWCandidateIndex":
@@ -1031,4 +1037,5 @@ class HNSWCandidateIndex:
             .select(F.col("shard").cast("int").alias("shard"), "doc_id",
                     "level", "nbrs", "emb")
         return cls(g, m["dim"], m["M"], m["ef_construction"], m["ef"],
-                   m["seed"], m["normalize"], m["shard_hi"])
+                   m["seed"], m["normalize"], m["shard_hi"],
+                   m.get("select", "heuristic"))

@@ -260,20 +260,42 @@ def lifecycle_combined_search_filter(spark, sf_dir):
 
 
 def _mixed_env_oracle_sql(terms: tuple[str, ...] = ("spark", "join", "data"),
-                          k: int = 10) -> str:
+                          k: int = 10,
+                          dense_metric: str = "cosine") -> str:
     """Oracle for the heterogeneous two-searcher env: BM25 score and BOE
-    score per doc (each through the same 1−tanh(α·(1−cos)) transform),
+    score per doc (each through the same 1−tanh(α·dist) transform),
     weighted 0.8 each, merged :mean.  Docs outside a searcher's sparse
-    hit set take that searcher's fill (cos=0) via coalesce — exactly the
+    hit set take that searcher's fill via coalesce — exactly the
     engine's densify-over-candidates + pad semantics.  Parameterized on
     the query terms + k so the batched ``search_many`` row can union one
-    body per request."""
+    body per request, and on ``dense_metric``: cosine (NaiveIndex,
+    dist = 1 − cos, fill cos = 0) or euclidean (BruteTree/KDTree/HNSW,
+    dist = ‖q − d‖₂ over every embedded doc, fill dist = 1)."""
     from collections import Counter
 
     from garamond_jl_spark.operators.semantic import component_sql
     tr = "2 / (exp(2 * 0.4 * (1 - {c})) + 1)"
     qvals = ", ".join(f"('{t}')" for t in terms)
     bvals = ", ".join(f"('{t}', {c})" for t, c in sorted(Counter(terms).items()))
+    if dense_metric == "euclidean":
+        # every embedded doc has a distance (LEFT JOIN from the norms);
+        # a doc with no dense embedding at all falls to fill dist = 1
+        dense_cte = """bdist AS (
+  SELECT n.doc_id, sqrt(greatest(0.0,
+      n.nd * n.nd + (SELECT nq * nq FROM bqn)
+      - 2.0 * coalesce(t.dot, 0.0))) AS dist
+  FROM bdn n LEFT JOIN bdots t USING (doc_id)
+)"""
+        dense_term = ("coalesce(2 / (exp(2 * 0.4 * bd.dist) + 1), "
+                      "2 / (exp(2 * 0.4) + 1))")
+        dense_join = "LEFT JOIN bdist bd ON bd.doc_id = d.doc_id"
+    else:
+        dense_cte = (
+            "bcos AS (SELECT t.doc_id, "
+            "t.dot / (n.nd * (SELECT nq FROM bqn)) AS c\n"
+            "         FROM bdots t JOIN bdn n USING (doc_id))")
+        dense_term = tr.format(c='coalesce(bc.c, 0)')
+        dense_join = "LEFT JOIN bcos bc ON bc.doc_id = d.doc_id"
     return f"""
 WITH {FT_STATS_CTE},
 qraw AS (SELECT term FROM (VALUES {qvals}) AS q(term)),
@@ -313,15 +335,14 @@ bqv AS (SELECT i, sum(qc * v) AS qv FROM bqt JOIN wv2 USING (term)
 bqn AS (SELECT sqrt(sum(qv * qv)) AS nq FROM bqv),
 bdots AS (SELECT v.doc_id, sum(v.dv * q.qv) AS dot
           FROM bdv v JOIN bqv q USING (i) GROUP BY 1),
-bcos AS (SELECT t.doc_id, t.dot / (n.nd * (SELECT nq FROM bqn)) AS c
-         FROM bdots t JOIN bdn n USING (doc_id)),
+{dense_cte},
 merged AS (
   SELECT d.doc_id,
          (0.8 * ({tr.format(c='coalesce(sc.cosv, 0)')})
-          + 0.8 * ({tr.format(c='coalesce(bc.c, 0)')})) / 2 AS score
+          + 0.8 * ({dense_term})) / 2 AS score
   FROM documents d
   LEFT JOIN sc ON sc.doc_id = d.doc_id
-  LEFT JOIN bcos bc ON bc.doc_id = d.doc_id
+  {dense_join}
 )
 SELECT doc_id, cast(round(score * 1e6) AS BIGINT) AS score_e6,
        cast(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC)
@@ -358,9 +379,16 @@ def lifecycle_multi_searcher_mixed(spark, sf_dir):
                        F.col("rank").cast("long").alias("rnk"))
 
 
-def _mixed_boe_env(spark, sf_dir):
+def _mixed_boe_env(spark, sf_dir, metric: str = "cosine",
+                   index: str = "lsh"):
     """The heterogeneous BM25 + ANN-backed-BOE environment shared by the
-    single-request and batched parity rows (reference test config 2)."""
+    single-request and batched parity rows (reference test config 2).
+    ``metric``/``index`` pick the dense searcher's scoring family and
+    candidate structure: the default is the NaiveIndex-cosine searcher
+    behind a multiprobe LSH index; ``("euclidean", "hnsw")`` is the
+    reference's :hnsw config — the Malkov-Yashunin graph in its native
+    L2 metric (hnsw.jl:33), run here at exhaustive ef so the gate pins
+    the wiring against the full-scan oracle."""
     from garamond_jl_spark.operators.semantic import (BOESearcher,
                                                       synthetic_word_vectors)
     from garamond_jl_spark.plans.lifecycle import SearchEnv as LSE
@@ -370,10 +398,41 @@ def _mixed_boe_env(spark, sf_dir):
            .where(F.col("term") != ""))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     wv = synthetic_word_vectors(tf.select("term"), dim=16, seed=0)
-    boe = BOESearcher.from_tokens(tf, wv, score_alpha=0.4) \
-        .with_candidate_index("lsh", n_planes=6, radius=3, seed=0)
+    boe = (BOESearcher.from_tokens(tf, wv, score_alpha=0.4)
+           .with_metric(metric))
+    if index == "hnsw":
+        # normalize=False: the graph's beam walks the searcher's own L2
+        # metric (normalized vectors would rank the beam by cosine)
+        boe = boe.with_candidate_index("hnsw", n_shards=2, M=8,
+                                       ef_construction=100, ef=1 << 30,
+                                       seed=0,
+                                       normalize=(metric == "cosine"))
+    else:
+        boe = boe.with_candidate_index("lsh", n_planes=6, radius=3, seed=0)
     return LSE(spark=spark, index=idx, score_weight=0.8,
                searchers=[(boe, 0.8)], aggregation="mean")
+
+
+@q("lifecycle_mixed_euclid_hnsw",
+   _mixed_env_oracle_sql(dense_metric="euclidean"))
+def lifecycle_mixed_euclid_hnsw(spark, sf_dir):
+    """The reference's :hnsw searcher config end-to-end: the mixed env's
+    dense side runs ``with_metric('euclidean')`` (the HNSW family's
+    native L2, hnsw.jl:33 / brutetree.jl:22) behind a REAL sharded
+    Malkov-Yashunin candidate index (operators/hnsw_graph.py) at
+    exhaustive ef, so the beam provably covers every embedded doc and
+    the merged top-k stays hash-identical to the full-scan DuckDB
+    oracle (dist = ‖q−d‖₂ over every embedded doc, fill dist = 1 for
+    the rest).  Production-ef recall/latency for the same index is
+    bench-measured (BENCH.md r4 HNSW table); this row pins the
+    metric + graph + merge wiring."""
+    from garamond_jl_spark.plans.lifecycle import InternalRequest
+    from garamond_jl_spark.plans.lifecycle import search as lsearch
+    env = _mixed_boe_env(spark, sf_dir, metric="euclidean", index="hnsw")
+    req = InternalRequest(query=FT_QUERY, max_matches=10, tiebreak_round=6)
+    hits = lsearch(env, req)
+    return hits.select("doc_id", e6(F.col("score")).alias("score_e6"),
+                       F.col("rank").cast("long").alias("rnk"))
 
 
 _SM_REQS = [(FT_QUERY, 10), ("window batch merge", 7)]

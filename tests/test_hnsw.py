@@ -298,3 +298,39 @@ def test_euclidean_scores_doc_with_zero_dot(spark):
     assert eu[0] == pytest.approx(1.0 - np.tanh(0.4 * 1.0), abs=1e-12)
     assert eu[1] == pytest.approx(
         1.0 - np.tanh(0.4 * np.sqrt(1.0 + 9.0)), abs=1e-12)
+
+
+def test_hnsw_backed_batch_matches_single(spark):
+    """sparse_hits_batch with an HNSW candidate index (the
+    lifecycle.search_many path): per-query hits equal the single-query
+    path — one candidates_batch probe pass for the whole batch."""
+    from pyspark.sql import SparkSession
+
+    from garamond_jl_spark.operators.semantic import DenseVectorSearcher
+
+    _, mat = _clustered(per=15)
+    dv = _long(spark, mat)
+    qsets = {0: mat[3] + 0.2, 1: mat[77] - 0.1}
+
+    class _MQ(DenseVectorSearcher):
+        def embed_query(self, spark: SparkSession, query):
+            q = qsets[int(query)]
+            return spark.createDataFrame(
+                [(i + 1, float(v)) for i, v in enumerate(q)],
+                "i INT, qv DOUBLE")
+
+    def _mk():
+        return _MQ(dv, score_alpha=0.4).with_candidate_index(
+            "hnsw", n_shards=2, M=6, ef_construction=60, ef=25, seed=0)
+
+    hits, embedded = _mk().sparse_hits_batch(spark, ["0", "1"])
+    got = {}
+    for r in hits.collect():
+        got.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
+    assert sorted(r["query_id"] for r in embedded.collect()) == [0, 1]
+    for qid in (0, 1):
+        single = {r["doc_id"]: r["score"]
+                  for r in _mk().sparse_hits(spark, str(qid)).collect()}
+        assert set(got[qid]) == set(single)
+        for d, s in single.items():
+            assert got[qid][d] == pytest.approx(s, abs=1e-12)
