@@ -75,6 +75,39 @@ def test_hnsw_core_recall_exhaustive_determinism():
         assert g3.search(mat[q], 10, ef=50) == g.search(mat[q], 10, ef=50)
 
 
+def test_hnsw_select_neighbors_heuristic():
+    """Alg. 4 semantics, pinned directly: on two tight clusters the
+    simple rule (Alg. 3) fills a bridge node's neighbor list entirely
+    from its own cluster, while the heuristic keeps the first far-
+    cluster candidate (it is closer to the base than to every kept
+    same-cluster neighbor) and back-fills the pruned near ones."""
+    dim = 4
+    near = np.array([[0.0, 0, 0, 0], [0.1, 0, 0, 0], [0.0, 0.1, 0, 0],
+                     [0.1, 0.1, 0, 0], [0.05, 0.05, 0, 0]])
+    far = np.array([[10.0, 0, 0, 0], [10.1, 0, 0, 0]])
+    mat = np.vstack([near, far])
+
+    def kept(select):
+        g = NumpyHNSW(dim, M=2, ef_construction=50, seed=0, select=select)
+        for k in range(len(mat)):
+            g.add(k, mat[k])
+        base = np.array([0.2, 0.05, 0, 0])
+        d = np.linalg.norm(mat - base, axis=1)
+        cand = sorted((float(d[i]), i) for i in range(len(mat)))
+        return g._select_neighbors(cand, 2)
+
+    simple = kept("simple")
+    heur = kept("heuristic")
+    assert all(i < 5 for i in simple)          # Alg.3: own cluster only
+    assert any(i >= 5 for i in heur), heur     # Alg.4: keeps a far edge
+    assert len(heur) == 2                      # back-fill up to m
+    # closest candidate is always kept first by both rules
+    assert simple[0] == heur[0]
+
+    with pytest.raises(ValueError):
+        NumpyHNSW(dim, M=2, select="nope")
+
+
 def test_hnsw_level_distribution():
     """The md5 level draw follows the paper's geometric-ish decay:
     most nodes at level 0, a thin upper hierarchy, deterministic."""
