@@ -53,6 +53,11 @@ def main() -> None:
     ap.add_argument("--efc", type=int, default=100)
     ap.add_argument("--ef", type=int, default=50)
     ap.add_argument("--recall-queries", type=int, default=10)
+    ap.add_argument("--ef-sweep", type=int, nargs="*", default=None,
+                    help="probe the SAME built graph at these ef values "
+                         "(recall/latency/candidates per ef; build once)")
+    ap.add_argument("--select", default="heuristic",
+                    choices=["heuristic", "simple"])
     args = ap.parse_args()
 
     spark = get_spark("hnsw-scale-bench")
@@ -92,14 +97,15 @@ def main() -> None:
 
     results: dict = {"docs": n, "dim": dim, "shards": args.shards,
                      "M": args.M, "ef_construction": args.efc,
-                     "ef": args.ef, "loadavg": os.getloadavg()}
+                     "ef": args.ef, "select": args.select,
+                     "loadavg": os.getloadavg()}
 
     # --- build: one applyInPandas pass, shards in parallel -------------
     t0 = time.time()
     idx = HNSWCandidateIndex.build(dv, dim=dim, M=args.M,
                                    ef_construction=args.efc, ef=args.ef,
                                    n_shards=args.shards, seed=0,
-                                   packed=packed)
+                                   packed=packed, select=args.select)
     n_graph = idx.graph.count()          # materialize + cache
     results["build_sec"] = round(time.time() - t0, 2)
     results["graph_rows"] = n_graph
@@ -131,6 +137,28 @@ def main() -> None:
         recalls.append(len(want & got) / 10)
     results["recall_at_10"] = round(sum(recalls) / len(recalls), 3)
     cand.unpersist()
+
+    # --- ef sweep over the SAME graph (build amortized) -----------------
+    if args.ef_sweep:
+        exact_sets = {qi: {r["doc_id"]
+                           for r in cosine_topk(dv, qv, 10).collect()}
+                      for qi, qv in qs.items()}
+        sweep = []
+        for ef in args.ef_sweep:
+            t_ef = _timed(lambda: idx.candidates_batch(qs, ef=ef).count())
+            cand = idx.candidates_batch(qs, ef=ef).persist()
+            n_c = cand.count()
+            recs = []
+            for qi, qv in qs.items():
+                sub = dv.join(cand.where(F.col("query_id") == qi)
+                              .select("doc_id"), "doc_id", "left_semi")
+                got = {r["doc_id"] for r in cosine_topk(sub, qv, 10).collect()}
+                recs.append(len(exact_sets[qi] & got) / 10)
+            cand.unpersist()
+            sweep.append({"ef": ef, "batch_sec": round(t_ef, 2),
+                          "candidates_per_query": round(n_c / len(qs), 1),
+                          "recall_at_10": round(sum(recs) / len(recs), 3)})
+        results["ef_sweep"] = sweep
 
     # --- LSH reference point on the same corpus + queries --------------
     t0 = time.time()
