@@ -25,8 +25,8 @@ regime — clustered data, where keep-the-M-closest links a node only
 inside its own cluster and inter-cluster navigability dies;
 ``select="simple"`` keeps Alg. 3 for comparison (measured recall@10
 at 1M docs / 1000 clusters / ef=50: simple 0.73, heuristic 1.00 at
-the same candidate budget, for ~2.8× the one-off build cost —
-BENCH.md r4 HNSW table).
+the same candidate budget, for ~1.6× the one-off build cost with the
+vectorized selection — BENCH.md r4 HNSW table).
 
 Determinism: the per-node level draw (the only randomness in HNSW) is
 the repo-wide md5 derandomization trick — ``u = md5(seed:HL:key)``
