@@ -119,6 +119,49 @@ def test_hnsw_level_distribution():
     assert 1 <= max(levels) <= 8
 
 
+def test_hnsw_from_rows_symmetric_closure_and_guards():
+    """The vectorized ``from_rows`` (searchsorted key mapping +
+    edge-array undirected closure) pinned against a naive per-node-set
+    oracle: row order and key sparsity must not matter, the symmetric
+    adjacency must equal out-edges ∪ reversed in-edges (level
+    permitting) with each list sorted, and a neighbor key that is not
+    in the shard must raise (the old dict lookup's KeyError)."""
+    rng = np.random.default_rng(5)
+    _, mat = _clustered(seed=5, n_clusters=4, per=40)
+    n = mat.shape[0]
+    keys = sorted(int(k) for k in rng.choice(10**9, size=n, replace=False))
+    g = build_shard(keys, mat, M=4, ef_construction=50, seed=0)
+    rows = list(g.to_rows())
+    rng.shuffle(rows)
+
+    got = NumpyHNSW.from_rows(list(rows), 16, 4, 50, 0, symmetric=True)
+
+    # naive closure oracle over the plain (asymmetric) load
+    plain = NumpyHNSW.from_rows(list(rows), 16, 4, 50, 0, symmetric=False)
+    sym = [[set(lev) for lev in plain.nbrs[i]] for i in range(n)]
+    for i in range(n):
+        for lev, outs in enumerate(plain.nbrs[i]):
+            for j in outs:
+                if lev < len(sym[j]):
+                    sym[j][lev].add(i)
+    want = [[sorted(lev) for lev in sym[i]] for i in range(n)]
+    assert got.nbrs == want
+    assert got.keys == plain.keys == keys          # sorted-key order
+
+    # shuffled load == sorted load, bit-for-bit
+    again = NumpyHNSW.from_rows(sorted(rows, key=lambda r: r[0]),
+                                16, 4, 50, 0, symmetric=True)
+    assert again.nbrs == got.nbrs and again.entry == got.entry
+
+    # adjacency referencing a key outside the shard must not silently
+    # mis-map through searchsorted
+    key0, lvl0, nb0, vec0 = rows[0]
+    bad = [(key0, lvl0, [[999_999_999_999] + list(nb0[0])] + list(nb0[1:]),
+            vec0)] + rows[1:]
+    with pytest.raises(KeyError):
+        NumpyHNSW.from_rows(bad, 16, 4, 50, 0, symmetric=True)
+
+
 # ---------------------------------------------------------------------------
 # Spark wrapper
 # ---------------------------------------------------------------------------
