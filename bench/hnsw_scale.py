@@ -58,6 +58,10 @@ def main() -> None:
                          "(recall/latency/candidates per ef; build once)")
     ap.add_argument("--select", default="heuristic",
                     choices=["heuristic", "simple"])
+    ap.add_argument("--resident", action="store_true",
+                    help="save the built index, reload with "
+                         "resident=True, time cold vs warm batches "
+                         "(worker-cached deserialized graphs)")
     args = ap.parse_args()
 
     spark = get_spark("hnsw-scale-bench")
@@ -159,6 +163,25 @@ def main() -> None:
                           "candidates_per_query": round(n_c / len(qs), 1),
                           "recall_at_10": round(sum(recs) / len(recs), 3)})
         results["ef_sweep"] = sweep
+
+    # --- resident serving plan: cold read vs worker-cached warm --------
+    if args.resident:
+        idx_dir = f"{args.out}/hnsw_idx_{n}_{dim}_{args.select}"
+        t0 = time.time()
+        idx.save(idx_dir)
+        save_sec = round(time.time() - t0, 2)
+        res = HNSWCandidateIndex.load(spark, idx_dir, resident=True)
+        t0 = time.time()
+        res.candidates_batch(qs).count()
+        cold = round(time.time() - t0, 2)
+        warms = []
+        for _ in range(5):      # hit rate converges as workers populate
+            t0 = time.time()
+            res.candidates_batch(qs).count()
+            warms.append(round(time.time() - t0, 2))
+        results["resident"] = {"save_sec": save_sec, "cold_sec": cold,
+                               "warm_secs": warms,
+                               "warm_sec": min(warms)}
 
     # --- LSH reference point on the same corpus + queries --------------
     t0 = time.time()

@@ -831,6 +831,42 @@ def _hnsw_pack(doc_embeddings: DataFrame, dim: int) -> DataFrame:
 _HNSW_GRAPH_SCHEMA = ("shard INT, doc_id LONG, level INT, "
                       "nbrs ARRAY<ARRAY<BIGINT>>, emb ARRAY<DOUBLE>")
 
+# Worker-resident deserialized shard graphs for the resident serving
+# plan (HNSWCandidateIndex.load(..., resident=True)): keyed by the
+# shard directory's content signature, LRU-capped per worker process
+# (GARAMOND_HNSW_RESIDENT_CACHE graphs, default 8 — a 31k-node M=8
+# graph is ~50 MB of Python adjacency).  Python workers are reused
+# across jobs (spark.python.worker.reuse), so a warm batch skips both
+# the Arrow transfer of the graph table AND from_rows entirely — the
+# long-lived-executor posture of the reference's in-memory gars server.
+_RESIDENT_GRAPHS: dict = {}
+
+
+def _resident_graph(path: str, dim: int, M: int, efc: int, seed: int):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from garamond_jl_spark.operators.hnsw_graph import NumpyHNSW
+
+    files = sorted(f for f in os.listdir(path)
+                   if f.endswith(".parquet") and not f.startswith("."))
+    sig = tuple((f, os.path.getsize(os.path.join(path, f))) for f in files)
+    key = (path, dim, M, seed, sig)
+    g = _RESIDENT_GRAPHS.get(key)
+    if g is not None:
+        _RESIDENT_GRAPHS[key] = _RESIDENT_GRAPHS.pop(key)   # LRU touch
+        return g
+    parts = [pq.read_table(os.path.join(path, f)) for f in files]
+    tbl = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+    rows = list(zip(tbl["doc_id"].to_pylist(), tbl["level"].to_pylist(),
+                    tbl["nbrs"].to_pylist(), tbl["emb"].to_pylist()))
+    g = NumpyHNSW.from_rows(rows, dim, M, efc, seed, symmetric=True)
+    cap = int(os.environ.get("GARAMOND_HNSW_RESIDENT_CACHE", "8"))
+    while len(_RESIDENT_GRAPHS) >= max(cap, 1):
+        _RESIDENT_GRAPHS.pop(next(iter(_RESIDENT_GRAPHS)))
+    _RESIDENT_GRAPHS[key] = g
+    return g
+
 
 class HNSWCandidateIndex:
     """Sharded HNSW graphs as a candidate generator — the reference's
@@ -872,7 +908,7 @@ class HNSWCandidateIndex:
     def __init__(self, graph: DataFrame, dim: int, M: int,
                  ef_construction: int, ef: int, seed: int,
                  normalize: bool, shard_hi: int,
-                 select: str = "heuristic"):
+                 select: str = "heuristic", graph_dir: str | None = None):
         self.graph = graph                  # (shard, doc_id, level, nbrs, emb)
         self.dim = int(dim)
         self.M = int(M)
@@ -882,6 +918,7 @@ class HNSWCandidateIndex:
         self.normalize = bool(normalize)
         self.shard_hi = int(shard_hi)       # next free shard id (extend)
         self.select = select                # Alg.4 heuristic | Alg.3 simple
+        self.graph_dir = graph_dir          # resident serving (load(resident=True))
 
     # -- builders -----------------------------------------------------------
     @staticmethod
@@ -952,7 +989,13 @@ class HNSWCandidateIndex:
                          k: int | None = None) -> DataFrame:
         """{query_id: qv_rows} → (query_id, doc_id): per shard, each
         query's beam-search top-``ef`` (one applyInPandas pass for the
-        whole batch; shards are disjoint so no dedup is needed)."""
+        whole batch; shards are disjoint so no dedup is needed).
+
+        With ``resident=True`` at load time only the SHARD IDS are
+        shuffled: each task reads its shard's parquet directly off the
+        (worker-readable) filesystem and keeps the deserialized graph
+        in the process-wide ``_RESIDENT_GRAPHS`` cache, so a warm
+        batch moves no graph data at all."""
         spark = self.graph.sparkSession
         if not qv_map:
             return spark.createDataFrame([], "query_id INT, doc_id LONG")
@@ -966,6 +1009,33 @@ class HNSWCandidateIndex:
         import pandas as pd
 
         from garamond_jl_spark.operators.hnsw_graph import NumpyHNSW
+
+        if self.graph_dir is not None:
+            gdir = os.path.join(self.graph_dir, "graph")
+            shard_ids = sorted(int(d.split("=", 1)[1])
+                               for d in os.listdir(gdir)
+                               if d.startswith("shard="))
+
+            def _search_resident(pdf: pd.DataFrame) -> pd.DataFrame:
+                shard = int(pdf["shard"].iloc[0])
+                g = _resident_graph(os.path.join(gdir, f"shard={shard}"),
+                                    dim, M, efc, seed)
+                out = []
+                if ef_ >= len(g):       # exhaustive mode, as below
+                    for qid, _qv in queries:
+                        out.extend((qid, key) for key in g.keys)
+                else:
+                    for qid, qv in queries:
+                        q = np.asarray(qv, dtype=np.float64)
+                        for key, _d in g.search(q, k_, ef=ef_):
+                            out.append((qid, key))
+                return pd.DataFrame(out, columns=["query_id", "doc_id"])
+
+            shard_df = spark.createDataFrame([(s,) for s in shard_ids],
+                                             "shard INT")
+            return (shard_df.groupBy("shard")
+                    .applyInPandas(_search_resident,
+                                   "query_id INT, doc_id LONG"))
 
         def _search(pdf: pd.DataFrame) -> pd.DataFrame:
             rows = list(zip(pdf["doc_id"], pdf["level"], pdf["nbrs"],
@@ -1029,7 +1099,15 @@ class HNSWCandidateIndex:
                               "select": self.select})
 
     @classmethod
-    def load(cls, spark: SparkSession, out_dir: str) -> "HNSWCandidateIndex":
+    def load(cls, spark: SparkSession, out_dir: str,
+             resident: bool = False) -> "HNSWCandidateIndex":
+        """``resident=True`` switches ``candidates_batch`` to the
+        resident serving plan: tasks read their shard's parquet
+        directly (the path must be worker-readable) and keep the
+        deserialized graph cached in the worker process, so repeat
+        batches move no graph data.  ``extend`` on a resident index
+        falls back to the streaming plan (appendix shards are not in
+        the saved directory)."""
         m = _read_meta(out_dir)
         if m.get("kind") != "hnsw":
             raise ValueError(f"{out_dir} holds a {m.get('kind')!r} index")
@@ -1038,4 +1116,5 @@ class HNSWCandidateIndex:
                     "level", "nbrs", "emb")
         return cls(g, m["dim"], m["M"], m["ef_construction"], m["ef"],
                    m["seed"], m["normalize"], m["shard_hi"],
-                   m.get("select", "heuristic"))
+                   m.get("select", "heuristic"),
+                   graph_dir=out_dir if resident else None)

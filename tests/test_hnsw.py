@@ -259,6 +259,39 @@ def test_hnsw_save_load_roundtrip(spark, tmp_path):
         IVFCandidateIndex.load(spark, str(tmp_path / "hnsw"))
 
 
+def test_hnsw_resident_plan_matches_streaming(spark, tmp_path):
+    """load(resident=True): candidate sets identical to the streaming
+    plan — cold AND warm (worker cache hit), beam and exhaustive ef —
+    and extend on a resident index falls back to streaming."""
+    _, mat = _clustered(per=15)
+    dv = _long(spark, mat)
+    idx = HNSWCandidateIndex.build(dv, n_shards=3, M=6,
+                                   ef_construction=60, ef=20, seed=0)
+    idx.save(str(tmp_path / "hnsw"))
+    res = HNSWCandidateIndex.load(spark, str(tmp_path / "hnsw"),
+                                  resident=True)
+    qs = {7: [(i + 1, float(v)) for i, v in enumerate(mat[4])],
+          9: [(i + 1, float(v)) for i, v in enumerate(mat[100])]}
+
+    def rows(ix, **kw):
+        return sorted((r["query_id"], r["doc_id"])
+                      for r in ix.candidates_batch(qs, **kw).collect())
+
+    want_beam = rows(idx)
+    assert rows(res) == want_beam            # cold
+    assert rows(res) == want_beam            # warm (cache hit path)
+    n = mat.shape[0]
+    assert rows(res, ef=n) == rows(idx, ef=n)    # exhaustive mode
+    assert len(rows(res, ef=n)) == len(qs) * n   # every key, per query
+
+    extra = _long(spark, mat[:10] + 0.01).withColumn(
+        "doc_id", F.col("doc_id") + 10_000)
+    grown = res.extend(extra)
+    assert grown.graph_dir is None           # streaming fallback
+    got = {d for _q, d in rows(grown)}
+    assert any(d >= 10_000 for d in got)
+
+
 def test_hnsw_extend_appends_segments(spark):
     """M1 push! analog: appended docs become new shard segments
     (existing graphs untouched, O(batch) build) and are immediately
