@@ -632,7 +632,7 @@ class DenseVectorSearcher:
             self.packed = self.packed.persist()
         return self
 
-    def with_candidate_index(self, kind: str = "lsh",
+    def with_candidate_index(self, kind: str = "lsh", index=None,
                              **kwargs) -> "DenseVectorSearcher":
         """Attach a sublinear candidate index built over this searcher's
         own doc embeddings: ``kind`` ∈ {lsh, ivf, ivfadc, hnsw} (kwargs
@@ -641,7 +641,16 @@ class DenseVectorSearcher:
         searcher-attached IVFADC structure, where the ADC pass orders
         the probed lists before this searcher's exact rerank, and its
         searcher-attached HNSW graph, searcher.jl:120-125).
-        Returns self for chaining."""
+        Returns self for chaining.
+
+        ``index=`` attaches a PREBUILT index instead of building one —
+        e.g. ``HNSWCandidateIndex.load(path, resident=True)`` so a
+        long-lived env serves from worker-resident graphs; the caller
+        owns the doc-id agreement between the index and this
+        searcher's embeddings."""
+        if index is not None:
+            self.candidate_index = index
+            return self
         from garamond_jl_spark.operators.ann import (HNSWCandidateIndex,
                                                      IVFADCIndex,
                                                      IVFCandidateIndex,

@@ -241,6 +241,52 @@ def test_hnsw_backed_searcher_matches_exact(spark):
         assert a["score"] == pytest.approx(b["score"], abs=1e-12)
 
 
+def test_hnsw_resident_index_attaches_to_searcher(spark, tmp_path):
+    """with_candidate_index(index=...) + load(resident=True): a
+    lifecycle search served from worker-resident graphs ranks
+    identically to the live-built searcher-attached index."""
+    from garamond_jl_spark.config import EngineConfig
+    from garamond_jl_spark.operators.build import build_index
+    from garamond_jl_spark.operators.semantic import (
+        BOESearcher, synthetic_word_vectors)
+    from garamond_jl_spark.plans.lifecycle import (InternalRequest,
+                                                   SearchEnv)
+    from garamond_jl_spark.plans.lifecycle import search as lsearch
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(spark, docs, EngineConfig(score_alpha=0.4),
+                      id_col="doc_id", text_col="text")
+    tok = (docs.select("doc_id",
+                       F.explode(F.split("text", " ")).alias("term"))
+           .where(F.col("term") != ""))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    wv = synthetic_word_vectors(tf.select("term"), dim=16, seed=0)
+    n_docs = docs.count()
+    req = InternalRequest(query="spark join data", max_matches=10,
+                          tiebreak_round=6)
+
+    live = BOESearcher.from_tokens(tf, wv, score_alpha=0.4) \
+        .with_candidate_index("hnsw", n_shards=4, M=8,
+                              ef_construction=100, ef=n_docs, seed=0)
+    env_l = SearchEnv(spark=spark, index=idx, score_weight=0.8,
+                      searchers=[(live, 0.8)], aggregation="mean")
+    want = sorted(lsearch(env_l, req).collect(), key=lambda r: r["rank"])
+
+    live.candidate_index.save(str(tmp_path / "boe_hnsw"))
+    res_idx = HNSWCandidateIndex.load(spark, str(tmp_path / "boe_hnsw"),
+                                      resident=True)
+    res = BOESearcher.from_tokens(tf, wv, score_alpha=0.4) \
+        .with_candidate_index(index=res_idx)
+    env_r = SearchEnv(spark=spark, index=idx, score_weight=0.8,
+                      searchers=[(res, 0.8)], aggregation="mean")
+    got = sorted(lsearch(env_r, req).collect(), key=lambda r: r["rank"])
+
+    assert [(r["doc_id"], r["rank"]) for r in got] == \
+        [(r["doc_id"], r["rank"]) for r in want]
+    for a, b in zip(got, want):
+        assert a["score"] == pytest.approx(b["score"], abs=1e-12)
+
+
 def test_hnsw_save_load_roundtrip(spark, tmp_path):
     _, mat = _clustered(per=12)
     dv = _long(spark, mat)
