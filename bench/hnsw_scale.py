@@ -53,7 +53,7 @@ def main() -> None:
     ap.add_argument("--efc", type=int, default=100)
     ap.add_argument("--ef", type=int, default=50)
     ap.add_argument("--recall-queries", type=int, default=10)
-    ap.add_argument("--ef-sweep", type=int, nargs="*", default=None,
+    ap.add_argument("--ef-sweep", type=int, nargs="+", default=None,
                     help="probe the SAME built graph at these ef values "
                          "(recall/latency/candidates per ef; build once)")
     ap.add_argument("--select", default="heuristic",
@@ -130,23 +130,23 @@ def main() -> None:
         "candidate_fraction": round(n_cand / len(qs) / n, 6)}
 
     # recall@10 of the exact-reranked candidates vs the exact scorer
+    # (exact sets computed once; the ef sweep below reuses them)
+    exact_sets = {qi: {r["doc_id"]
+                       for r in cosine_topk(dv, qv, 10).collect()}
+                  for qi, qv in qs.items()}
     recalls = []
     cand = idx.candidates_batch(qs).persist()
     cand.count()
     for qi, qv in qs.items():
-        want = {r["doc_id"] for r in cosine_topk(dv, qv, 10).collect()}
         sub = dv.join(cand.where(F.col("query_id") == qi).select("doc_id"),
                       "doc_id", "left_semi")
         got = {r["doc_id"] for r in cosine_topk(sub, qv, 10).collect()}
-        recalls.append(len(want & got) / 10)
+        recalls.append(len(exact_sets[qi] & got) / 10)
     results["recall_at_10"] = round(sum(recalls) / len(recalls), 3)
     cand.unpersist()
 
     # --- ef sweep over the SAME graph (build amortized) -----------------
     if args.ef_sweep:
-        exact_sets = {qi: {r["doc_id"]
-                           for r in cosine_topk(dv, qv, 10).collect()}
-                      for qi, qv in qs.items()}
         sweep = []
         for ef in args.ef_sweep:
             t_ef = _timed(lambda: idx.candidates_batch(qs, ef=ef).count())

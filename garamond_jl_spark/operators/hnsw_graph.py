@@ -293,9 +293,12 @@ class NumpyHNSW:
                 group_level.append(lev)
         flat_arr = np.asarray(flat, dtype=np.int64)
         idx_arr = np.searchsorted(keys_arr, flat_arr)
-        if flat_arr.size and not np.array_equal(
-                keys_arr[idx_arr.clip(0, n - 1)], flat_arr):
-            raise KeyError("adjacency references a key not in this shard")
+        if flat_arr.size:
+            bad = keys_arr[idx_arr.clip(0, n - 1)] != flat_arr
+            if bad.any():
+                raise KeyError(
+                    f"adjacency references key {int(flat_arr[bad][0])} "
+                    "not in this shard")
         counts_arr = np.asarray(counts, dtype=np.int64)
         if symmetric:
             levels_arr = np.asarray(g.levels, dtype=np.int64)

@@ -649,6 +649,12 @@ class DenseVectorSearcher:
         owns the doc-id agreement between the index and this
         searcher's embeddings."""
         if index is not None:
+            if kwargs or kind != "lsh":     # kind's default, not a choice
+                raise ValueError(
+                    "with_candidate_index(index=...) attaches the index "
+                    "as-is; kind/kwargs overrides like "
+                    f"{[k for k in kwargs] or kind!r} would be silently "
+                    "ignored — set them when building/loading the index")
             self.candidate_index = index
             return self
         from garamond_jl_spark.operators.ann import (HNSWCandidateIndex,

@@ -275,6 +275,9 @@ def test_hnsw_resident_index_attaches_to_searcher(spark, tmp_path):
     live.candidate_index.save(str(tmp_path / "boe_hnsw"))
     res_idx = HNSWCandidateIndex.load(spark, str(tmp_path / "boe_hnsw"),
                                       resident=True)
+    with pytest.raises(ValueError, match="attaches the index as-is"):
+        BOESearcher.from_tokens(tf, wv, score_alpha=0.4) \
+            .with_candidate_index("hnsw", index=res_idx, ef=5000)
     res = BOESearcher.from_tokens(tf, wv, score_alpha=0.4) \
         .with_candidate_index(index=res_idx)
     env_r = SearchEnv(spark=spark, index=idx, score_weight=0.8,
