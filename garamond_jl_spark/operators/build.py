@@ -207,10 +207,20 @@ def term_stats(postings: DataFrame, n_docs: int,
 
 
 def weighted_postings(postings: DataFrame, terms: DataFrame,
-                      avgdl: float, cfg: EngineConfig) -> DataFrame:
+                      avgdl: float, cfg: EngineConfig,
+                      local_norms: bool = False) -> DataFrame:
     """Stages 3+4: per-posting weight ``w`` (JVM expression) and
-    L2-normalized ``wnorm = w/‖d‖`` via a doc_id window — query-time
-    scoring then never touches the docs table."""
+    L2-normalized ``wnorm = w/‖d‖``.
+
+    ``local_norms=False`` (classic): idf arrives via a postings⋈terms
+    sort-merge join (shuffle by term) and the norm via a doc_id window
+    (shuffle by doc_id) — two full-postings shuffles.
+
+    ``local_norms=True``: zero full-postings shuffles — see
+    :func:`weighted_postings_local`.  Same output schema and values
+    (norm summation order may differ in the last float ulps)."""
+    if local_norms:
+        return weighted_postings_local(postings, terms, avgdl, cfg)
     p = postings.join(terms.select("term", "idf"), "term")
     w = weight_expr(cfg.weighting, F.col("tf").cast("double"),
                     F.col("doclen").cast("double"), F.lit(avgdl),
@@ -219,6 +229,131 @@ def weighted_postings(postings: DataFrame, terms: DataFrame,
     win = Window.partitionBy("doc_id")
     p = p.withColumn("norm", F.sqrt(F.sum(F.col("w") * F.col("w")).over(win)))
     return p.withColumn("wnorm", F.col("w") / F.col("norm"))
+
+
+WEIGHTED_SCHEMA = StructType([
+    StructField("term", StringType(), False),
+    StructField("doc_id", LongType(), False),
+    StructField("tf", IntegerType(), False),
+    StructField("doclen", IntegerType(), False),
+    StructField("idf", DoubleType(), False),
+    StructField("w", DoubleType(), False),
+    StructField("norm", DoubleType(), False),
+    StructField("wnorm", DoubleType(), False),
+])
+
+# broadcast-idf safety valve: above this vocabulary size the dictionary
+# stops being comfortably broadcastable and weighted_postings falls back
+# to the classic shuffle plan (callers check; see build_index)
+LOCAL_NORMS_MAX_VOCAB = 4_000_000
+
+
+def weighted_postings_local(postings: DataFrame, terms: DataFrame,
+                            avgdl: float, cfg: EngineConfig) -> DataFrame:
+    """Shuffle-free stages 3+4.
+
+    The build-scaling investigation (BENCH.md) pinned the build's
+    non-scaling fraction on shared memory/IO bandwidth; the two
+    full-postings shuffles of the classic plan (59.5M rows × ~40 B
+    written+read twice at the 3M-doc protocol) are the largest
+    avoidable byte stream.  Both are avoidable because
+
+    * the dictionary is SUBLINEAR in the corpus (Heaps' law) — idf fits
+      in a broadcast hash join (narrow; per-partition row order is
+      preserved), and
+    * :func:`tokenize_to_postings` emits each document's postings as
+      one CONTIGUOUS run (each input row is one whole document), so the
+      per-doc ``Σw²`` is computable inside one ``mapInArrow`` pass with
+      a run-boundary carry across Arrow batches — no doc_id shuffle.
+
+    Contiguity can break only at PARTITION edges (a parquet re-read may
+    split a file mid-document; the first/last run of a partition may
+    continue in a neighbour).  Those docs are repaired exactly: a tiny
+    side job computes the true global ``Σw²`` for the ≤2·n_partitions
+    edge doc_ids and the pass substitutes them for the local run sums.
+    Interior runs are provably complete.
+
+    Output schema and values match the classic plan (norm addition
+    order differs in the last ulps; every parity gate rounds at 1e-6).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    p = postings.join(F.broadcast(terms.select("term", "idf")), "term")
+    w = weight_expr(cfg.weighting, F.col("tf").cast("double"),
+                    F.col("doclen").cast("double"), F.lit(avgdl),
+                    F.col("idf"), cfg)
+    p = p.withColumn("w", w)
+
+    # --- edge docs: the first/last doc_id of every partition ----------
+    # (runs on the same scan lineage ⇒ identical partition boundaries)
+    def first_last(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        first = last = None
+        for b in batches:
+            col = b.column(b.schema.get_field_index("doc_id"))
+            if len(col):
+                if first is None:
+                    first = col[0].as_py()
+                last = col[len(col) - 1].as_py()
+        if first is not None:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(sorted({first, last}), pa.int64())], ["doc_id"])
+
+    edge_ids = sorted({r["doc_id"] for r in postings.select("doc_id")
+                       .mapInArrow(first_last, "doc_id long").collect()})
+    edge_norms: dict[int, float] = {}
+    if edge_ids:
+        import math
+        rows = (p.where(F.col("doc_id").isin(edge_ids))
+                .groupBy("doc_id")
+                .agg(F.sum(F.col("w") * F.col("w")).alias("ss")).collect())
+        edge_norms = {r["doc_id"]: math.sqrt(r["ss"]) for r in rows}
+
+    in_cols = ["term", "doc_id", "tf", "doclen", "idf", "w"]
+
+    def add_norms(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        pend: "pa.Table | None" = None
+
+        def flush(tbl: "pa.Table") -> "pa.RecordBatch":
+            tbl = tbl.combine_chunks()
+            ids = tbl.column("doc_id").to_numpy()
+            wv = tbl.column("w").to_numpy()
+            starts = np.flatnonzero(
+                np.concatenate(([True], ids[1:] != ids[:-1])))
+            sums = np.add.reduceat(wv * wv, starts)
+            norms = np.sqrt(sums)
+            if edge_norms:
+                for i, g in enumerate(ids[starts]):
+                    hit = edge_norms.get(int(g))
+                    if hit is not None:
+                        norms[i] = hit
+            lens = np.diff(np.append(starts, len(ids)))
+            norm_col = np.repeat(norms, lens)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                wnorm = wv / norm_col
+            arrays = [tbl.column(c).combine_chunks() for c in in_cols]
+            arrays += [pa.array(norm_col, pa.float64()),
+                       pa.array(wnorm, pa.float64())]
+            return pa.RecordBatch.from_arrays(arrays, in_cols + ["norm",
+                                                                 "wnorm"])
+
+        for b in batches:
+            t = pa.Table.from_batches([b])
+            if pend is not None:
+                t = pa.concat_tables([pend, t]).combine_chunks()
+            n = t.num_rows
+            if n == 0:
+                continue
+            ids = t.column("doc_id").to_numpy()
+            nz = np.flatnonzero(ids != ids[-1])
+            cut = 0 if nz.size == 0 else int(nz[-1]) + 1
+            if cut > 0:
+                yield flush(t.slice(0, cut))
+            pend = t.slice(cut)
+        if pend is not None and pend.num_rows:
+            yield flush(pend)
+
+    return p.select(*in_cols).mapInArrow(add_norms, WEIGHTED_SCHEMA)
 
 
 def pack_blocks(postings_w: DataFrame, terms: DataFrame, n_docs: int,
@@ -319,10 +454,14 @@ def build_index(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
     total_len = postings.agg(F.sum("tf").alias("s")).collect()[0]["s"] or 0
     avgdl = float(total_len) / n_docs if n_docs else 0.0
     terms = term_stats(postings, n_docs, cfg).persist()
+    n_terms = terms.count()
     # persist WEIGHTED postings: otherwise every query batch would re-run
     # the terms join and the doc_id norm window (a full shuffle) — the
-    # persistent index stores wnorm for the same reason
-    pw = weighted_postings(postings, terms, avgdl, cfg).persist()
+    # persistent index stores wnorm for the same reason.  local_norms
+    # (the shuffle-free plan) whenever the dictionary is broadcastable.
+    pw = weighted_postings(postings, terms, avgdl, cfg,
+                           local_norms=n_terms <= LOCAL_NORMS_MAX_VOCAB) \
+        .persist()
     terms_full = terms  # term_max added lazily when blocks are built
     blocks = None
     if with_blocks:
@@ -331,6 +470,7 @@ def build_index(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
             pw.groupBy("term").agg(F.max("wnorm").alias("term_max_wnorm")),
             "term")
     dtab = doc_table(docs, pw, id_col, carry_cols)
-    meta = {"n_docs": n_docs, "avgdl": avgdl, "cfg": cfg}
+    meta = {"n_docs": n_docs, "avgdl": avgdl, "n_terms": n_terms,
+            "cfg": cfg}
     return InvertedIndex(docs=dtab, terms=terms_full, postings=pw,
                          blocks=blocks, meta=meta, tokenizer=tokenizer)

@@ -114,7 +114,9 @@ def build_persistent(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
 
     pw_dir = os.path.join(out_dir, "postings")
     if not (resume and _done(pw_dir)):
-        weighted_postings(postings, terms, avgdl, cfg) \
+        from garamond_jl_spark.operators.build import LOCAL_NORMS_MAX_VOCAB
+        weighted_postings(postings, terms, avgdl, cfg,
+                          local_norms=terms.count() <= LOCAL_NORMS_MAX_VOCAB) \
             .write.mode("overwrite").parquet(pw_dir)
     pw = spark.read.parquet(pw_dir)
 
