@@ -96,6 +96,9 @@ def main() -> None:
         "efficiency_build": round(eff_build, 3),
         "efficiency_query": round(eff_query, 3),
         "efficiency_total": round((total_lo / total_hi) * ratio, 3),
+        # external load on this shared box explains 2-3x run spread
+        # (BENCH.md noise note) — a high loadavg flags a discard
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
     }))
 
 

@@ -206,29 +206,59 @@ def term_stats(postings: DataFrame, n_docs: int,
     return terms
 
 
+WEIGHTED_COLS = ["term", "doc_id", "tf", "doclen", "idf", "w", "norm",
+                 "wnorm"]
+
+# norms="broadcast" safety valve: above this corpus size the per-doc
+# norms table stops being comfortably broadcastable (~24 B/doc) and the
+# plan falls back to the doc_id window
+NORM_BROADCAST_MAX_DOCS = 8_000_000
+
+
 def weighted_postings(postings: DataFrame, terms: DataFrame,
                       avgdl: float, cfg: EngineConfig,
-                      local_norms: bool = False) -> DataFrame:
+                      local_norms: bool = False,
+                      broadcast_idf: bool = False,
+                      norms: str = "window") -> DataFrame:
     """Stages 3+4: per-posting weight ``w`` (JVM expression) and
     L2-normalized ``wnorm = w/‖d‖``.
 
-    ``local_norms=False`` (classic): idf arrives via a postings⋈terms
-    sort-merge join (shuffle by term) and the norm via a doc_id window
-    (shuffle by doc_id) — two full-postings shuffles.
+    Two independently-chosen physical strategies (all value-identical
+    up to float addition order; every parity gate rounds at 1e-6):
 
-    ``local_norms=True``: zero full-postings shuffles — see
-    :func:`weighted_postings_local`.  Same output schema and values
-    (norm summation order may differ in the last float ulps)."""
-    if local_norms:
+    * idf delivery — ``broadcast_idf=False``: postings⋈terms sort-merge
+      join (full-postings shuffle by term).  ``broadcast_idf=True``:
+      forced broadcast hash join (narrow — the dictionary is
+      Heaps-sublinear; callers guard with ``LOCAL_NORMS_MAX_VOCAB``).
+    * ``norms`` — ``"window"``: ``sum(w²) over (partition by doc_id)``
+      (full-postings shuffle by doc_id).  ``"broadcast"``: per-doc Σw²
+      via map-side-combined ``groupBy(doc_id)`` (shuffle of ~n_docs
+      tiny rows) then a forced broadcast join back — callers guard
+      with ``NORM_BROADCAST_MAX_DOCS``.  ``"arrow"``: zero shuffles,
+      see :func:`weighted_postings_local` (requires broadcast_idf's
+      narrow join to preserve tokenize's doc-contiguity).
+
+    ``local_norms=True`` is the legacy alias for the arrow plan."""
+    if local_norms or norms == "arrow":
         return weighted_postings_local(postings, terms, avgdl, cfg)
-    p = postings.join(terms.select("term", "idf"), "term")
+    idf = terms.select("term", "idf")
+    p = postings.join(F.broadcast(idf) if broadcast_idf else idf, "term")
     w = weight_expr(cfg.weighting, F.col("tf").cast("double"),
                     F.col("doclen").cast("double"), F.lit(avgdl),
                     F.col("idf"), cfg)
     p = p.withColumn("w", w)
-    win = Window.partitionBy("doc_id")
-    p = p.withColumn("norm", F.sqrt(F.sum(F.col("w") * F.col("w")).over(win)))
-    return p.withColumn("wnorm", F.col("w") / F.col("norm"))
+    if norms == "broadcast":
+        nrm = (p.groupBy("doc_id")
+               .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")))
+        p = p.join(F.broadcast(nrm), "doc_id")
+    elif norms == "window":
+        win = Window.partitionBy("doc_id")
+        p = p.withColumn("norm",
+                         F.sqrt(F.sum(F.col("w") * F.col("w")).over(win)))
+    else:
+        raise ValueError(f"unknown norms strategy: {norms!r}")
+    return p.withColumn("wnorm", F.col("w") / F.col("norm")) \
+        .select(*WEIGHTED_COLS)
 
 
 WEIGHTED_SCHEMA = StructType([
@@ -457,11 +487,13 @@ def build_index(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
     n_terms = terms.count()
     # persist WEIGHTED postings: otherwise every query batch would re-run
     # the terms join and the doc_id norm window (a full shuffle) — the
-    # persistent index stores wnorm for the same reason.  local_norms
-    # (the shuffle-free plan) whenever the dictionary is broadcastable.
+    # persistent index stores wnorm for the same reason.  Shuffle-light
+    # tiers whenever the side tables are broadcastable (bench/norms_ab).
+    b_idf = n_terms <= LOCAL_NORMS_MAX_VOCAB
+    norm_plan = ("broadcast" if b_idf and n_docs <= NORM_BROADCAST_MAX_DOCS
+                 else "window")
     pw = weighted_postings(postings, terms, avgdl, cfg,
-                           local_norms=n_terms <= LOCAL_NORMS_MAX_VOCAB) \
-        .persist()
+                           broadcast_idf=b_idf, norms=norm_plan).persist()
     terms_full = terms  # term_max added lazily when blocks are built
     blocks = None
     if with_blocks:

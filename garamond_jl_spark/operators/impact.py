@@ -123,7 +123,9 @@ def impact_topk(spark: SparkSession, index: InvertedIndex,
 
     # exact re-score of candidate docs only: semi-join the postings of
     # the query's terms down to candidate docs BEFORE the per-query join
-    post = (index.postings.select("term", "doc_id", "wnorm")
+    from garamond_jl_spark.operators.query import pruned_postings
+    post = (pruned_postings(index, qterms)
+            .select("term", "doc_id", "wnorm")
             .where(F.col("term").isin(q_terms))
             .join(F.broadcast(cand_docs), "doc_id", "left_semi"))
     scored = (F.broadcast(qterms).join(post, "term")

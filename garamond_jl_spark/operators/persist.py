@@ -53,7 +53,8 @@ def build_persistent(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
                      carry_cols: list[str] | None = None,
                      n_buckets: int = 8, resume: bool = False,
                      tokenizer=None, retain_content: bool = False,
-                     champion_p: int = 8192) -> InvertedIndex:
+                     champion_p: int = 8192,
+                     term_buckets: int = 0) -> InvertedIndex:
     """Build the index into ``out_dir/{postings_raw,terms,postings,docs,
     blocks,meta,lineage}``.  ``resume=True`` skips completed buckets and
     completed downstream stages.  ``retain_content=True`` keeps the text
@@ -112,12 +113,31 @@ def build_persistent(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
             .parquet(terms_dir)
     terms = spark.read.parquet(terms_dir)
 
+    n_terms = terms.count()
+
     pw_dir = os.path.join(out_dir, "postings")
     if not (resume and _done(pw_dir)):
-        from garamond_jl_spark.operators.build import LOCAL_NORMS_MAX_VOCAB
-        weighted_postings(postings, terms, avgdl, cfg,
-                          local_norms=terms.count() <= LOCAL_NORMS_MAX_VOCAB) \
-            .write.mode("overwrite").parquet(pw_dir)
+        from garamond_jl_spark.operators.build import (
+            LOCAL_NORMS_MAX_VOCAB, NORM_BROADCAST_MAX_DOCS)
+        b_idf = n_terms <= LOCAL_NORMS_MAX_VOCAB
+        norm_plan = ("broadcast"
+                     if b_idf and n_docs <= NORM_BROADCAST_MAX_DOCS
+                     else "window")
+        pw_out = weighted_postings(postings, terms, avgdl, cfg,
+                                   broadcast_idf=b_idf, norms=norm_plan)
+        if term_buckets:
+            # term-bucketed layout: postings partitioned by
+            # pmod(xxhash64(term), term_buckets) so query plans prune
+            # the scan to the buckets holding the query's terms
+            # (operators/query.pruned_postings) — exact-plan I/O becomes
+            # ∝ buckets touched, not index size.  repartition by _tb ⇒
+            # ~one file per bucket instead of n_tasks × n_buckets.
+            pw_out = pw_out.withColumn(
+                "_tb", F.pmod(F.xxhash64("term"), F.lit(term_buckets)))
+            pw_out.repartition(term_buckets, "_tb").write \
+                .partitionBy("_tb").mode("overwrite").parquet(pw_dir)
+        else:
+            pw_out.write.mode("overwrite").parquet(pw_dir)
     pw = spark.read.parquet(pw_dir)
 
     blocks_dir = os.path.join(out_dir, "blocks")
@@ -152,7 +172,9 @@ def build_persistent(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
     # meta.json must round-trip EVERY EngineConfig field the query path
     # reads (CLAUDE.md pinned rule) — the full cfg dict, not a cherry-pick.
     # Legacy top-level scoring keys are kept for older readers.
-    meta = {"n_docs": n_docs, "avgdl": avgdl, "weighting": cfg.weighting,
+    meta = {"n_docs": n_docs, "avgdl": avgdl, "n_terms": n_terms,
+            "term_buckets": term_buckets,
+            "weighting": cfg.weighting,
             "kappa": cfg.kappa, "beta": cfg.beta,
             "score_alpha": cfg.score_alpha, "block_size": cfg.block_size,
             "min_block_df": cfg.min_block_df,
@@ -167,6 +189,8 @@ def build_persistent(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
     return InvertedIndex(docs=dtab, terms=terms_full, postings=pw,
                          blocks=blocks,
                          meta={"n_docs": n_docs, "avgdl": avgdl, "cfg": cfg,
+                               "n_terms": n_terms,
+                               "term_buckets": term_buckets,
                                "champion_p": champion_p},
                          tokenizer=tokenizer, champions=champs)
 
@@ -214,6 +238,8 @@ def load_index(spark: SparkSession, out_dir: str,
         postings=spark.read.parquet(os.path.join(out_dir, "postings")),
         blocks=spark.read.parquet(os.path.join(out_dir, "blocks")),
         meta={"n_docs": m["n_docs"], "avgdl": m["avgdl"], "cfg": cfg,
+              "n_terms": m.get("n_terms"),
+              "term_buckets": m.get("term_buckets"),
               "champion_p": m.get("champion_p")},
         tokenizer=tokenizer, champions=champs)
 

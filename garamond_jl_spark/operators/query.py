@@ -47,6 +47,36 @@ QTERMS_SCHEMA = StructType([
 ])
 
 
+def pruned_postings(index: InvertedIndex, qterms: DataFrame) -> DataFrame:
+    """Partition-pruned view of ``index.postings``.
+
+    When the persistent index was written with
+    ``build_persistent(term_buckets=N)`` the postings table is
+    partitioned by ``_tb = pmod(xxhash64(term), N)``; restricting the
+    scan to the buckets holding the batch's query terms turns the
+    exact plan's full-index scan into ∝ buckets-touched I/O (the
+    partition filter prunes files at planning).  Identity when the
+    index is unbucketed (or when reading an incremental union whose
+    delta segments dropped the partition column).
+
+    ``qterms`` is the driver-built LocalRelation from
+    :func:`embed_queries`, so the term collect and the bucket-id
+    evaluation execute locally — no cluster job."""
+    nb = index.meta.get("term_buckets")
+    p = index.postings
+    if not nb or "_tb" not in p.columns:
+        return p
+    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    if not terms:
+        return p
+    spark = p.sparkSession
+    buckets = [r["b"] for r in
+               spark.createDataFrame([(t,) for t in terms], "term string")
+               .select(F.pmod(F.xxhash64("term"), F.lit(nb)).alias("b"))
+               .distinct().collect()]
+    return p.where(F.col("_tb").isin(buckets))
+
+
 def embed_queries(spark: SparkSession, index: InvertedIndex,
                   queries: list[str], isregex: bool = False) -> DataFrame:
     """Queries → (query_id, term, qw) with qw the L2-normalized
@@ -146,7 +176,8 @@ def score_all(index: InvertedIndex, qterms: DataFrame) -> DataFrame:
     corpus-wide scoring — the round-1 ``full=True`` plan's per-query
     corpus window and 2·n_docs cross-join are both gone."""
     hits = (F.broadcast(qterms)
-            .join(index.postings.select("term", "doc_id", "wnorm"), "term")
+            .join(pruned_postings(index, qterms)
+                  .select("term", "doc_id", "wnorm"), "term")
             .groupBy("query_id", "doc_id")
             .agg(F.sum(F.col("qw") * F.col("wnorm")).alias("cos")))
     score = score_transform_expr(F.lit(1.0) - F.col("cos"),
@@ -172,7 +203,8 @@ def topk_plan(index: InvertedIndex, qterms: DataFrame, k: int,
     ``limit`` scan, not a full-corpus score."""
     cfg = index.cfg
     hits = (F.broadcast(qterms)
-            .join(index.postings.select("term", "doc_id", "wnorm"), "term")
+            .join(pruned_postings(index, qterms)
+                  .select("term", "doc_id", "wnorm"), "term")
             .groupBy("query_id", "doc_id")
             .agg(F.sum(F.col("qw") * F.col("wnorm")).alias("cos")))
     oov_hits = None

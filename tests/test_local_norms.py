@@ -29,14 +29,23 @@ DOCS = [
 ]
 
 
-def _both_paths(spark, postings, cfg):
+def _all_paths(spark, postings, cfg):
+    """classic window plan + every shuffle-light strategy."""
     n_docs = postings.select("doc_id").distinct().count()
     total = postings.agg(F.sum("tf")).collect()[0][0]
     avgdl = total / n_docs
     terms = term_stats(postings, n_docs, cfg).persist()
     classic = weighted_postings(postings, terms, avgdl, cfg)
-    local = weighted_postings_local(postings, terms, avgdl, cfg)
-    return classic, local
+    variants = {
+        "bidf_window": weighted_postings(postings, terms, avgdl, cfg,
+                                         broadcast_idf=True,
+                                         norms="window"),
+        "broadcast": weighted_postings(postings, terms, avgdl, cfg,
+                                       broadcast_idf=True,
+                                       norms="broadcast"),
+        "arrow": weighted_postings_local(postings, terms, avgdl, cfg),
+    }
+    return classic, variants
 
 
 def _as_map(df):
@@ -54,14 +63,15 @@ def _assert_identical(classic, local):
             assert x == pytest.approx(y, abs=1e-12), (k, va, vb)
 
 
-def test_local_norms_match_window_on_tokenize_output(spark):
+def test_all_norm_strategies_match_window_on_tokenize_output(spark):
     cfg = EngineConfig()
     docs = spark.createDataFrame(DOCS, "doc_id LONG, content STRING") \
         .repartition(3)
     postings = tokenize_to_postings(docs, cfg,
                                     tokenizer=lambda s: s.split()).persist()
-    classic, local = _both_paths(spark, postings, cfg)
-    _assert_identical(classic, local)
+    classic, variants = _all_paths(spark, postings, cfg)
+    for name, df in variants.items():
+        _assert_identical(classic, df)
 
 
 def test_local_norms_repair_doc_straddling_partition_edge(spark):
@@ -82,8 +92,8 @@ def test_local_norms_repair_doc_straddling_partition_edge(spark):
         spark.sparkContext.parallelize(part2, 1), POSTINGS_SCHEMA)
     postings = p1.union(p2)
     assert postings.rdd.getNumPartitions() == 2
-    classic, local = _both_paths(spark, postings, cfg)
-    _assert_identical(classic, local)
+    classic, variants = _all_paths(spark, postings, cfg)
+    _assert_identical(classic, variants["arrow"])
 
 
 def test_build_index_uses_local_norms_and_stores_n_terms(spark):
