@@ -34,6 +34,10 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=1_000_000)
     ap.add_argument("--partitions", type=int, default=64)
     ap.add_argument("--repeat", type=int, default=3)
+    ap.add_argument("--arms", default="",
+                    help="comma list of arms to run (default: all) — "
+                         "e.g. 'window,arrow' for the >8M-doc duel "
+                         "where norms='broadcast' is out of budget")
     args = ap.parse_args()
 
     spark = get_spark(f"norms-ab-{args.cpus}", cpus=args.cpus,
@@ -72,6 +76,12 @@ def main() -> None:
         # broadcast idf + contiguity mapInArrow norms (no shuffle at all)
         "arrow": dict(broadcast_idf=True, norms="arrow"),
     }
+    if args.arms:
+        keep = {a.strip() for a in args.arms.split(",") if a.strip()}
+        unknown = keep - set(ARMS)
+        if unknown:
+            raise SystemExit(f"unknown arms: {sorted(unknown)}")
+        ARMS = {a: kw for a, kw in ARMS.items() if a in keep}
     out = "/tmp/garamond_norms_ab_pw"
     t = {a: [] for a in ARMS}
     for rep in range(args.repeat):
