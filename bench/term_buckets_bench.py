@@ -41,6 +41,9 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--partitions", type=int, default=64)
     ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--selective", type=int, default=8,
+                    help="single-query requests timed per arm "
+                         "(interleaved) — the pruning win case")
     args = ap.parse_args()
 
     spark = get_spark(f"tb-bench-{args.cpus}", cpus=args.cpus,
@@ -79,17 +82,36 @@ def main() -> None:
                    pad_to_k=False).count()
             t[arm].append(round(time.time() - t0, 2))
 
-    # untimed observability: rows the exact plan scans per batch
+    # selective workload — the layout's designed regime: one query per
+    # request touches ~|q| buckets, so pruning actually bites.  The
+    # arms interleave per query; totals over args.selective requests.
+    sel = {a: 0.0 for a in idx}
+    for q in queries[:args.selective]:
+        for arm, ix in idx.items():
+            t0 = time.time()
+            search(spark, ix, [q], k=10, hydrate=False,
+                   pad_to_k=False).count()
+            sel[arm] += time.time() - t0
+    sel = {a: round(v, 2) for a, v in sel.items()}
+
+    # untimed observability: rows the exact plan scans per batch, and
+    # for ONE selective request
     qterms = embed_queries(spark, idx["bucketed"], queries)
     scanned = {a: pruned_postings(ix, qterms).count()
                for a, ix in idx.items()}
+    q1 = embed_queries(spark, idx["bucketed"], queries[:1])
+    scanned1 = {a: pruned_postings(ix, q1).count()
+                for a, ix in idx.items()}
     print(json.dumps({
         "cpus": args.cpus, "docs": args.docs, "queries": len(queries),
         "term_buckets": args.buckets,
         "build_sec": builds,
         **{f"query_{a}_sec": v for a, v in t.items()},
         **{f"query_{a}_min": min(v) for a, v in t.items()},
+        "selective_requests": args.selective,
+        **{f"selective_{a}_sec": v for a, v in sel.items()},
         "postings_scanned": scanned,
+        "postings_scanned_1q": scanned1,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
     }))
     spark.stop()

@@ -60,3 +60,13 @@ def score_transform(dist: float, alpha: float) -> float:
     oracle-checked column path and scalar call sites."""
     import math
     return 1.0 - math.tanh(alpha * dist)
+
+
+def score_transform_np(dists, alpha: float):
+    """ndarray twin of :func:`score_transform_expr` for the packed
+    mapInArrow scorers (operators/semantic.py).  ``oracle.py`` keeps an
+    intentionally INDEPENDENT copy: the NumPy oracle must not share
+    engine code, or a helper bug would escape both sides of the
+    rank-identity check."""
+    import numpy as np
+    return 1.0 - np.tanh(alpha * dists)

@@ -54,7 +54,8 @@ def build_persistent(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
                      n_buckets: int = 8, resume: bool = False,
                      tokenizer=None, retain_content: bool = False,
                      champion_p: int = 8192,
-                     term_buckets: int = 0) -> InvertedIndex:
+                     term_buckets: int = 0,
+                     term_bucket_splits: int = 8) -> InvertedIndex:
     """Build the index into ``out_dir/{postings_raw,terms,postings,docs,
     blocks,meta,lineage}``.  ``resume=True`` skips completed buckets and
     completed downstream stages.  ``retain_content=True`` keeps the text
@@ -130,11 +131,21 @@ def build_persistent(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
             # pmod(xxhash64(term), term_buckets) so query plans prune
             # the scan to the buckets holding the query's terms
             # (operators/query.pruned_postings) — exact-plan I/O becomes
-            # ∝ buckets touched, not index size.  repartition by _tb ⇒
-            # ~one file per bucket instead of n_tasks × n_buckets.
+            # ∝ buckets touched, not index size.  The write is SALTED by
+            # doc_id into `term_bucket_splits` files per bucket dir:
+            # grouping a whole Zipf-hot term's postings into one file
+            # makes that file one scan task whose broadcast-join OUTPUT
+            # dwarfs every other task's (measured 2.5× batch-query
+            # straggler at 1M docs, bench/term_buckets_bench.py) —
+            # splitting by doc_id hash caps any task at 1/S of any
+            # term's postings while dir-level pruning is unchanged.
             pw_out = pw_out.withColumn(
                 "_tb", F.pmod(F.xxhash64("term"), F.lit(term_buckets)))
-            pw_out.repartition(term_buckets, "_tb").write \
+            salt = F.pmod(F.xxhash64("doc_id"),
+                          F.lit(term_bucket_splits)) if \
+                term_bucket_splits > 1 else F.lit(0)
+            pw_out.repartition(term_buckets * term_bucket_splits,
+                               "_tb", salt).write \
                 .partitionBy("_tb").mode("overwrite").parquet(pw_dir)
         else:
             pw_out.write.mode("overwrite").parquet(pw_dir)

@@ -1216,6 +1216,7 @@ def packed_cosine_scores(packed: DataFrame,
     matches :meth:`DenseVectorSearcher.with_metric`: cosine keeps the
     NaiveIndex dist = 1 − cos; euclidean the BruteTree L2."""
     import numpy as np
+    from garamond_jl_spark.functions.scoring import score_transform_np
     import pyarrow as pa
 
     dim = max(i for i, _ in qv_rows) if qv_rows else 0
@@ -1246,7 +1247,7 @@ def packed_cosine_scores(packed: DataFrame,
             else:
                 nd[nd == 0.0] = np.inf        # zero vector → cos 0
                 d = 1.0 - (X @ qb) / (nd * nq)
-            score = 1.0 - np.tanh(alpha * d)
+            score = score_transform_np(d, alpha)
             yield pa.RecordBatch.from_arrays(
                 [ids, pa.array(score, type=pa.float64())],
                 names=["doc_id", "score"])
@@ -1268,6 +1269,7 @@ def packed_cosine_scores_batch(packed: DataFrame,
     ``nq > 0`` filter drops them.  Row blocking keeps every docs×queries
     tile under ~4M elements (measured alloc-pressure ceiling)."""
     import numpy as np
+    from garamond_jl_spark.functions.scoring import score_transform_np
     import pyarrow as pa
 
     qids = sorted(qv_map)
@@ -1315,7 +1317,7 @@ def packed_cosine_scores_batch(packed: DataFrame,
                         - 2.0 * (Xs @ Qb.T), 0.0))
                 else:
                     d = 1.0 - (Xs @ Qb.T) / (nds[:, None] * nq_row)
-                score = 1.0 - np.tanh(alpha * d)
+                score = score_transform_np(d, alpha)
                 n = Xs.shape[0]
                 yield pa.RecordBatch.from_arrays(
                     [pa.array(np.tile(qid_arr, n), type=pa.int32()),
