@@ -47,6 +47,31 @@ def _done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
+def write_bucketed_postings(df: DataFrame, path: str, term_buckets: int,
+                            splits: int = 8,
+                            mode: str = "overwrite") -> None:
+    """Write weighted postings in the term-bucketed serving layout:
+    parquet partitioned by ``_tb = pmod(xxhash64(term), term_buckets)``
+    so :func:`~garamond_jl_spark.operators.query.pruned_postings` can
+    restrict query scans to the buckets holding the batch's terms.
+
+    The write is SALTED by doc_id into ``splits`` files per bucket dir:
+    grouping a whole Zipf-hot term's postings into one file makes that
+    file one scan task whose broadcast-join OUTPUT dwarfs every other
+    task's (measured 2.5× batch-query straggler at 1M docs,
+    bench/term_buckets_bench.py) — splitting by doc_id hash caps any
+    task at 1/S of any term's postings while dir-level pruning is
+    unchanged.  An existing ``_tb`` column is reused (idempotent — the
+    bucket id is a pure function of ``term``)."""
+    if "_tb" not in df.columns:
+        df = df.withColumn(
+            "_tb", F.pmod(F.xxhash64("term"), F.lit(term_buckets)))
+    salt = (F.pmod(F.xxhash64("doc_id"), F.lit(splits))
+            if splits > 1 else F.lit(0))
+    df.repartition(term_buckets * splits, "_tb", salt).write \
+        .partitionBy("_tb").mode(mode).parquet(path)
+
+
 def build_persistent(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
                      out_dir: str, id_col: str = "doc_id",
                      text_col: str = "content",
@@ -131,22 +156,9 @@ def build_persistent(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
             # pmod(xxhash64(term), term_buckets) so query plans prune
             # the scan to the buckets holding the query's terms
             # (operators/query.pruned_postings) — exact-plan I/O becomes
-            # ∝ buckets touched, not index size.  The write is SALTED by
-            # doc_id into `term_bucket_splits` files per bucket dir:
-            # grouping a whole Zipf-hot term's postings into one file
-            # makes that file one scan task whose broadcast-join OUTPUT
-            # dwarfs every other task's (measured 2.5× batch-query
-            # straggler at 1M docs, bench/term_buckets_bench.py) —
-            # splitting by doc_id hash caps any task at 1/S of any
-            # term's postings while dir-level pruning is unchanged.
-            pw_out = pw_out.withColumn(
-                "_tb", F.pmod(F.xxhash64("term"), F.lit(term_buckets)))
-            salt = F.pmod(F.xxhash64("doc_id"),
-                          F.lit(term_bucket_splits)) if \
-                term_bucket_splits > 1 else F.lit(0)
-            pw_out.repartition(term_buckets * term_bucket_splits,
-                               "_tb", salt).write \
-                .partitionBy("_tb").mode("overwrite").parquet(pw_dir)
+            # ∝ buckets touched, not index size.
+            write_bucketed_postings(pw_out, pw_dir, term_buckets,
+                                    term_bucket_splits)
         else:
             pw_out.write.mode("overwrite").parquet(pw_dir)
     pw = spark.read.parquet(pw_dir)
@@ -185,6 +197,7 @@ def build_persistent(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
     # Legacy top-level scoring keys are kept for older readers.
     meta = {"n_docs": n_docs, "avgdl": avgdl, "n_terms": n_terms,
             "term_buckets": term_buckets,
+            "term_bucket_splits": term_bucket_splits,
             "weighting": cfg.weighting,
             "kappa": cfg.kappa, "beta": cfg.beta,
             "score_alpha": cfg.score_alpha, "block_size": cfg.block_size,
@@ -202,6 +215,7 @@ def build_persistent(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
                          meta={"n_docs": n_docs, "avgdl": avgdl, "cfg": cfg,
                                "n_terms": n_terms,
                                "term_buckets": term_buckets,
+                               "term_bucket_splits": term_bucket_splits,
                                "champion_p": champion_p},
                          tokenizer=tokenizer, champions=champs)
 
@@ -251,6 +265,7 @@ def load_index(spark: SparkSession, out_dir: str,
         meta={"n_docs": m["n_docs"], "avgdl": m["avgdl"], "cfg": cfg,
               "n_terms": m.get("n_terms"),
               "term_buckets": m.get("term_buckets"),
+              "term_bucket_splits": m.get("term_bucket_splits"),
               "champion_p": m.get("champion_p")},
         tokenizer=tokenizer, champions=champs)
 

@@ -117,7 +117,18 @@ def append_docs(spark: SparkSession, out_dir: str, new_docs: DataFrame,
     batch = f"{prefix}-{time.strftime('%Y%m%dT%H%M%S')}-{uuid.uuid4().hex[:6]}"
     stage = os.path.join(out_dir, f"_staging_{batch}")
     p_dir, d_dir = os.path.join(stage, "postings"), os.path.join(stage, "docs")
-    p.write.parquet(p_dir)
+    nb = int(m.get("term_buckets") or 0)
+    if nb:
+        # keep the serving layout on delta segments: partitioning the
+        # delta by the SAME _tb = pmod(xxhash64(term), nb) lets
+        # query.pruned_postings prune the unioned live scan exactly as
+        # it prunes the main store (unsalted — a push batch is small;
+        # the hot-term file-skew salt only matters at main-store size)
+        from garamond_jl_spark.operators.persist import \
+            write_bucketed_postings
+        write_bucketed_postings(p, p_dir, nb, splits=1)
+    else:
+        p.write.parquet(p_dir)
     keep_text = bool(m.get("retain_content"))
     carry = [c for c in new_docs.columns
              if c != text_col or keep_text]
@@ -252,8 +263,19 @@ def load_live_index(spark: SparkSession, out_dir: str,
     if "_pos" in idx.docs.columns:
         idx.docs = idx.docs.drop("_pos")   # positional bookkeeping only
     batches = _committed_batches(out_dir)
-    delta = spark.read.parquet(
-        *[os.path.join(b, "postings") for b in batches]) if batches else None
+    delta = None
+    if batches:
+        # read each batch root separately (partition discovery of the
+        # per-batch _tb dirs is per-root); keep _tb only when EVERY
+        # segment carries it — a pre-bucketing delta degrades the union
+        # to the unpruned scan, exactly the documented fallback
+        parts = [spark.read.parquet(os.path.join(b, "postings"))
+                 for b in batches]
+        if not all("_tb" in d.columns for d in parts):
+            parts = [d.drop("_tb") for d in parts]
+        delta = parts[0]
+        for d in parts[1:]:
+            delta = delta.unionByName(d)
     ddocs = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(b, "docs") for b in batches]) if batches else None
     if ddocs is not None and "_seq" in ddocs.columns:
@@ -367,12 +389,26 @@ def compact(spark: SparkSession, out_dir: str,
         build_persistent(spark, source, cfg, snap, id_col="doc_id",
                          text_col=text_col, n_buckets=n_buckets,
                          tokenizer=tokenizer,
-                         retain_content=bool(m.get("retain_content")))
+                         retain_content=bool(m.get("retain_content")),
+                         term_buckets=int(m.get("term_buckets") or 0),
+                         term_bucket_splits=int(
+                             m.get("term_bucket_splits") or 8))
         _swap_in(out_dir, snap)
         return out_dir
 
     os.makedirs(snap, exist_ok=True)
-    live.postings.write.parquet(os.path.join(snap, "postings"))
+    nb = int(m.get("term_buckets") or 0)
+    if nb:
+        # the fold re-establishes the serving layout (and the hot-term
+        # salt) over main+delta postings; meta.json is copied below, so
+        # term_buckets round-trips into the snapshot
+        from garamond_jl_spark.operators.persist import \
+            write_bucketed_postings
+        write_bucketed_postings(
+            live.postings, os.path.join(snap, "postings"), nb,
+            splits=int(m.get("term_bucket_splits") or 8))
+    else:
+        live.postings.write.parquet(os.path.join(snap, "postings"))
     live.docs.write.parquet(os.path.join(snap, "docs"))
     live.terms.drop("term_max_wnorm").write.parquet(os.path.join(snap, "terms"))
     live.postings.groupBy("term").agg(F.max("wnorm").alias("term_max_wnorm")) \

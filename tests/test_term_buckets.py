@@ -56,6 +56,51 @@ def test_bucketed_index_matches_flat_and_prunes(spark, tmp_path):
     assert 0 < n_pruned < 8
 
 
+def test_bucketed_layout_survives_append_and_compact(spark, tmp_path):
+    """Delta segments carry _tb (pruning keeps working on the live
+    union) and compact's fold re-establishes the partitioned layout."""
+    import glob
+    import os
+
+    from garamond_jl_spark.streaming.incremental import (append_docs,
+                                                         compact,
+                                                         load_live_index)
+
+    cfg = EngineConfig()
+    docs = assign_dense_ids(corpus_df(spark, 300, seed=11, partitions=4),
+                            ["repo", "path", "commit"]).persist()
+    base, extra = docs.where("doc_id < 250"), docs.where("doc_id >= 250")
+    out_b, out_u = str(tmp_path / "live_b"), str(tmp_path / "live_u")
+    build_persistent(spark, base, cfg, out_b, n_buckets=2, champion_p=0,
+                     term_buckets=8)
+    build_persistent(spark, base, cfg, out_u, n_buckets=2, champion_p=0)
+    for out in (out_b, out_u):
+        append_docs(spark, out, extra)
+
+    # the delta segment itself is _tb-partitioned
+    delta_parts = glob.glob(os.path.join(out_b, "delta", "*", "postings",
+                                         "_tb=*"))
+    assert delta_parts, "bucketed delta should carry _tb partition dirs"
+
+    lb, lu = load_live_index(spark, out_b), load_live_index(spark, out_u)
+    assert "_tb" in lb.postings.columns
+    rb = search(spark, lb, QUERIES, k=5, hydrate=False)
+    ru = search(spark, lu, QUERIES, k=5, hydrate=False)
+    assert _rows(rb) == _rows(ru)
+    # pruning still bites on the live union
+    qt = embed_queries(spark, lb, QUERIES)
+    assert 0 < pruned_postings(lb, qt).select("_tb").distinct().count() < 8
+
+    # compact's LSM fold keeps the partitioned layout
+    compact(spark, out_b)
+    snap_parts = glob.glob(os.path.join(out_b, "postings", "_tb=*"))
+    assert snap_parts, "compacted store should stay _tb-partitioned"
+    cb = load_index(spark, out_b)
+    assert cb.meta["term_buckets"] == 8
+    rc = search(spark, cb, QUERIES, k=5, hydrate=False)
+    assert _rows(rc) == _rows(ru)
+
+
 def test_unbucketed_index_is_untouched(spark, tmp_path):
     cfg = EngineConfig()
     docs = assign_dense_ids(corpus_df(spark, 120, seed=3, partitions=2),
