@@ -231,12 +231,18 @@ def weighted_postings(postings: DataFrame, terms: DataFrame,
       forced broadcast hash join (narrow — the dictionary is
       Heaps-sublinear; callers guard with ``LOCAL_NORMS_MAX_VOCAB``).
     * ``norms`` — ``"window"``: ``sum(w²) over (partition by doc_id)``
-      (full-postings shuffle by doc_id).  ``"broadcast"``: per-doc Σw²
-      via map-side-combined ``groupBy(doc_id)`` (shuffle of ~n_docs
-      tiny rows) then a forced broadcast join back — callers guard
-      with ``NORM_BROADCAST_MAX_DOCS``.  ``"arrow"``: zero shuffles,
-      see :func:`weighted_postings_local` (requires broadcast_idf's
-      narrow join to preserve tokenize's doc-contiguity).
+      (full-postings shuffle by doc_id); the default.  ``"broadcast"``:
+      per-doc Σw² via map-side-combined ``groupBy(doc_id)`` (shuffle of
+      ~n_docs tiny rows) then a forced broadcast join back — callers
+      guard with ``NORM_BROADCAST_MAX_DOCS``.  CAVEAT: the probe
+      lineage (postings scan → idf join → weight projection) is
+      evaluated twice (agg + join back); in full-build A/Bs that
+      recompute costs more than the one doc_id shuffle it saves
+      (BENCH.md), so it's an opt-in for regimes where shuffle I/O is
+      the scarce resource and the postings scan is cheap to repeat.
+      ``"arrow"``: zero shuffles, see :func:`weighted_postings_local`
+      (requires broadcast_idf's narrow join to preserve tokenize's
+      doc-contiguity).
 
     ``local_norms=True`` is the legacy alias for the arrow plan."""
     if local_norms or norms == "arrow":
@@ -487,13 +493,16 @@ def build_index(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
     n_terms = terms.count()
     # persist WEIGHTED postings: otherwise every query batch would re-run
     # the terms join and the doc_id norm window (a full shuffle) — the
-    # persistent index stores wnorm for the same reason.  Shuffle-light
-    # tiers whenever the side tables are broadcastable (bench/norms_ab).
+    # persistent index stores wnorm for the same reason.  broadcast_idf
+    # kills the postings-by-term shuffle whenever the dictionary fits;
+    # norms stay on the window plan: the broadcast tier re-evaluates the
+    # probe lineage (scan → idf join → weight projection) TWICE — once
+    # for the norm agg, once for the join back — which measured slower
+    # than the one doc_id shuffle in every full-build A/B rep
+    # (BENCH.md); it remains an explicit weighted_postings(...) opt-in.
     b_idf = n_terms <= LOCAL_NORMS_MAX_VOCAB
-    norm_plan = ("broadcast" if b_idf and n_docs <= NORM_BROADCAST_MAX_DOCS
-                 else "window")
     pw = weighted_postings(postings, terms, avgdl, cfg,
-                           broadcast_idf=b_idf, norms=norm_plan).persist()
+                           broadcast_idf=b_idf, norms="window").persist()
     terms_full = terms  # term_max added lazily when blocks are built
     blocks = None
     if with_blocks:
