@@ -47,8 +47,7 @@ def entry(spark: SparkSession) -> DataFrame:
 GATE_TAIL = [
     "score_transform", "chop_to_length", "make_a_string", "entry_lookup",
     "union_distinct", "filter_in_set", "groupby_agg", "anti_join_missing",
-    "ann_lsh_buckets", "ann_hnsw_topk", "semantic_boe_euclid_topk",
-    "lifecycle_mixed_euclid_hnsw",
+    "ann_lsh_buckets", "filter_eq", "filter_interval", "filter_exclude_id",
     "dedup_simhash", "semantic_sif_topk", "semantic_disc_topk",
     "semantic_lsa_topk", "text_summarize", "multimodal_features",
 ]
