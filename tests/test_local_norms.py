@@ -107,3 +107,19 @@ def test_build_index_uses_local_norms_and_stores_n_terms(spark):
             .collect())
     for r in sums:
         assert r["s"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_build_default_norm_plan_is_window(spark):
+    """Regression pin for the round-4 default flip (BENCH.md
+    "Full-build A/B overturns the broadcast-norms default"): the
+    broadcast tier double-evaluates the probe lineage (norm agg +
+    join-back each re-run scan → idf join → weight projection), so the
+    build default must stay on the single-shuffle window plan.  The
+    window's signature in the optimized plan is a Window operator over
+    doc_id; the broadcast tier instead shows an Aggregate joined back
+    on doc_id and no Window."""
+    docs = spark.createDataFrame(DOCS, "doc_id LONG, content STRING")
+    idx = build_index(spark, docs, EngineConfig(),
+                      tokenizer=lambda s: s.split())
+    plan = idx.postings._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" in plan, "build default regressed off the window norm plan"
