@@ -5,6 +5,7 @@ no-query / bad-socket exit paths."""
 
 import io
 import json
+import os
 import sys
 
 import pytest
@@ -15,7 +16,8 @@ from garamond_jl_spark.plans.lifecycle import (InternalRequest, SearchEnv,
                                                response_json)
 from garamond_jl_spark.server.socket import socket_server, unix_socket_server
 
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", "tools"))
 import garc  # noqa: E402
 
 SF = "/root/testdata/sf0.001"

@@ -41,6 +41,14 @@ import stat
 import sys
 
 
+def _bool_arg(s: str) -> bool:
+    """Strict Bool parse (the reference's arg_type=Bool errors on
+    non-boolean input rather than silently defaulting)."""
+    if s.lower() in ("true", "false"):
+        return s.lower() == "true"
+    raise argparse.ArgumentTypeError(f"expected true/false, got {s!r}")
+
+
 def build_arg_parser() -> argparse.ArgumentParser:
     """Flag set of garc.jl:23-91 (ArgParse table), argparse idiom."""
     p = argparse.ArgumentParser(
@@ -60,7 +68,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="list of fields to return (wrong names ignored)")
     p.add_argument("--sort-fields", nargs="*", default=[],
                    help="list of fields to sort by when filtering")
-    p.add_argument("--sort-reverse", type=lambda s: s.lower() == "true",
+    p.add_argument("--sort-reverse", type=_bool_arg,
                    default=False, help="reverse the filter sort order")
     p.add_argument("--pretty", action="store_true",
                    help="pretty-print the results")

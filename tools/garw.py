@@ -103,15 +103,25 @@ def default_webpage(ws_ip: str, ws_port: int,
 
     connection.onopen = function () {{ console.log("websocket ok"); }};
 
+    // the corpus is untrusted content (source-code text); everything
+    // interpolated into innerHTML must be escaped.  (The reference
+    // page skips this — a deliberate improvement, not a deviation.)
+    function esc(v) {{
+      return String(v).replace(/&/g, "&amp;").replace(/</g, "&lt;")
+                      .replace(/>/g, "&gt;").replace(/"/g, "&quot;");
+    }}
+
     connection.onmessage = function (r) {{
       var jr = JSON.parse(r.data);
-      var html = "<p>Found <b>" + jr.n_total_results + "</b> results.</p>";
+      var html = "<p>Found <b>" + esc(jr.n_total_results) +
+                 "</b> results.</p>";
       for (var i = 0; i < jr.results.length; i++) {{
         var row = jr.results[i];
-        html += "&emsp;<span class=\\"score\\">[" + row["score"] + "]</span> ~ ";
+        html += "&emsp;<span class=\\"score\\">[" + esc(row["score"]) +
+                "]</span> ~ ";
         for (var field in row) {{
           if (field !== "score" && field !== "rank") {{
-            html += field + ": " + row[field] + " ";
+            html += esc(field) + ": " + esc(row[field]) + " ";
           }}
         }}
         html += "<br>";
@@ -120,8 +130,8 @@ def default_webpage(ws_ip: str, ws_port: int,
       if (keywords.length > 0) {{
         html += "<p>" + keywords.length + " suggestions:</p>";
         for (var k = 0; k < keywords.length; k++) {{
-          html += "&emsp;\\"" + keywords[k] + "\\": " +
-                  jr.suggestions[keywords[k]].join(", ") + "<br>";
+          html += "&emsp;\\"" + esc(keywords[k]) + "\\": " +
+                  esc(jr.suggestions[keywords[k]].join(", ")) + "<br>";
         }}
       }}
       search_results.innerHTML = html;
@@ -146,13 +156,24 @@ class _PageHandler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):  # quiet, like rest.py's handler
         pass
 
-    def do_GET(self) -> None:  # noqa: N802 — every path gets the page
+    # garw.jl:252-258 answers EVERY request with the page
+    def _page(self, send_body: bool = True) -> None:
         body = self.server.webpage.encode()  # type: ignore[attr-defined]
         self.send_response(200)
         self.send_header("Content-Type", "text/html; charset=utf-8")
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
-        self.wfile.write(body)
+        if send_body:
+            self.wfile.write(body)
+
+    def do_GET(self) -> None:  # noqa: N802
+        self._page()
+
+    def do_HEAD(self) -> None:  # noqa: N802
+        self._page(send_body=False)
+
+    def do_POST(self) -> None:  # noqa: N802
+        self._page()
 
 
 def serve_page(webpage: str, host: str = "127.0.0.1",
@@ -174,7 +195,10 @@ def real_main(argv: list[str] | None = None) -> int:
         print(f"Wrong web-socket port value {args.web_socket_port} "
               f"(default is 0). Exiting...", file=sys.stderr)
         return 0
-    if args.web_page:
+    import os
+    if args.web_page and os.path.isfile(args.web_page):
+        # garw.jl:244-248: a missing page file falls back to the
+        # built-in page rather than erroring
         with open(args.web_page, encoding="utf-8") as fh:
             webpage = fh.read()
     else:
