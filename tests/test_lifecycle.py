@@ -480,3 +480,37 @@ def test_search_method_regex(spark, env):
     none = InternalRequest(query="zzz_nothing_matches_9x", max_matches=5,
                            search_method="regex")
     assert search(env, none).count() == 0
+
+
+# ---- utils.describe (utils/show.jl analog) --------------------------------
+
+def test_describe_engine_objects(env, spark):
+    from garamond_jl_spark.operators.semantic import (BOESearcher,
+                                                      synthetic_word_vectors)
+    from garamond_jl_spark.utils import describe
+
+    line = describe(env.index)
+    assert line.startswith("InvertedIndex (bm25), 120 indexed documents")
+
+    req = InternalRequest(query="q" * 80, max_matches=7)
+    rline = describe(req)
+    assert rline.startswith("InternalRequest: OPERATION='search' | ")
+    assert "q" * 50 + "..." in rline            # query chopped at 50
+    assert "MAX_MATCHES=7" in rline
+
+    from garamond_jl_spark.operators.build import assign_dense_ids
+    docs = assign_dense_ids(corpus_df(spark, 120, seed=42, partitions=4),
+                            ["repo", "path", "commit"])
+    tok = (docs.select("doc_id", F.explode(F.split("content", " "))
+                       .alias("term"))
+           .where(F.col("term") != ""))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    wv = synthetic_word_vectors(tf.select("term"), dim=8, seed=0)
+    boe = BOESearcher.from_tokens(tf, wv, score_alpha=CFG.score_alpha)
+    assert describe(boe).startswith("BOESearcher (Naive index, ")
+
+    block = describe(SearchEnv(spark=spark, index=env.index,
+                               searchers=[(boe, 0.5)]))
+    assert "searchers = [" in block
+    assert "[0] InvertedIndex (bm25)" in block and "weight=1.0" in block
+    assert "[1] BOESearcher" in block and "weight=0.5" in block
