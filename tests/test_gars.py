@@ -89,10 +89,39 @@ def test_negative_io_port_defaults_like_reference(caplog):
     assert gars.normalize_io_port(9050, log) == 9050
 
 
-def test_isvalidip():
-    assert gars.isvalidip("127.0.0.1") and gars.isvalidip("::1")
+def test_isvalidip_is_af_inet_usable():
+    # transports are AF_INET: a v6 literal must fail the gate instead
+    # of passing it and crashing at bind after the env build
+    assert gars.isvalidip("127.0.0.1") and gars.isvalidip("0.0.0.0")
+    assert not gars.isvalidip("::1")
     assert not gars.isvalidip("localhost")
     assert not gars.isvalidip("300.0.0.1")
+
+
+def test_out_of_range_ports_fail_fast(caplog):
+    # -w: parse-time rejection (reference arg_type=UInt16)
+    with pytest.raises(SystemExit):
+        gars.build_arg_parser().parse_args(["-w", "-1"])
+    with pytest.raises(SystemExit):
+        gars.build_arg_parser().parse_args(["-w", "70000"])
+    # -p: warn + drop the REST front-end before any env build; alone
+    # it then trips the no-front-end gate
+    with caplog.at_level(logging.WARNING, logger="gars"):
+        rc, _ = _run(["-d", "x.json", "-p", "-1"])
+        assert rc == 0 and "HTTP port value error" in caplog.text
+        assert "UNIX-socket, WEB-socket port or HTTP" in caplog.text
+    # -i: out-of-range normalizes to the reference default
+    log = logging.getLogger("gars")
+    assert gars.normalize_io_port(70000, log) == 9000
+
+
+def test_logger_reconfigure_closes_old_file_handler(tmp_path):
+    logfile = str(tmp_path / "gars.log")
+    log = gars.build_logger(logfile, "info")
+    fh = log.handlers[0]
+    gars.build_logger("stdout", "info")      # reconfigure
+    # the old FileHandler was closed, not just dropped (fd leak)
+    assert fh.stream is None or fh.stream.closed
 
 
 # ---- end-to-end: config build, all transports (one Spark env) -------------
@@ -150,6 +179,42 @@ def _query_garc(argv):
     out = io.StringIO()
     rc = garc.real_main(argv, out=out)
     return rc, out.getvalue()
+
+
+def test_partial_start_failure_leaks_no_transports(spark, tmp_path):
+    # occupy a port, then ask gars for it as the REST port: the late
+    # bind failure must stop the already-started search server too
+    import socket as socketlib
+    blocker = socketlib.socket()
+    blocker.bind(("127.0.0.1", 0))
+    taken = blocker.getsockname()[1]
+    try:
+        with pytest.raises(OSError):
+            gars.real_main(["-d", _config_path(tmp_path), "-i", "0",
+                            "-p", str(taken), "--http-ip", "127.0.0.1"],
+                           out=io.StringIO(), spark=spark, block=False)
+        # no lingering gars transport threads (Spark's own
+        # AccumulatorTCPServer also runs serve_forever — exclude it)
+        import time
+
+        def _gars_server_threads():
+            out = []
+            for t in threading.enumerate():
+                tgt = getattr(t, "_target", None)
+                owner = getattr(tgt, "__self__", None)
+                if owner is not None and type(owner).__module__.startswith(
+                        "garamond_jl_spark"):
+                    out.append(t)
+            return out
+
+        for _ in range(50):
+            alive = _gars_server_threads()
+            if not alive:
+                break
+            time.sleep(0.1)
+        assert not alive
+    finally:
+        blocker.close()
 
 
 # ---- env-cache load path + blocking loop ends on kill ---------------------

@@ -50,6 +50,17 @@ if _ROOT not in sys.path:
     sys.path.insert(0, _ROOT)
 
 
+def _uint16(s: str) -> int:
+    """The reference's ``arg_type=UInt16`` for the WS port
+    (gars.jl:38-40): out-of-range values are rejected at parse time,
+    before any expensive work."""
+    v = int(s)
+    if not 0 <= v <= 65535:
+        raise argparse.ArgumentTypeError(
+            f"port must be 0-65535, got {v}")
+    return v
+
+
 def build_arg_parser() -> argparse.ArgumentParser:
     """Flag set of gars.jl:19-52 (ArgParse table), argparse idiom."""
     p = argparse.ArgumentParser(
@@ -63,7 +74,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="logging stream (stdout|stderr|<file path>)")
     p.add_argument("--unix-socket", "-u", default=None,
                    help="UNIX socket for data communication")
-    p.add_argument("--web-socket-port", "-w", type=int, default=None,
+    p.add_argument("--web-socket-port", "-w", type=_uint16, default=None,
                    help="WEB socket data communication port")
     p.add_argument("--web-socket-ip", default="127.0.0.1",
                    help="WEB socket data communication IP")
@@ -77,21 +88,37 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 
 def isvalidip(ip: str) -> bool:
-    """gars.jl:58-66 (accepts any v4/v6 literal)."""
+    """gars.jl:58-66's usable-IP gate.  Deviation: only IPv4 literals
+    pass — every transport here is an AF_INET stdlib server, so a v6
+    address would pass a laxer gate and then crash at bind, exactly
+    what the gate exists to catch before the env build."""
     try:
-        ipaddress.ip_address(ip)
+        ipaddress.IPv4Address(ip)
         return True
     except ValueError:
         return False
 
 
 def normalize_io_port(port: int, log: logging.Logger) -> int:
-    """gars.jl:118-121: a negative search-server port warns and falls
-    back to the reference default 9000."""
-    if port < 0:
+    """gars.jl:118-121: an out-of-range search-server port warns and
+    falls back to the reference default 9000 (the reference tests only
+    ``< 0``; >65535 would crash its bind just the same, so both fall
+    under the same warn-and-default)."""
+    if port < 0 or port > 65535:
         log.warning("Search server I/O port value error. "
                     "Defaulting to 9000.")
         return 9000
+    return port
+
+
+def normalize_http_port(port, log: logging.Logger):
+    """The HTTP port is ``arg_type=Int`` in the reference (gars.jl:44)
+    with no runtime check — the bind would crash after the env build.
+    Fail fast instead: out-of-range warns and drops the REST front-end
+    (``None``), consistent with the warn-and-exit gate posture."""
+    if port is not None and not 0 <= port <= 65535:
+        log.warning("HTTP port value error. Disabling REST services.")
+        return None
     return port
 
 
@@ -100,6 +127,8 @@ def build_logger(stream: str, level: str) -> logging.Logger:
     stderr / file-path destination."""
     log = logging.getLogger("gars")
     log.setLevel(getattr(logging, level.upper(), logging.INFO))
+    for old in log.handlers:             # reconfigure without leaking
+        old.close()                      # the previous FileHandler fd
     log.handlers.clear()
     if stream == "stdout":
         h: logging.Handler = logging.StreamHandler(sys.stdout)
@@ -182,6 +211,10 @@ def real_main(argv, out=sys.stdout, spark=None, block: bool = True):
         log.warning("HTTP IP %s is not valid. Exiting...", args.http_ip)
         return 0
 
+    # port sanity BEFORE the front-end check: a dropped bad HTTP port
+    # can leave zero front-ends, which the next gate then catches
+    args.http_port = normalize_http_port(args.http_port, log)
+
     # at least one front-end (gars.jl:112-116)
     if (args.unix_socket is None and args.web_socket_port is None
             and args.http_port is None):
@@ -217,21 +250,28 @@ def real_main(argv, out=sys.stdout, spark=None, block: bool = True):
     log.info("Searchers ready.")
 
     # I/O front-ends (gars.jl:134-141): search server first so the
-    # WS bridge has a live io_port to front
+    # WS bridge has a live io_port to front.  A bind failure midway
+    # must not leak the transports already started (they would pin
+    # ports/socket files with no handle returned to stop them).
     from garamond_jl_spark.server.socket import SocketServer
     search = SocketServer(env, port=io_port).start()
     unix = bridge = rest = None
-    if args.unix_socket is not None:
-        unix = SocketServer(env, unix_path=args.unix_socket).start()
-    if args.web_socket_port is not None:
-        from garamond_jl_spark.server.websocket import WebSocketBridge
-        bridge = WebSocketBridge(io_port=search.port,
-                                 host=args.web_socket_ip,
-                                 port=args.web_socket_port).start()
-    if args.http_port is not None:
-        from garamond_jl_spark.server.rest import RestServer
-        rest = RestServer(env, host=args.http_ip,
-                          port=args.http_port).start()
+    try:
+        if args.unix_socket is not None:
+            unix = SocketServer(env, unix_path=args.unix_socket).start()
+        if args.web_socket_port is not None:
+            from garamond_jl_spark.server.websocket import WebSocketBridge
+            bridge = WebSocketBridge(io_port=search.port,
+                                     host=args.web_socket_ip,
+                                     port=args.web_socket_port).start()
+        if args.http_port is not None:
+            from garamond_jl_spark.server.rest import RestServer
+            rest = RestServer(env, host=args.http_ip,
+                              port=args.http_port).start()
+    except Exception:
+        GarsServers(env, search, unix=unix, bridge=bridge,
+                    rest=rest).shutdown()
+        raise
 
     servers = GarsServers(env, search, unix=unix, bridge=bridge, rest=rest)
     print("gars-ready " + json.dumps(servers.ports), file=out, flush=True)
