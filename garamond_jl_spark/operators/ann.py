@@ -85,6 +85,9 @@ def lsh_buckets(dv: DataFrame, n_planes: int, seed: int = 0) -> DataFrame:
     broadcast of the |dims|·n_planes sign table + one shuffle by
     (doc_id, p); at scale the output is written bucketed BY bucket so a
     probe reads only its buckets' files."""
+    if n_planes > 62:
+        raise ValueError(f"n_planes must be <= 62 (bucket is one long), "
+                         f"got {n_planes}")
     spark = dv.sparkSession
     planes = (dv.select("i").distinct()
               .crossJoin(F.broadcast(
@@ -93,10 +96,14 @@ def lsh_buckets(dv: DataFrame, n_planes: int, seed: int = 0) -> DataFrame:
     proj = (dv.join(F.broadcast(planes), "i")
             .groupBy("doc_id", "p")
             .agg(F.sum(F.col("dv") * F.col("sgn")).alias("dot")))
+    # bitwise bucket build (exact long math) — a double 2^p sum loses
+    # bits past p=52 and would silently disagree with the exact Python
+    # int query_bucket computes, collapsing probe recall
     return (proj.groupBy("doc_id")
-            .agg(F.sum(F.when(F.col("dot") >= 0,
-                              F.pow(F.lit(2.0), F.col("p")))
-                       .otherwise(F.lit(0.0)))
+            .agg(F.sum(F.when(
+                F.col("dot") >= 0,
+                F.expr("shiftleft(cast(1 as bigint), cast(p as int))"))
+                .otherwise(F.lit(0).cast("long")))
                  .cast("long").alias("bucket")))
 
 
@@ -203,6 +210,19 @@ def _hash_order(tag: str, seed: int, key_col: str = "doc_id") -> F.Column:
     return F.md5(F.concat_ws(":", F.lit(seed), F.lit(tag), F.col(key_col)))
 
 
+def _sample_cut(dv: DataFrame, sample_ratio: float | None,
+                seed: int) -> DataFrame:
+    """Deterministic hash-subset of documents (md5 threshold, not
+    ``.sample()`` — reproducible across partition layouts).  ONE
+    definition shared by the coarse k-means trainer and the PQ residual
+    trainer: both quantizers must see exactly the same subset, so the
+    cut formula must never drift between them."""
+    if sample_ratio is None or sample_ratio >= 1.0:
+        return dv
+    cut = format(int(sample_ratio * 16 ** 8), "08x")
+    return dv.where(F.substring(_hash_order("KMS", seed), 1, 8) < cut)
+
+
 def train_kmeans(dv: DataFrame, k: int, n_iter: int = 5, seed: int = 0,
                  sample_ratio: float | None = None) -> DataFrame:
     """Lloyd k-means over a long-form table (doc_id, i, dv) →
@@ -227,10 +247,7 @@ def train_kmeans(dv: DataFrame, k: int, n_iter: int = 5, seed: int = 0,
     truly sparse long form (absent rows meaning 0) would bias the mean
     update — groupBy(cid, i).avg averages only present rows."""
     spark = dv.sparkSession
-    if sample_ratio is not None and sample_ratio < 1.0:
-        cut = format(int(sample_ratio * 16 ** 8), "08x")
-        dv = dv.where(F.substring(_hash_order("KMS", seed), 1, 8) < cut)
-    dv = dv.select("doc_id", "i", "dv")
+    dv = _sample_cut(dv, sample_ratio, seed).select("doc_id", "i", "dv")
 
     init_ids = (dv.select("doc_id").distinct()
                 .orderBy(_hash_order("KM", seed), F.col("doc_id"))
@@ -258,11 +275,18 @@ def train_kmeans(dv: DataFrame, k: int, n_iter: int = 5, seed: int = 0,
         "cid INT, i INT, cv DOUBLE")
 
 
-def _cent_matrix(cent_rows: list[tuple]) -> list[list[float]]:
+def _cent_matrix(cent_rows: list[tuple],
+                 dim: int | None = None) -> list[list[float]]:
     """(cid, i, cv) rows → dense K×dim matrix (row = cid, col = i−1)
-    for the arrow assignment kernels; absent scalars are 0."""
+    for the arrow assignment kernels; absent scalars are 0.  Pass
+    ``dim`` whenever the caller knows it: inferring the width from
+    ``max(i)`` under-sizes the matrix when a user-supplied pre-trained
+    centroid table happens to carry no row for the top dimension, and
+    the mismatch then surfaces as an opaque numpy shape error deep
+    inside a mapInArrow task."""
     K = 1 + max(int(c) for c, _, _ in cent_rows)
-    dim = max(int(i) for _, i, _ in cent_rows)
+    if dim is None:
+        dim = max(int(i) for _, i, _ in cent_rows)
     M = [[0.0] * dim for _ in range(K)]
     for c, i, v in cent_rows:
         M[int(c)][int(i) - 1] = float(v)
@@ -354,12 +378,15 @@ class IVFCandidateIndex:
               centroids: DataFrame | None = None,
               sample_ratio: float | None = None,
               packed: DataFrame | None = None,
-              persist: bool = True) -> "IVFCandidateIndex":
+              persist: bool = True,
+              dim: int | None = None) -> "IVFCandidateIndex":
         """Train (or accept) the coarse quantizer, assign every doc.
         ``centroids``: optional pre-trained (cid, i, cv) table — the
-        reference's offline-trained quantizer handoff.  ``packed``:
-        optional (doc_id, emb array) twin of ``doc_embeddings``; when
-        given, the full-corpus assignment runs as the map-only
+        reference's offline-trained quantizer handoff (pass ``dim``
+        with it so the centroid matrix is sized by fact, not inferred
+        from the table's top occupied dimension).  ``packed``: optional
+        (doc_id, emb array) twin of ``doc_embeddings``; when given, the
+        full-corpus assignment runs as the map-only
         :func:`assign_lists_arrow` blocked matmul instead of the
         K-fanout join (the at-scale path)."""
         if centroids is None:
@@ -370,7 +397,7 @@ class IVFCandidateIndex:
                      for r in centroids.collect()]
         spark = doc_embeddings.sparkSession
         if packed is not None:
-            asg = assign_lists_arrow(packed, _cent_matrix(cent_rows))
+            asg = assign_lists_arrow(packed, _cent_matrix(cent_rows, dim))
         else:
             cent = F.broadcast(spark.createDataFrame(
                 cent_rows, "cid INT, i INT, cv DOUBLE"))
@@ -473,6 +500,9 @@ def train_pq(resid: DataFrame, dim: int, m: int, n_codes: int = 16,
     spark = resid.sparkSession
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    if n_codes < 2:
+        raise ValueError(f"n_codes must be >= 2 (a 1-code codebook "
+                         f"stores 0 bits), got {n_codes}")
     dsub = dim // m
     sv = _with_subspace(resid, dsub)
 
@@ -565,9 +595,8 @@ def assign_pq_arrow(packed_with_cid: DataFrame,
                 Cs = CB[sub]                              # n_codes × dsub
                 scores = -2.0 * (S @ Cs.T) + (Cs ** 2).sum(axis=1)[None, :]
                 codes[:, sub] = np.argmin(scores, axis=1)
-            out_ids = pa.concat_arrays([ids.combine_chunks()] * m) \
-                if isinstance(ids, pa.ChunkedArray) else \
-                pa.concat_arrays([ids] * m)
+            # RecordBatch columns are plain pa.Array, never chunked
+            out_ids = pa.concat_arrays([ids] * m)
             out_cids = np.tile(cids, m)
             out_subs = np.repeat(np.arange(m, dtype=np.int32),
                                  R.shape[0])
@@ -625,17 +654,14 @@ class IVFADCIndex:
         ivf = IVFCandidateIndex.build(doc_embeddings, n_centroids,
                                       n_probe=n_probe, n_iter=n_iter,
                                       seed=seed, sample_ratio=sample_ratio,
-                                      packed=packed, persist=persist)
+                                      packed=packed, persist=persist,
+                                      dim=dim)
         spark = doc_embeddings.sparkSession
         cent_rows = [(c, i, v) for c, comp in ivf._cent.items()
                      for i, v in comp.items()]
         cent = F.broadcast(spark.createDataFrame(
             cent_rows, "cid INT, i INT, cv DOUBLE"))
-        train_dv = doc_embeddings
-        if sample_ratio is not None and sample_ratio < 1.0:
-            cut = format(int(sample_ratio * 16 ** 8), "08x")
-            train_dv = train_dv.where(
-                F.substring(_hash_order("KMS", seed), 1, 8) < cut)
+        train_dv = _sample_cut(doc_embeddings, sample_ratio, seed)
         resid = (train_dv.join(ivf.asg, "doc_id")
                  .join(cent, ["cid", "i"], "left")
                  .select("doc_id", "cid", "i",
@@ -647,7 +673,7 @@ class IVFADCIndex:
                    for r in cb.collect()]
         if packed is not None:
             codes = assign_pq_arrow(packed.join(ivf.asg, "doc_id"),
-                                    _cent_matrix(cent_rows), cb_rows,
+                                    _cent_matrix(cent_rows, dim), cb_rows,
                                     dim, m)
         else:
             cbb = F.broadcast(spark.createDataFrame(
@@ -756,10 +782,11 @@ class IVFADCIndex:
         cb_rows = [(s, c, j, v) for (s, c), comp in self._cb.items()
                    for j, v in comp.items()]
         if packed is not None:
-            na = assign_lists_arrow(packed, _cent_matrix(cent_rows))
+            na = assign_lists_arrow(packed, _cent_matrix(cent_rows,
+                                                         self.dim))
             ncodes = assign_pq_arrow(packed.join(na, "doc_id"),
-                                     _cent_matrix(cent_rows), cb_rows,
-                                     self.dim, self.m)
+                                     _cent_matrix(cent_rows, self.dim),
+                                     cb_rows, self.dim, self.m)
         else:
             cent = F.broadcast(spark.createDataFrame(
                 cent_rows, "cid INT, i INT, cv DOUBLE"))

@@ -244,10 +244,15 @@ class NumpyHNSW:
     @classmethod
     def from_rows(cls, rows, dim: int, M: int = 8,
                   ef_construction: int = 100, seed: int = 0,
-                  symmetric: bool = False) -> "NumpyHNSW":
+                  symmetric: bool = False,
+                  select: str = "heuristic") -> "NumpyHNSW":
         """Rebuild a searchable graph from ``to_rows`` output (no
         re-insertion; adjacency is taken as stored).  Entry point =
         highest level, ties to the smallest key — derived, not stored.
+        ``select`` must match the BUILD's neighbor-selection mode when
+        the caller intends to ``add`` to the loaded graph (search
+        ignores it): a graph built with select='simple' reloaded at
+        the default would silently switch new inserts to Alg. 4.
 
         ``symmetric=True`` unions each node's out-edges with its
         in-edges for SEARCH: insertion creates every link as a
@@ -264,7 +269,7 @@ class NumpyHNSW:
         sorted key array and the undirected closure is an edge-array
         encode → ``np.unique`` → split, not per-node Python sets
         (0.80 s → ~0.1 s on a 31k-node shard)."""
-        g = cls(dim, M, ef_construction, seed)
+        g = cls(dim, M, ef_construction, seed, select=select)
         rows = sorted(rows, key=lambda r: r[0])
         n = len(rows)
         if n == 0:

@@ -551,3 +551,37 @@ def test_ivfadc_extend_frozen_quantizers(spark):
     got = [r["doc_id"] for r in
            ext_j.search(dv_full, qv, k=3, rerank=60).collect()]
     assert q in got                               # appended doc found
+
+
+def test_lsh_bucket_exact_past_double_precision(spark):
+    """Spark's bucket must equal the exact Python int query_bucket for
+    n_planes beyond double precision (p > 52): the old 2.0**p double
+    sum rounded high-plane bits and silently missed the doc's bucket."""
+    _, mat = _clustered(per=4, n_clusters=3)
+    dv = _long(spark, mat)
+    idx = LSHCandidateIndex.build(dv, n_planes=56, radius=0, seed=0,
+                                  persist=False)
+    got = {r["doc_id"]: r["bucket"] for r in idx.buckets.collect()}
+    for d in (0, 5, 11):
+        qv = [(i + 1, float(v)) for i, v in enumerate(mat[d])]
+        assert got[d] == idx.query_bucket(qv)
+    with pytest.raises(ValueError, match="n_planes"):
+        LSHCandidateIndex.build(dv, n_planes=63, persist=False)
+
+
+def test_cent_matrix_explicit_dim_beats_inference():
+    from garamond_jl_spark.operators.ann import _cent_matrix
+    # top dimension absent from every centroid row: inference
+    # under-sizes the matrix; the explicit dim keeps the true width
+    rows = [(0, 1, 1.0), (0, 2, 2.0), (1, 1, 3.0)]
+    assert len(_cent_matrix(rows)[0]) == 2
+    M = _cent_matrix(rows, dim=4)
+    assert len(M[0]) == 4 and M[0][1] == 2.0 and M[1][3] == 0.0
+
+
+def test_train_pq_rejects_degenerate_codebook(spark):
+    from garamond_jl_spark.operators.ann import train_pq
+    resid = spark.createDataFrame([(0, 1, 0.5)],
+                                  "doc_id LONG, i INT, rv DOUBLE")
+    with pytest.raises(ValueError, match="n_codes"):
+        train_pq(resid, dim=4, m=2, n_codes=1)

@@ -492,3 +492,26 @@ def test_hnsw_backed_batch_matches_single(spark):
         assert set(got[qid]) == set(single)
         for d, s in single.items():
             assert got[qid][d] == pytest.approx(s, abs=1e-12)
+
+
+def test_from_rows_restores_select_mode():
+    """A graph built with select='simple' must keep Alg. 3 selection
+    after a to_rows/from_rows round trip, or subsequent adds silently
+    diverge from a from-scratch simple build."""
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(40, 16))
+    g = NumpyHNSW(16, 4, 50, 0, select="simple")
+    for k, v in enumerate(mat):
+        g.add(k, v)
+    g2 = NumpyHNSW.from_rows(list(g.to_rows()), 16, 4, 50, 0,
+                             select="simple")
+    assert g2.select == "simple"
+    # both continue with the SAME selection: extended graphs agree
+    extra = rng.normal(size=(5, 16))
+    for k, v in enumerate(extra):
+        g.add(40 + k, v)
+        g2.add(40 + k, v)
+    assert [sorted(map(sorted, a)) for a in g.nbrs] == \
+        [sorted(map(sorted, b)) for b in g2.nbrs]
+    # default stays heuristic
+    assert NumpyHNSW.from_rows([], 16).select == "heuristic"
