@@ -237,11 +237,26 @@ def read_meta(out_dir: str) -> tuple[dict, EngineConfig]:
 
 
 def _check_tokenizer(m: dict, tokenizer) -> None:
-    if m.get("tokenizer_id") and tokenizer is None:
+    """Query embedding must tokenize like the build did, or query terms
+    silently miss the vocabulary.  The stored id is a best-effort name
+    match (two different functions sharing a __name__ still pass), but
+    it catches the common mistakes: forgetting the tokenizer, passing a
+    DIFFERENT named one, or passing one to a default-pipeline index."""
+    stored = m.get("tokenizer_id")
+    given = (getattr(tokenizer, "__name__", "custom")
+             if tokenizer is not None else None)
+    if stored and given is None:
         raise ValueError(
-            f"index was built with custom tokenizer "
-            f"{m['tokenizer_id']!r}; pass the same tokenizer= to open it "
-            f"(query embedding must tokenize like the build did)")
+            f"index was built with custom tokenizer {stored!r}; pass "
+            f"the same tokenizer= to open it")
+    if stored is None and given is not None:
+        raise ValueError(
+            f"index was built with the default tokenizer pipeline; "
+            f"opening it with tokenizer={given!r} would mis-tokenize "
+            f"queries (rebuild with the tokenizer, or open without)")
+    if stored and given and stored != given:
+        raise ValueError(
+            f"index was built with tokenizer {stored!r}, got {given!r}")
 
 
 def load_index(spark: SparkSession, out_dir: str,

@@ -75,10 +75,40 @@ def _committed_batches(out_dir: str) -> list[str]:
                   if not d.startswith("_"))
 
 
+def _batch_commit_ns(batch_dir: str) -> int:
+    """Nanosecond commit stamp encoded in the batch dir name
+    (``batch-<020d ns>-<tag>``).  Tombstones apply only to rows OLDER
+    than themselves (see :func:`_apply_tombstones`), so this stamp is
+    what lets a delete-then-re-push resurrect a doc_id: the re-pushed
+    batch postdates the tombstone and survives its anti-join.  Legacy
+    second-resolution names parse as 0 (oldest — every tombstone
+    applies, the pre-stamp behavior)."""
+    part = os.path.basename(batch_dir).split("-")[1]
+    return int(part) if part.isdigit() and len(part) >= 19 else 0
+
+
+def _apply_tombstones(df: DataFrame, tombs: DataFrame | None) -> DataFrame:
+    """Remove tombstoned rows from a ``_bts``-stamped table (``_bts`` =
+    the row's segment commit ns; main store 0).  A tombstone kills only
+    rows from segments committed BEFORE it — a doc_id re-pushed after a
+    delete stays live while the deleted older copy stays dead.  Legacy
+    tombstone rows without a ``ts`` column apply to everything."""
+    if tombs is None:
+        return df.drop("_bts")
+    ts = (F.coalesce(tombs["ts"], F.lit(2 ** 62)) if "ts" in tombs.columns
+          else F.lit(2 ** 62))
+    t = tombs.select(F.col("doc_id").alias("_t_doc"),
+                     ts.alias("_t_ts")).distinct()
+    return (df.join(t, (df["doc_id"] == t["_t_doc"])
+                    & (t["_t_ts"] > df["_bts"]), "left_anti")
+            .drop("_bts"))
+
+
 def append_docs(spark: SparkSession, out_dir: str, new_docs: DataFrame,
                 id_col: str = "doc_id", text_col: str = "content",
                 tokenizer=None, sampler=None,
-                _position: str = "last") -> int:
+                _position: str = "last",
+                dedupe_tag: str | None = None) -> int:
     """push! analog: weight new docs with the FROZEN stats model and
     commit docs+postings atomically (one staged batch dir, one rename).
     Returns the number of postings appended.
@@ -88,12 +118,28 @@ def append_docs(spark: SparkSession, out_dir: str, new_docs: DataFrame,
     (reference identity/noop/custom samplers,
     /root/reference/src/data/samplers/identity.jl:1-4); None = identity.
     A string resolves through the plugins SAMPLERS registry (S3).
+
+    ``dedupe_tag``: idempotence key — if a committed batch already
+    carries the tag, the call is a no-op returning 0.  The streaming
+    sink passes the foreachBatch batch_id through this, so a batch
+    replayed after a crash between the append commit and the
+    checkpoint commit does not double-append.
     """
+    recover_swap(out_dir)
+    if dedupe_tag is not None:
+        for b in _committed_batches(out_dir):
+            if os.path.basename(b).endswith(f"-{dedupe_tag}"):
+                return 0
     if isinstance(sampler, str):
         from garamond_jl_spark.plugins import get_sampler
         sampler = get_sampler(sampler)
     if sampler is not None:
         new_docs = sampler(new_docs)
+    # one evaluation of the (possibly sampled) input: the postings and
+    # docs writes below both consume it, and a nondeterministic sampler
+    # evaluated twice could commit docs and postings describing
+    # different row sets inside one "atomic" batch
+    new_docs = new_docs.persist()
     m, cfg = read_meta(out_dir)
     _check_tokenizer(m, tokenizer)
     terms = spark.read.parquet(os.path.join(out_dir, "terms"))
@@ -114,7 +160,12 @@ def append_docs(spark: SparkSession, out_dir: str, new_docs: DataFrame,
          .withColumn("wnorm", F.col("w") / F.col("norm")))
 
     prefix = "first" if _position == "first" else "batch"
-    batch = f"{prefix}-{time.strftime('%Y%m%dT%H%M%S')}-{uuid.uuid4().hex[:6]}"
+    # nanosecond commit stamp: (a) same-second pushes keep a
+    # deterministic positional order (the old 1 s strftime prefix
+    # tie-broke on a random uuid), (b) tombstone ordering reads it
+    # back via _batch_commit_ns
+    tag = dedupe_tag if dedupe_tag is not None else uuid.uuid4().hex[:6]
+    batch = f"{prefix}-{time.time_ns():020d}-{tag}"
     stage = os.path.join(out_dir, f"_staging_{batch}")
     p_dir, d_dir = os.path.join(stage, "postings"), os.path.join(stage, "docs")
     nb = int(m.get("term_buckets") or 0)
@@ -132,8 +183,12 @@ def append_docs(spark: SparkSession, out_dir: str, new_docs: DataFrame,
     keep_text = bool(m.get("retain_content"))
     carry = [c for c in new_docs.columns
              if c != text_col or keep_text]
-    doc_stats = p.groupBy("doc_id").agg(F.first("doclen").alias("doclen"),
-                                        F.first("norm").alias("norm"))
+    # stats from the WRITTEN postings, not the lazy lineage: re-reading
+    # p here would re-run the whole tokenize+join+window DAG a second
+    # time for the docs write (the double-evaluation trap BENCH.md pins)
+    p_written = spark.read.parquet(p_dir)
+    doc_stats = p_written.groupBy("doc_id").agg(
+        F.first("doclen").alias("doclen"), F.first("norm").alias("norm"))
     # _seq records the batch's row order (partition-major) so the
     # positional view can renumber multi-row pushes in push order
     new_docs.select(F.col(id_col).alias("doc_id"),
@@ -141,7 +196,8 @@ def append_docs(spark: SparkSession, out_dir: str, new_docs: DataFrame,
         .withColumn("_seq", F.monotonically_increasing_id()) \
         .join(doc_stats, "doc_id", "left") \
         .fillna({"doclen": 0, "norm": 0.0}).write.parquet(d_dir)
-    n = spark.read.parquet(p_dir).count()
+    n = p_written.count()
+    new_docs.unpersist()
     # atomic commit (M4 guard): both tables live under ONE batch dir;
     # a single rename publishes them together or not at all — no window
     # where postings exist without their docs
@@ -151,9 +207,15 @@ def append_docs(spark: SparkSession, out_dir: str, new_docs: DataFrame,
 
 
 def delete_docs(spark: SparkSession, out_dir: str, doc_ids: list[int]) -> None:
-    """pop!/deleteat! analog: tombstone rows consulted at query time."""
+    """pop!/deleteat! analog: tombstone rows consulted at query time.
+    Each tombstone carries its creation ns so it kills only copies from
+    OLDER segments — a later re-push of the same doc_id stays live
+    (:func:`_apply_tombstones`)."""
+    recover_swap(out_dir)
     os.makedirs(_tombstones_dir(out_dir), exist_ok=True)
-    spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id LONG") \
+    ts = time.time_ns()
+    spark.createDataFrame([(int(d), ts) for d in doc_ids],
+                          "doc_id LONG, ts LONG") \
         .write.mode("append").parquet(_tombstones_dir(out_dir))
 
 
@@ -180,10 +242,10 @@ def _ordered_segments(out_dir: str) -> list[tuple[int, str]]:
     pre, app = [], []
     for b in _committed_batches(out_dir):
         (pre if os.path.basename(b).startswith("first-") else app).append(b)
-    segs = [(-(i + 1), os.path.join(b, "docs"))
+    segs = [(-(i + 1), os.path.join(b, "docs"), _batch_commit_ns(b))
             for i, b in enumerate(sorted(pre))]          # oldest → -1 …
-    segs.append((0, os.path.join(out_dir, "docs")))
-    segs += [(i + 1, os.path.join(b, "docs"))
+    segs.append((0, os.path.join(out_dir, "docs"), 0))
+    segs += [(i + 1, os.path.join(b, "docs"), _batch_commit_ns(b))
              for i, b in enumerate(sorted(app))]
     return segs
 
@@ -199,22 +261,22 @@ def positional_docs(spark: SparkSession, out_dir: str) -> DataFrame:
     Within a segment, order is the batch's recorded push order
     (``_seq``), a compaction-frozen position (``_pos``), or ``doc_id``
     for original builds."""
+    recover_swap(out_dir)
     parts = []
-    for seg, d_dir in _ordered_segments(out_dir):
+    for seg, d_dir, bts in _ordered_segments(out_dir):
         if not os.path.exists(d_dir):
             continue
         d = spark.read.parquet(d_dir)
         okey = ("_seq" if "_seq" in d.columns
                 else "_pos" if "_pos" in d.columns else "doc_id")
         parts.append(d.withColumn("_seg", F.lit(seg))
-                      .withColumn("_okey", F.col(okey).cast("long")))
+                      .withColumn("_okey", F.col(okey).cast("long"))
+                      .withColumn("_bts", F.lit(bts)))
     view = parts[0]
     for p in parts[1:]:
         view = view.unionByName(p, allowMissingColumns=True)
-    tombs = _read_optional(spark, _tombstones_dir(out_dir))
-    if tombs is not None:
-        view = view.join(tombs.select("doc_id").distinct(), "doc_id",
-                         "left_anti")
+    view = _apply_tombstones(view,
+                             _read_optional(spark, _tombstones_dir(out_dir)))
     w = Window.orderBy("_seg", "_okey", "doc_id")
     return (view.withColumn("pos_id", F.row_number().over(w).cast("long"))
             .drop("_seg", "_okey", "_seq", "_pos"))
@@ -249,7 +311,10 @@ def _read_optional(spark: SparkSession, path: str) -> DataFrame | None:
     if not os.path.exists(path) or not any(
             not e.startswith("_") for e in os.listdir(path)):
         return None
-    return spark.read.parquet(os.path.join(path, "*"))
+    # mergeSchema: a store carrying both legacy (doc_id) and stamped
+    # (doc_id, ts) tombstone files must surface the ts column
+    return spark.read.option("mergeSchema", "true") \
+        .parquet(os.path.join(path, "*"))
 
 
 def load_live_index(spark: SparkSession, out_dir: str,
@@ -270,34 +335,66 @@ def load_live_index(spark: SparkSession, out_dir: str,
         # segment carries it — a pre-bucketing delta degrades the union
         # to the unpruned scan, exactly the documented fallback
         parts = [spark.read.parquet(os.path.join(b, "postings"))
+                 .withColumn("_bts",
+                             F.lit(_batch_commit_ns(b)).cast("long"))
                  for b in batches]
         if not all("_tb" in d.columns for d in parts):
             parts = [d.drop("_tb") for d in parts]
         delta = parts[0]
         for d in parts[1:]:
             delta = delta.unionByName(d)
-    ddocs = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(b, "docs") for b in batches]) if batches else None
-    if ddocs is not None and "_seq" in ddocs.columns:
-        ddocs = ddocs.drop("_seq")   # positional-view bookkeeping only
+    ddocs = None
+    if batches:
+        # per-batch reads (each carries its commit stamp), merged by
+        # NAME with missing columns allowed: aligning on one batch's
+        # column list would silently strip a main-store carry column
+        # absent from that batch from the whole live view
+        dparts = [spark.read.option("mergeSchema", "true")
+                  .parquet(os.path.join(b, "docs"))
+                  .withColumn("_bts",
+                              F.lit(_batch_commit_ns(b)).cast("long"))
+                  for b in batches]
+        ddocs = dparts[0]
+        for d in dparts[1:]:
+            ddocs = ddocs.unionByName(d, allowMissingColumns=True)
+        if "_seq" in ddocs.columns:
+            ddocs = ddocs.drop("_seq")   # positional-view bookkeeping only
     tombs = _read_optional(spark, _tombstones_dir(out_dir))
     postings, docs = idx.postings, idx.docs
     n_new = 0
     if delta is not None:
-        postings = postings.select(delta.columns).unionByName(delta)
+        postings = (postings.select(
+            [c for c in delta.columns if c != "_bts"])
+            .withColumn("_bts", F.lit(0).cast("long"))
+            .unionByName(delta))
+        postings = _apply_tombstones(postings, tombs)
+    elif tombs is not None:
+        postings = _apply_tombstones(
+            postings.withColumn("_bts", F.lit(0).cast("long")), tombs)
     if ddocs is not None:
         n_new = ddocs.count()
-        docs = docs.select(ddocs.columns).unionByName(ddocs)
-    if tombs is not None:
-        t = tombs.select("doc_id").distinct()
-        postings = postings.join(t, "doc_id", "left_anti")
-        docs = docs.join(t, "doc_id", "left_anti")
+        docs = (docs.withColumn("_bts", F.lit(0).cast("long"))
+                .unionByName(ddocs, allowMissingColumns=True))
+        docs = _apply_tombstones(docs, tombs)
+    elif tombs is not None:
+        docs = _apply_tombstones(
+            docs.withColumn("_bts", F.lit(0).cast("long")), tombs)
     idx.postings, idx.docs = postings, docs
+    if batches or tombs is not None:
+        # the persisted champion prefixes describe the COMPACTED store:
+        # they can neither contain pushed docs nor reflect deletes, and
+        # the impact plan's exactness certificate would still pass on
+        # them (stale champion counts vs the frozen df) — drop them so
+        # impact_topk recomputes over the live postings
+        idx.champions = None
     idx.meta = dict(idx.meta)
     # meta["n_docs"] stays FROZEN — it feeds query-side idf/bm25 exactly
     # like the reference's build-time SA model stats; only result-size
     # clamping sees the live count.
-    idx.meta["n_live_docs"] = idx.meta["n_docs"] + n_new
+    if tombs is not None:
+        idx.meta["n_live_docs"] = docs.count()
+    else:
+        idx.meta["n_live_docs"] = idx.meta["n_docs"] + n_new
     return idx
 
 
@@ -418,6 +515,18 @@ def compact(spark: SparkSession, out_dir: str,
                 spark.read.parquet(os.path.join(snap, "terms")),
                 live.meta["n_docs"], live.cfg) \
         .write.parquet(os.path.join(snap, "blocks"))
+    champion_p = int(m.get("champion_p") or 0)
+    if champion_p:
+        # the fold recomputes term_max from live postings; champions
+        # need the same treatment — the copied meta keeps champion_p
+        # set, and a snapshot without the table would silently demote
+        # every impact_topk to a per-query champion_lists rebuild
+        from garamond_jl_spark.operators.impact import champion_lists
+        champion_lists(
+            InvertedIndex(docs=live.docs, terms=live.terms,
+                          postings=spark.read.parquet(
+                              os.path.join(snap, "postings"))),
+            champion_p).write.parquet(os.path.join(snap, "champions"))
     shutil.copy(os.path.join(out_dir, "meta.json"),
                 os.path.join(snap, "meta.json"))
     if os.path.exists(os.path.join(out_dir, "lineage")):
@@ -441,7 +550,12 @@ def stream_append(spark: SparkSession, out_dir: str, source_dir: str,
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        append_docs(spark, out_dir, batch_df, id_col, text_col, tokenizer)
+        # batch_id-keyed idempotence: foreachBatch replays a batch when
+        # the driver dies between the append commit and the checkpoint
+        # commit; the tag makes the replay a no-op instead of a
+        # double-append
+        append_docs(spark, out_dir, batch_df, id_col, text_col, tokenizer,
+                    dedupe_tag=f"sb{batch_id:012d}")
 
     (stream.writeStream.foreachBatch(sink)
      .option("checkpointLocation", ckpt)

@@ -238,3 +238,89 @@ def test_positions_survive_compaction(spark, built):
     live = load_live_index(spark, built)
     assert "_pos" not in live.docs.columns
     assert "_seq" not in live.docs.columns
+
+
+def test_repush_after_delete_resurrects(spark, built):
+    """delete then push the same doc_id: the re-pushed doc is live (the
+    tombstone kills only the OLDER copies), and compaction keeps it."""
+    new = _new_batch(spark, 10_010, "main main run data")
+    assert append_docs(spark, built, new) > 0
+    delete_docs(spark, built, [10_010])
+    live = load_live_index(spark, built)
+    assert 10_010 not in {r["doc_id"] for r in live.docs.select(
+        "doc_id").collect()}
+    # re-push the SAME id with new content
+    assert append_docs(spark, built,
+                       _new_batch(spark, 10_010, "decode_7 free_4")) > 0
+    live = load_live_index(spark, built)
+    docs = {r["doc_id"] for r in live.docs.select("doc_id").collect()}
+    assert 10_010 in docs
+    hits = search(spark, live, ["decode_7"], k=5, hydrate=False,
+                  pad_to_k=False).collect()
+    assert 10_010 in {r["doc_id"] for r in hits}
+    # exactly ONE live copy (the old postings stay dead)
+    assert live.docs.where(F.col("doc_id") == 10_010).count() == 1
+    compact(spark, built)
+    after = load_live_index(spark, built)
+    assert after.docs.where(F.col("doc_id") == 10_010).count() == 1
+    hits = search(spark, after, ["decode_7"], k=5, hydrate=False,
+                  pad_to_k=False).collect()
+    assert 10_010 in {r["doc_id"] for r in hits}
+
+
+def test_append_dedupe_tag_is_idempotent(spark, built):
+    """A replayed batch (same dedupe_tag) is a no-op — the foreachBatch
+    crash-replay path cannot double-append."""
+    new = _new_batch(spark, 10_020, "main run")
+    assert append_docs(spark, built, new, dedupe_tag="sb000000000007") > 0
+    assert append_docs(spark, built, new, dedupe_tag="sb000000000007") == 0
+    live = load_live_index(spark, built)
+    assert live.docs.where(F.col("doc_id") == 10_020).count() == 1
+
+
+def test_n_live_docs_reflects_deletes(spark, built):
+    live = load_live_index(spark, built)
+    n0 = live.meta["n_live_docs"]
+    assert n0 == live.meta["n_docs"]
+    delete_docs(spark, built, [0, 1, 2])
+    live = load_live_index(spark, built)
+    assert live.meta["n_live_docs"] == n0 - 3
+
+
+def test_compact_fold_rebuilds_champions(spark, built):
+    from garamond_jl_spark.operators.persist import load_index
+    append_docs(spark, built, _new_batch(spark, 10_030, "main main run"))
+    # live view drops the stale champion prefixes entirely
+    assert load_live_index(spark, built).champions is None
+    compact(spark, built)
+    idx = load_index(spark, built)
+    assert idx.champions is not None
+    champ_docs = {r["doc_id"] for r in
+                  idx.champions.where(F.col("term") == "main")
+                  .select("doc_id").collect()}
+    assert 10_030 in champ_docs          # pushed doc made the prefix
+
+
+def test_tokenizer_identity_enforced(spark, tmp_path):
+    from garamond_jl_spark.operators.persist import load_index
+
+    def tok_a(s):
+        return s.split()
+
+    def tok_b(s):
+        return s.split()
+
+    out = str(tmp_path / "idx_tok")
+    docs = assign_dense_ids(corpus_df(spark, 30, seed=1, partitions=2),
+                            ["repo", "path", "commit"])
+    build_persistent(spark, docs, CFG, out, n_buckets=2, tokenizer=tok_a)
+    with pytest.raises(ValueError, match="tok_a"):
+        load_index(spark, out)                      # forgot it
+    with pytest.raises(ValueError, match="tok_b"):
+        load_index(spark, out, tokenizer=tok_b)     # wrong one
+    load_index(spark, out, tokenizer=tok_a)         # right one opens
+
+    out2 = str(tmp_path / "idx_plain")
+    build_persistent(spark, docs, CFG, out2, n_buckets=2)
+    with pytest.raises(ValueError, match="default tokenizer"):
+        load_index(spark, out2, tokenizer=tok_a)    # spurious tokenizer
