@@ -231,6 +231,16 @@ def parse_configuration(config_path: str) -> dict:
             _warn(eid, "glove_vocabulary missing for binary GloVe "
                        "embeddings; ignoring embedder.")
             continue
+        if ekind != "parquet" and e.get("embeddings_path"):
+            # the reference reads :binary/:text word-vector FILES;
+            # this engine reads (term, i, v) parquet tables only —
+            # attempting the read later would crash mid-build with an
+            # opaque 'not a Parquet file' error, so drop the embedder
+            # inside the per-embedder try like the reference does
+            _warn(eid, f"embeddings_kind={ekind} files are not readable "
+                       "in this engine (embeddings_path must be a "
+                       "parquet (term,i,v) table); ignoring embedder.")
+            continue
         oov = str(e.get("oov_policy", DEFAULT_OOV_POLICY))
         if oov not in ("none", "large_vector"):
             _warn(eid, f"Defaulting oov_policy={DEFAULT_OOV_POLICY}.")
@@ -328,6 +338,14 @@ def parse_configuration(config_path: str) -> dict:
             _warn(sid, "Defaulting indexable_fields=None.")
             indexable = None
         data_emb = s.get("data_embedder")
+        if data_emb is None:
+            # config_parser.jl requires it; leaving it None would also
+            # crash the unknown-embedder sort below with a TypeError
+            raise ConfigError(f"[{sid}] searcher has no data_embedder")
+        # embedder ids are str()-coerced above — coerce the REFERENCES
+        # the same way or a self-consistent config with integer ids
+        # fails the unknown-embedder check
+        data_emb = str(data_emb)
         searchers.append({
             "id": sid,
             "description": str(s.get("description", "")),
@@ -336,7 +354,7 @@ def parse_configuration(config_path: str) -> dict:
             "data_embedder": data_emb,
             # searcher.jl:163 embeds the QUERY with the input embedder;
             # defaults to the data embedder (config_parser.jl:276)
-            "input_embedder": s.get("input_embedder", data_emb),
+            "input_embedder": str(s.get("input_embedder") or data_emb),
             "heuristic": heuristic,
             "indexable_fields": indexable,
             "score_alpha": float(s.get("score_alpha", DEFAULT_SCORE_ALPHA)),
@@ -439,6 +457,15 @@ def build_search_env(spark: SparkSession, config_path: str,
                         "strip_pronouns", "strip_stopwords"})
             if "strip_numbers" in fset:
                 kw["token_pattern"] = r"[a-z_]+"
+        if not kw["lowercase"]:
+            # the default token patterns assume lowercased text; when
+            # case is preserved (lowercase=false, or strip_case absent
+            # from text_strip_flags) uppercase letters must stay word
+            # characters, not token separators
+            kw["token_pattern"] = {
+                r"[a-z0-9_]+": r"[A-Za-z0-9_]+",
+                r"[a-z_]+": r"[A-Za-z_]+",
+            }.get(kw["token_pattern"], kw["token_pattern"])
         return EngineConfig(**kw)
 
     def build_classic(e: dict, score_alpha: float,
@@ -448,6 +475,24 @@ def build_search_env(spark: SparkSession, config_path: str,
                                         e["id"])
         return build_index(spark, df, engine_config(e, score_alpha),
                            id_col=id_key, text_col=text_col)
+
+    wv_dim_cache: dict[str, int] = {}
+
+    def _wv_dim(e: dict) -> int:
+        """The word-vector dimensionality build_semantic/_dense_dim
+        lay blocks out with.  An external embeddings_path table's TRUE
+        dim is its max component index (1-based) — falling back to 16
+        there would block-offset cpmean/borep/disc embeddings built
+        over a e.g. 300-dim table into overlapping garbage."""
+        if e["vectors_dimension"]:
+            return int(e["vectors_dimension"])
+        path = e["embeddings_path"]
+        if path:
+            if path not in wv_dim_cache:
+                wv_dim_cache[path] = int(
+                    spark.read.parquet(path).agg(F.max("i")).first()[0])
+            return wv_dim_cache[path]
+        return 16
 
     def word_vector_table(e: dict, df: DataFrame, text_col: str):
         from garamond_jl_spark.operators.semantic import \
@@ -461,10 +506,9 @@ def build_search_env(spark: SparkSession, config_path: str,
                     f"[{e['id']}] embeddings_path does not exist: "
                     f"{e['embeddings_path']}")
             return spark.read.parquet(e["embeddings_path"])
-        dim = e["vectors_dimension"] or 16
         vocab = (df.select(F.explode(F.split(F.col(text_col), " "))
                            .alias("term")).where(F.col("term") != ""))
-        return synthetic_word_vectors(vocab, dim=dim,
+        return synthetic_word_vectors(vocab, dim=_wv_dim(e),
                                       seed=e["embeddings_seed"])
 
     def attach_index(searcher, s: dict):
@@ -541,8 +585,23 @@ def build_search_env(spark: SparkSession, config_path: str,
                                                           SIFSearcher)
         fields = s.get("indexable_fields") or e["embeddable_fields"]
         df, text_col = _embeddable_text(data, fields, e["id"])
+        if e["lowercase"]:
+            # the reference runs prepare() before embedding
+            # (embedder/interface.jl:171); at minimum the case fold
+            # must apply or every capitalized token misses a lowercase
+            # word-vector vocabulary.  The split itself stays
+            # whitespace (dense embedders carry no token_pattern).
+            df = df.withColumn(text_col, F.lower(F.col(text_col)))
+        for knob, is_set in (("stem_words", e["stem_words"]),
+                             ("text_strip_flags",
+                              e.get("text_strip_flags") is not None)):
+            if is_set:
+                # explicit non-defaults a user would expect to act
+                _warn(e["id"], f"{knob} is not applied to semantic "
+                               "embedders (lowercase + whitespace "
+                               "tokens only).")
         wv = word_vector_table(e, df, text_col)
-        wv_dim = e["vectors_dimension"] or 16
+        wv_dim = _wv_dim(e)
         method = e["doc2vec_method"]
         alpha = s["score_alpha"]
         if method == "disc":
@@ -577,7 +636,7 @@ def build_search_env(spark: SparkSession, config_path: str,
     def _dense_dim(e: dict) -> int | None:
         """Output dimensionality of an embedder's DENSE embedding, or
         None when the embedder yields no dense space (plain classic)."""
-        wv_dim = e["vectors_dimension"] or 16
+        wv_dim = _wv_dim(e)
         if e["classic"]:
             return (e["vectors_dimension"]
                     if e["vectors_transform"] in ("rp", "lsa") else None)
@@ -705,4 +764,17 @@ def reindex_searchers(env: SearchEnv, which: str = "*") -> SearchEnv:
         objs = [env.index] + [s for s, _ in env.searchers]
         keep = {sid: obj for sid, obj in zip(env.searcher_ids, objs)
                 if sid != which}
-    return build_search_env(env.spark, env.config_path, _keep=keep)
+    new_env = build_search_env(env.spark, env.config_path, _keep=keep)
+    # release the REPLACED searchers' persisted doc embeddings: each
+    # rebuild persists a fresh embedding set, and a long-lived serving
+    # env reindexing in a loop would otherwise grow Spark storage by
+    # one full set per cycle until executors evict or OOM
+    kept = {id(o) for o in (keep or {}).values()}   # identity: dataclass
+    for obj, _w in [(env.index, None)] + list(env.searchers):  # eq unhashable
+        emb = getattr(obj, "doc_embeddings", None)
+        if id(obj) not in kept and emb is not None:
+            try:
+                emb.unpersist()
+            except Exception:
+                pass
+    return new_env

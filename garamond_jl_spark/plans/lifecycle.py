@@ -329,7 +329,8 @@ def search_grouped(env: SearchEnv, request: InternalRequest
     Filter-only and empty requests have no per-searcher results in the
     reference either — they produce the single environment entry."""
     parsed = parse_input(env.schema, request.query, request.input_parser,
-                         searchable_filters=request.searchable_filters)
+                         searchable_filters=request.searchable_filters,
+                         keep_punct=(request.search_method == "regex"))
     ids = env.agg_ids or []
     ids = (list(ids) + [None] * (1 + len(env.searchers)))[
         :1 + len(env.searchers)]
@@ -375,7 +376,13 @@ def search_many(env: SearchEnv, requests: list[InternalRequest]
     batch: list[int] = []      # request indexes served by the batch plan
     fallback: list[int] = []   # filter-only / combined → single path
     for i, p in enumerate(parsed):
-        if p.search.strip() and not p.filter:
+        # regex requests embed through the vocabulary-expansion path
+        # and custom_weights reweight the per-searcher merge — both are
+        # single-request plans; batching them here would silently run
+        # them as plain exact searches with env weights
+        if (p.search.strip() and not p.filter
+                and requests[i].search_method != "regex"
+                and not requests[i].custom_weights):
             batch.append(i)
         else:
             fallback.append(i)
@@ -558,19 +565,23 @@ def recommend(env: SearchEnv, request: InternalRequest) -> DataFrame:
             .where(F.col("rank") <= request.max_matches).drop("_old_rank"))
 
 
-def respond(env: SearchEnv, request: InternalRequest) -> DataFrame:
-    """Operation dispatch (server/search.jl:51-127) + hydration (J2) +
-    pagination (T4: response_size/response_page windowing,
-    server/search.jl:151-152)."""
+def _respond_hits(env: SearchEnv, request: InternalRequest) -> DataFrame:
+    """Operation dispatch (server/search.jl:51-127): the FULL ranked
+    hit set, before pagination."""
     op = request.operation
     if op == "search":
-        hits = search(env, request)
-    elif op == "rank":
-        hits = rank_ids(env, request)
-    elif op == "recommend":
-        hits = recommend(env, request)
-    else:
-        raise ValueError(f"unsupported operation: {op}")
+        return search(env, request)
+    if op == "rank":
+        return rank_ids(env, request)
+    if op == "recommend":
+        return recommend(env, request)
+    raise ValueError(f"unsupported operation: {op}")
+
+
+def _paginate_hydrate(env: SearchEnv, request: InternalRequest,
+                      hits: DataFrame) -> DataFrame:
+    """Hydration (J2) + pagination (T4: response_size/response_page
+    windowing, server/search.jl:151-152)."""
     lo = (request.response_page - 1) * request.response_size
     hi = lo + request.response_size
     hits = hits.where((F.col("rank") > lo) & (F.col("rank") <= hi))
@@ -583,13 +594,26 @@ def respond(env: SearchEnv, request: InternalRequest) -> DataFrame:
                .select("doc_id", "score", "rank", *cols)
 
 
+def respond(env: SearchEnv, request: InternalRequest) -> DataFrame:
+    """Operation dispatch + hydration + pagination."""
+    return _paginate_hydrate(env, request, _respond_hits(env, request))
+
+
 def response_json(env: SearchEnv, request: InternalRequest) -> str:
     """F15 response building: collect the (small, paginated) respond()
     result and JSON-encode it — the serving-layer boundary
     (/root/reference/src/server/search.jl:135-170 build_response;
     transports themselves are out of engine scope)."""
     import json
-    rows = [r.asDict() for r in respond(env, request).collect()]
+    hits = _respond_hits(env, request)
+    # the reference's n_total_results counts ALL matches BEFORE the
+    # page window (search.jl:141) — a client paging through 100 hits
+    # must see 100 on every page, not the page length.  The hit set is
+    # already bounded by max_matches, so the count is cheap; Spark
+    # reuses the plan for the paginated collect below.
+    n_total = hits.count()
+    rows = [r.asDict()
+            for r in _paginate_hydrate(env, request, hits).collect()]
     rows.sort(key=lambda r: r["rank"])
     suggestions: dict[str, list[str]] = {}
     if (request.max_suggestions > 0 and request.operation == "search"
@@ -619,7 +643,7 @@ def response_json(env: SearchEnv, request: InternalRequest) -> str:
     return json.dumps({
         "operation": request.operation,
         "query": request.query,
-        "n_total_results": len(rows),
+        "n_total_results": n_total,
         "results": rows,
         "suggestions": suggestions,
     }, default=str)

@@ -563,3 +563,106 @@ def test_custom_weights_rescale_searchers(spark, tmp_path):
                 query="spark join data", max_matches=8,
                 tiebreak_round=9)).collect(), key=lambda r: r["rank"])]
     assert got == want
+
+
+def test_int_embedder_ids_and_missing_data_embedder(spark, tmp_path):
+    """Integer ids in the JSON are str()-coerced consistently on both
+    the embedder and the reference side; a searcher without
+    data_embedder is a clear ConfigError, not a TypeError."""
+    cfg = _base_config()
+    cfg["embedders"][0]["id"] = 1
+    cfg["searchers"][0]["data_embedder"] = 1
+    env = build_search_env(spark, _write(tmp_path, cfg))
+    assert env.index.meta["n_docs"] > 0
+
+    cfg2 = _base_config()
+    del cfg2["searchers"][0]["data_embedder"]
+    with pytest.raises(ConfigError, match="data_embedder"):
+        parse_configuration(_write(tmp_path, cfg2))
+
+
+def test_preserved_case_widens_token_pattern(spark, tmp_path):
+    """lowercase=false (or text_strip_flags without strip_case) must
+    not turn uppercase letters into token separators: 'Hello' indexes
+    as one case-preserved token."""
+    import pyspark.sql.functions as F
+    cfg = _base_config()
+    cfg["embedders"][0]["lowercase"] = False
+    env = build_search_env(spark, _write(tmp_path, cfg))
+    # rebuild over data containing capitalized text via the same cfg
+    from garamond_jl_spark.plans.env_config import parse_configuration
+    docs = spark.createDataFrame([(1, "Hello World"), (2, "hello world")],
+                                 "doc_id LONG, text STRING")
+    from garamond_jl_spark.operators.build import build_index
+    idx = build_index(spark, docs, env.index.cfg, id_col="doc_id",
+                      text_col="text")
+    terms = {r["term"] for r in idx.terms.select("term").collect()}
+    assert "Hello" in terms and "hello" in terms
+    assert "ello" not in terms
+
+
+def test_semantic_embedder_lowercases_like_reference(spark, tmp_path):
+    """The dense path runs the case fold before embedding
+    (embedder/interface.jl:171 prepare) — capitalized text must hit
+    the lowercase word-vector vocabulary, not go OOV."""
+    docs_path = str(tmp_path / "cap_docs.parquet")
+    spark.createDataFrame([(1, "Spark Join Data"), (2, "spark join data"),
+                           (3, "window merge")],
+                          "doc_id LONG, text STRING") \
+        .write.parquet(docs_path)
+    cfg = _base_config()
+    cfg["data_loader_arguments"] = [docs_path]
+    cfg["embedders"].append(
+        {"id": "sem", "vectors": "word2vec", "doc2vec_method": "boe",
+         "vectors_dimension": 8, "embeddings_seed": 0,
+         "embeddable_fields": ["text"]})
+    cfg["searchers"].append(
+        {"id": "s2", "data_embedder": "sem", "score_alpha": 0.4,
+         "score_weight": 1.0})
+    env = build_search_env(spark, _write(tmp_path, cfg))
+    boe = env.searchers[0][0]
+    embs = {r["doc_id"] for r in
+            boe.doc_embeddings.select("doc_id").distinct().collect()}
+    assert embs == {1, 2, 3}        # doc 1 embedded despite the caps
+    import numpy as np
+    e1 = sorted((r["i"], r["dv"]) for r in
+                boe.doc_embeddings.where(F.col("doc_id") == 1).collect())
+    e2 = sorted((r["i"], r["dv"]) for r in
+                boe.doc_embeddings.where(F.col("doc_id") == 2).collect())
+    assert np.allclose([v for _, v in e1], [v for _, v in e2])
+
+
+def test_external_embeddings_infer_dim_and_kind_gate(spark, tmp_path):
+    """An external parquet word-vector table's dim is inferred from its
+    components (not the 16 fallback); a binary/text embeddings_kind
+    with a path drops the embedder like the reference's per-embedder
+    try."""
+    wv_path = str(tmp_path / "wv.parquet")
+    rows = [(t, i, 0.1 * i) for t in ("spark", "join", "data")
+            for i in range(1, 25)]                       # 24-dim table
+    spark.createDataFrame(rows, "term STRING, i INT, v DOUBLE") \
+        .write.parquet(wv_path)
+    cfg = _base_config()
+    cfg["embedders"].append(
+        {"id": "sem", "vectors": "word2vec", "doc2vec_method": "cpmean",
+         "embeddings_path": wv_path, "embeddable_fields": ["text"]})
+    cfg["searchers"].append(
+        {"id": "s2", "data_embedder": "sem", "score_alpha": 0.4,
+         "score_weight": 1.0})
+    env = build_search_env(spark, _write(tmp_path, cfg))
+    cp = env.searchers[0][0]
+    # cpmean lays out 4 power-mean blocks of the TRUE dim
+    assert cp.doc_embeddings.agg(F.max("i")).first()[0] == 4 * 24
+
+    cfg2 = _base_config()
+    cfg2["embedders"].append(
+        {"id": "sem", "vectors": "word2vec", "doc2vec_method": "boe",
+         "embeddings_path": wv_path, "embeddings_kind": "binary",
+         "embeddable_fields": ["text"]})
+    cfg2["searchers"].append(
+        {"id": "s2", "data_embedder": "sem", "score_alpha": 0.4,
+         "score_weight": 1.0})
+    with pytest.raises(ConfigError, match="unknown"):
+        # the dropped embedder leaves searcher s2 dangling — the
+        # structural check reports it (per-embedder-try semantics)
+        parse_configuration(_write(tmp_path, cfg2))

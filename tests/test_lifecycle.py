@@ -514,3 +514,42 @@ def test_describe_engine_objects(env, spark):
     assert "searchers = [" in block
     assert "[0] InvertedIndex (bm25)" in block and "weight=1.0" in block
     assert "[1] BOESearcher" in block and "weight=0.5" in block
+
+
+def test_search_many_routes_regex_and_custom_weights_to_fallback(env):
+    """Batched regex requests ran as plain exact searches before (the
+    batch path strips metacharacters and never expands the vocabulary);
+    custom_weights likewise only apply in search().  Both now fall back
+    to the single-request plan and match search() exactly."""
+    from garamond_jl_spark.plans.lifecycle import search_many
+    reqs = [
+        InternalRequest(query="main run", max_matches=5, tiebreak_round=6),
+        InternalRequest(query="dec.*", max_matches=5, tiebreak_round=6,
+                        search_method="regex"),
+        InternalRequest(query="main run", max_matches=5, tiebreak_round=6,
+                        custom_weights={"x": 2.0}),
+    ]
+    got = search_many(env, reqs).collect()
+    by_req = {}
+    for r in got:
+        by_req.setdefault(r["request_id"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 9)))
+    for i, req in enumerate(reqs):
+        want = [(r["rank"], r["doc_id"], round(r["score"], 9))
+                for r in search(env, req).collect()]
+        assert sorted(by_req.get(i, [])) == sorted(want), f"req {i}"
+    assert by_req[1]                     # the regex actually matched
+
+
+def test_response_total_counts_before_pagination(env):
+    """n_total_results is the reference's TOTAL match count
+    (search.jl:141), not the page length."""
+    import json
+
+    from garamond_jl_spark.plans.lifecycle import response_json
+    req = InternalRequest(query="main run", max_matches=8,
+                          response_size=3, response_page=2)
+    resp = json.loads(response_json(env, req))
+    assert resp["n_total_results"] == 8
+    assert len(resp["results"]) == 3
+    assert [r["rank"] for r in resp["results"]] == [4, 5, 6]
