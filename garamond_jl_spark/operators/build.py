@@ -392,6 +392,22 @@ def weighted_postings_local(postings: DataFrame, terms: DataFrame,
     return p.select(*in_cols).mapInArrow(add_norms, WEIGHTED_SCHEMA)
 
 
+def block_strides(terms: DataFrame, n_docs: int,
+                  cfg: EngineConfig) -> DataFrame:
+    """(term, _stride) for every blocked term — the df-adaptive bucket
+    stride ``pack_blocks`` groups by.  ONE definition: WAND's flat-path
+    scoring recomputes posting → bucket keys with this same expression
+    (operators/wand.py), and any drift between packer and query would
+    silently mis-map survivors to empty buckets."""
+    bs = float(cfg.block_size)
+    return terms.where(F.col("df") >= F.lit(cfg.min_block_df)).select(
+        "term",
+        F.pow(F.lit(2.0), F.ceil(F.log2(
+            F.greatest(F.lit(1.0),
+                       F.lit(bs) * F.lit(float(n_docs)) / F.col("df"))
+        ))).cast("long").alias("_stride"))
+
+
 def pack_blocks(postings_w: DataFrame, terms: DataFrame, n_docs: int,
                 cfg: EngineConfig) -> DataFrame:
     """Stage 5: skew-free posting blocks with block-max scores.
@@ -406,12 +422,7 @@ def pack_blocks(postings_w: DataFrame, terms: DataFrame, n_docs: int,
     group count while those posting lists are too short for block-max
     pruning to ever help.  WAND reads unblocked query terms from the
     flat postings table (operators/wand.py)."""
-    bs = float(cfg.block_size)
-    strides = terms.where(F.col("df") >= F.lit(cfg.min_block_df)).select(
-        "term",
-        F.pow(F.lit(2.0), F.ceil(F.log2(
-            F.greatest(F.lit(1.0), F.lit(bs) * F.lit(float(n_docs)) / F.col("df"))
-        ))).cast("long").alias("_stride"))
+    strides = block_strides(terms, n_docs, cfg)
     p = (postings_w.join(strides, "term")
          .withColumn("_bucket", (F.col("doc_id") / F.col("_stride")).cast("long")))
 

@@ -102,6 +102,7 @@ def impact_topk(spark: SparkSession, index: InvertedIndex,
     qt_rows = qterms.collect()          # driver-built rows (tiny)
     if not qt_rows:
         return topk_plan(index, qterms, k, tiebreak_round, pad_to_k)
+    recomputed = False
     if champions is None:
         stored_p = index.meta.get("champion_p") if index.meta else None
         if index.champions is not None and stored_p and stored_p >= p:
@@ -109,6 +110,7 @@ def impact_topk(spark: SparkSession, index: InvertedIndex,
             champions = index.champions.where(F.col("imp_rank") <= p)
         else:
             champions = champion_lists(index, p)
+            recomputed = True
     # caller-supplied tables need no depth probe: the certificate's
     # truncation test compares champion counts against true df per term
     # (term_thetas), which is sound and tight for ANY prefix depth.
@@ -116,6 +118,12 @@ def impact_topk(spark: SparkSession, index: InvertedIndex,
 
     # candidates: champions of the query's terms, fanned out per query
     ch = champions.where(F.col("term").isin(q_terms))
+    if recomputed:
+        # the per-term champion window over live postings feeds BOTH
+        # the candidate top-k and the term_thetas collect below —
+        # persist the (≤ p·|q_terms| rows) prefix or the window scan,
+        # the heaviest stage of the plan, runs twice per batch
+        ch = ch.persist()
     cand = (F.broadcast(qterms.select("query_id", "term"))
             .join(ch, "term")
             .select("query_id", "doc_id").distinct())
@@ -147,11 +155,20 @@ def impact_topk(spark: SparkSession, index: InvertedIndex,
             .where(F.col("rank") <= k).persist())
 
     # certificate: k-th candidate (by the ranking key) vs the
-    # hidden-mass bound B_q
-    dfs = index.terms.where(F.col("term").isin(q_terms)).select("term", "df")
+    # hidden-mass bound B_q.  On an incremental live view the frozen
+    # index.terms df UNDERCOUNTS appended postings: a term whose live
+    # list outgrew the prefix would look "fully covered" (theta=0) and
+    # the certificate would pass while hidden pushed docs rank — so df
+    # must come from the same live postings the champions came from.
+    if index.meta.get("live_deltas"):
+        dfs = (pruned_postings(index, qterms)
+               .where(F.col("term").isin(q_terms))
+               .groupBy("term").agg(F.count("*").alias("df")))
+    else:
+        dfs = index.terms.where(F.col("term").isin(q_terms)) \
+            .select("term", "df")
     thetas = {r["term"]: r["theta"] for r in
-              term_thetas(champions.where(F.col("term").isin(q_terms)), dfs)
-              .collect()}
+              term_thetas(ch, dfs).collect()}
     bq: dict[int, float] = {}
     for r in qt_rows:
         bq[r["query_id"]] = (bq.get(r["query_id"], 0.0)
@@ -175,8 +192,14 @@ def impact_topk(spark: SparkSession, index: InvertedIndex,
             return kth_key > b_score
         # rounded-rank parity semantics: a non-candidate may TIE at the
         # rounded precision and win the doc_id tiebreak, so require the
-        # ROUNDED keys to separate strictly
-        return kth_key > round(b_score, tiebreak_round)
+        # ROUNDED keys to separate strictly.  Round HALF_UP like Spark's
+        # F.round — Python round() is banker's (HALF_EVEN) and rounds a
+        # midpoint LOW half the time, under-stating the bound exactly
+        # when a hidden doc would Spark-round into a tie.
+        from decimal import ROUND_HALF_UP, Decimal
+        b_rounded = float(Decimal(repr(b_score)).quantize(
+            Decimal(1).scaleb(-tiebreak_round), rounding=ROUND_HALF_UP))
+        return kth_key > b_rounded
 
     all_qids = sorted(bq)
     certified = [q for q in all_qids if _ok(q)]
@@ -199,4 +222,6 @@ def impact_topk(spark: SparkSession, index: InvertedIndex,
     # candidate top-k (same leak-avoidance contract as wand_topk)
     out = out.localCheckpoint(eager=True)
     topc.unpersist()
+    if recomputed:
+        ch.unpersist()
     return out

@@ -111,7 +111,11 @@ def wand_topk(spark: SparkSession, index: InvertedIndex,
       varbyte codec (the only plan when flat postings are not stored,
       e.g. a compressed-only deployment reading cold object storage).
     """
-    assert index.blocks is not None, "index was built without blocks"
+    if index.blocks is None:
+        raise ValueError(
+            "index has no packed blocks (built without with_blocks, or "
+            "an incremental live view — blocks cover only the compacted "
+            "store; compact() first or use plan='exact'/'impact')")
     cfg = index.cfg
     qterms = embed_queries(spark, index, queries)
     qt = (qterms.join(index.terms.select("term", "term_max_wnorm"), "term")
@@ -125,10 +129,13 @@ def wand_topk(spark: SparkSession, index: InvertedIndex,
                     + F.col("s_all") - F.col("qmax"))
 
     # terms below min_block_df have no blocks (build.pack_blocks): their
-    # short posting lists are always scored in full from flat postings —
-    # both for θ seeding (they sharpen it cheaply) and in phase 3
+    # short posting lists are always scored in full from flat postings
+    # (partition-pruned to the query's term buckets) — both for θ
+    # seeding (they sharpen it cheaply) and in phase 3
+    from garamond_jl_spark.operators.query import pruned_postings
     blocked_terms = qblocks.select("term").distinct()
-    unblocked_posts = (index.postings.select("term", "doc_id", "wnorm")
+    unblocked_posts = (pruned_postings(index, qterms)
+                       .select("term", "doc_id", "wnorm")
                        .join(F.broadcast(
                            qt.select("term").distinct()
                            .join(blocked_terms, "term", "left_anti")), "term"))
@@ -158,31 +165,47 @@ def wand_topk(spark: SparkSession, index: InvertedIndex,
     theta.count()
 
     # ---- phase 2: SQL-only block pruning ---------------------------------
+    # rounded-tiebreak margin: the exact plan ranks on round(score, r),
+    # so a doc whose true score sits just BELOW θ can still round into
+    # a tie with the k-th doc and win the doc_id tiebreak.  Widen the
+    # keep-region by the cosine-space equivalent of one rounding ulp
+    # (score is Lipschitz in cos with derivative ≥ α·sech²(α) on
+    # cos ∈ [0,1], so Δcos = 10^-r / that bound over-covers Δscore =
+    # 10^-r) — same parity concern impact.py handles on its certificate.
+    if tiebreak_round is not None:
+        import math
+        d_min = cfg.score_alpha / math.cosh(cfg.score_alpha) ** 2
+        tie_margin = (10.0 ** -tiebreak_round) / d_min
+    else:
+        tie_margin = 0.0
     pruned = (qblocks.join(F.broadcast(theta), "query_id", "left")
               .withColumn("theta", F.coalesce("theta", F.lit(0.0)))
-              .where(F.col("ub") >= F.col("theta")))
+              .where(F.col("ub") >= F.col("theta") - F.lit(tie_margin)))
     survivors = pruned.select("term", "min_doc_id").distinct().persist()
 
     # ---- phase 3: exact scoring of survivors -----------------------------
     if scoring == "flat":
-        # bucket-level semi-join: recompute the packer's df-adaptive
-        # stride (operators/build.pack_blocks) so posting → bucket is an
-        # EQUI-join key — no range-join blow-up, fully JVM-side.  A
-        # bucket survives if any of its blocks survives (conservative,
-        # sound: never removes docs that pruning kept).
-        bs = float(cfg.block_size)
-        n_docs = float(index.meta["n_docs"])
-        strides = index.terms.where(
-            F.col("df") >= F.lit(cfg.min_block_df)).select(
-            "term",
-            F.pow(F.lit(2.0), F.ceil(F.log2(F.greatest(
-                F.lit(1.0), F.lit(bs) * F.lit(n_docs) / F.col("df")))))
-            .cast("long").alias("_stride"))
+        # bucket-level semi-join: reuse the packer's df-adaptive stride
+        # (build.block_strides — ONE definition, no drift) so posting →
+        # bucket is an EQUI-join key — no range-join blow-up, fully
+        # JVM-side.  A bucket survives if any of its blocks survives
+        # (conservative, sound: never removes docs that pruning kept).
+        # Strides and the postings scan are both restricted to the
+        # QUERY's terms — joining all blocked terms of the index paid a
+        # whole-index scan per batch — and the scan goes through
+        # pruned_postings for the term-bucketed partition pruning the
+        # exact/impact plans already get.
+        from garamond_jl_spark.operators.build import block_strides
+        from garamond_jl_spark.operators.query import pruned_postings
+        q_term_df = qt.select("term").distinct()
+        strides = block_strides(index.terms, index.meta["n_docs"], cfg) \
+            .join(F.broadcast(q_term_df), "term", "left_semi")
         surv_buckets = (survivors.join(strides, "term")
                         .select("term", (F.col("min_doc_id") / F.col("_stride"))
                                 .cast("long").alias("_bucket"))
                         .distinct())
-        posts = (index.postings.select("term", "doc_id", "wnorm")
+        posts = (pruned_postings(index, qterms)
+                 .select("term", "doc_id", "wnorm")
                  .join(strides, "term")
                  .withColumn("_bucket", (F.col("doc_id") / F.col("_stride"))
                              .cast("long"))

@@ -385,8 +385,16 @@ def load_live_index(spark: SparkSession, out_dir: str,
         # they can neither contain pushed docs nor reflect deletes, and
         # the impact plan's exactness certificate would still pass on
         # them (stale champion counts vs the frozen df) — drop them so
-        # impact_topk recomputes over the live postings
+        # impact_topk recomputes over the live postings.  Packed blocks
+        # are stale the same way (pushed docs absent, deleted docs
+        # resurfacing, block_max undercounting) — drop them too so
+        # plan='wand' fails loudly instead of silently mis-ranking.
         idx.champions = None
+        idx.blocks = None
+        idx.meta = dict(idx.meta)
+        # impact_topk reads this: certificate df must come from the
+        # LIVE postings, not the frozen terms table
+        idx.meta["live_deltas"] = True
     idx.meta = dict(idx.meta)
     # meta["n_docs"] stays FROZEN — it feeds query-side idf/bm25 exactly
     # like the reference's build-time SA model stats; only result-size

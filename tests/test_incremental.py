@@ -324,3 +324,39 @@ def test_tokenizer_identity_enforced(spark, tmp_path):
     build_persistent(spark, docs, CFG, out2, n_buckets=2)
     with pytest.raises(ValueError, match="default tokenizer"):
         load_index(spark, out2, tokenizer=tok_a)    # spurious tokenizer
+
+
+def test_live_view_plan_guards(spark, built):
+    """WAND's packed blocks and the impact certificate's frozen df are
+    both stale on a live view: wand raises a clear error, and the
+    impact plan stays rank-identical to exact because its certificate
+    reads df from the LIVE postings (the frozen df undercounts an
+    appended-to term, which would certify a truncated champion list)."""
+    from garamond_jl_spark.operators.impact import impact_topk
+    from garamond_jl_spark.operators.query import topk_plan, embed_queries
+    from garamond_jl_spark.operators.wand import wand_topk
+
+    # push many docs whose only in-vocab term is 'main', so that term's
+    # live posting count outgrows a tiny champion prefix p
+    rows = [(f"org/new", f"src/bulk/f{i}.py", f"c{i}", "python",
+             "main " * (1 + i % 3), "x" * 64) for i in range(40)]
+    from pyspark.sql import functions as F2
+    bulk = (spark.createDataFrame(rows, CORPUS_SCHEMA)
+            .withColumn("doc_id",
+                        (F2.lit(20_000)
+                         + F2.monotonically_increasing_id()).cast("long")))
+    assert append_docs(spark, built, bulk) > 0
+    live = load_live_index(spark, built)
+    assert live.meta.get("live_deltas") and live.blocks is None
+
+    with pytest.raises(ValueError, match="blocks"):
+        wand_topk(spark, live, ["main run"], k=5)
+
+    got = impact_topk(spark, live, ["main run"], k=5, p=8,
+                      tiebreak_round=6, pad_to_k=False).collect()
+    qt = embed_queries(spark, live, ["main run"])
+    want = topk_plan(live, qt, 5, 6, False).collect()
+    assert [(r["doc_id"], r["rank"]) for r in
+            sorted(got, key=lambda r: r["rank"])] == \
+        [(r["doc_id"], r["rank"]) for r in
+         sorted(want, key=lambda r: r["rank"])]
