@@ -116,6 +116,20 @@ def boe_embed_query(spark: SparkSession, query: str,
             .groupBy("i").agg(F.sum(F.col("qtf") * F.col("v")).alias("qv")))
 
 
+def query_token_rows(queries: list[str]) -> list[tuple[int, str, int]]:
+    """(query_id, term, count) rows from whitespace-split queries — the
+    ONE definition of batch query tokenization for dense searchers
+    (single/batch/query-as-doc paths must count terms identically)."""
+    rows = []
+    for qid, q in enumerate(queries):
+        counts: dict[str, int] = {}
+        for t in (q or "").split(" "):
+            if t:
+                counts[t] = counts.get(t, 0) + 1
+        rows.extend((qid, t, c) for t, c in sorted(counts.items()))
+    return rows
+
+
 def conceptnet_match_tokens(tokens: list[str], vocab: set,
                             separator: str = "_",
                             max_compound_word_length: int = 2,
@@ -234,7 +248,14 @@ def sif_doc_embeddings(tokens: DataFrame, word_vectors: DataFrame,
     # never shuffles more than one dim²-row per partition.
     import numpy as np
     import pyarrow as pa
-    dim = int(dv.agg(F.max("i")).first()[0])
+    # dim from the word-vector table (a narrow scan), NOT from the
+    # heavy doc-embedding lineage — aggregating dv here evaluated the
+    # whole tokens⋈vectors⋈lexicon plan an extra time, and an
+    # empty/all-OOV corpus returned NULL → int(None) TypeError
+    dim_row = word_vectors.agg(F.max("i")).first()[0]
+    if dim_row is None:
+        return dv                      # empty vocabulary: dv is empty
+    dim = int(dim_row)
     packed = pack_doc_embeddings(dv, dim).persist()
 
     def _partial_gram(batches):
@@ -350,7 +371,12 @@ def cpmean_doc_embeddings(tokens: DataFrame, word_vectors: DataFrame,
     hcat of per-word columns, cpmean.jl:55)."""
     wv = (tokens.join(word_vectors, "term")
           .select("doc_id", "i", "v", "tf"))
-    n = tokens.groupBy("doc_id").agg(F.sum("tf").alias("n"))
+    # the multiset is the EMBEDDED words (cpmean.jl:55 hcat's only
+    # in-vocabulary columns): counting OOV tokens into n would raise
+    # the geomean to a wrong power that z-normalization cannot cancel
+    n = (tokens.join(word_vectors.select("term").distinct(), "term",
+                     "left_semi")
+         .groupBy("doc_id").agg(F.sum("tf").alias("n")))
     per_dim = wv.groupBy("doc_id", "i").agg(
         F.min("v").alias("p_min"), F.max("v").alias("p_max"),
         F.sum(F.col("v") * F.col("tf")).alias("sum_v"),
@@ -433,7 +459,6 @@ def disc_doc_embeddings(tokens_pos: DataFrame, word_vectors: DataFrame,
 
 RP_DIM_OUT = 64   # projection width knob (config_parser.jl:157-168);
 # 64 ⇒ entries ±1/√64 = ±0.125 exactly representable in IEEE doubles
-RP_INV = 0.125
 
 
 def rp_sign(term: str, o: int, seed: int = 0) -> float:
@@ -538,10 +563,13 @@ def lsa_projection(postings: DataFrame, dim_out: int = LSA_DIM_OUT
 
 def project_dtv(postings: DataFrame, v_table: DataFrame) -> DataFrame:
     """Fold a weighted DTV table (term, doc_id, w) into the latent
-    space through the projection table (term, i, v): one broadcast
-    join + one groupBy(doc_id, i) shuffle — identical shape for LSA's
-    learned V and RP's hashed signs."""
-    return (postings.join(F.broadcast(v_table), "term")
+    space through the projection table (term, i, v): one term join +
+    one groupBy(doc_id, i) shuffle — identical shape for LSA's learned
+    V and RP's hashed signs.  No forced broadcast: v_table is
+    VOCABULARY-sized (|V|·k rows — ~24M at a 1.5M-term vocab, the same
+    shape whose doc-side broadcast OOM'd the BOE path, module header);
+    AQE still broadcasts it when it is actually small."""
+    return (postings.join(v_table, "term")
             .groupBy("doc_id", "i")
             .agg(F.sum(F.col("w") * F.col("v")).alias("dv")))
 
@@ -750,9 +778,14 @@ class DenseVectorSearcher:
                         .alias("dist")))
             score = score_transform_expr(F.col("dist"), self.score_alpha)
             return dist.select("doc_id", score.alias("score"))
+        # zero-norm guard: a zero doc vector must score like the packed
+        # kernel (cos 0 → fill), not 0/0 = NaN, which Spark's
+        # descending sort ranks ABOVE every real hit
         cosd = (dots.join(norms, "doc_id")
-                .select("doc_id", (F.col("dot")
-                                   / (F.col("nd") * F.lit(nq))).alias("cos")))
+                .select("doc_id",
+                        F.when(F.col("nd") > 0,
+                               F.col("dot") / (F.col("nd") * F.lit(nq)))
+                        .otherwise(F.lit(0.0)).alias("cos")))
         score = score_transform_expr(F.lit(1.0) - F.col("cos"),
                                      self.score_alpha)
         return cosd.select("doc_id", score.alias("score"))
@@ -799,15 +832,21 @@ class DenseVectorSearcher:
                                                   self.score_alpha,
                                                   metric=self.metric)
             return hits, embedded
+        # materialize the (tiny: |queries|·dim rows) query embeddings
+        # ONCE: the lazy embed lineage otherwise re-evaluates for the
+        # nqdf aggregate, the dots join, and the candidate-probe
+        # collect — three jobs over the same plan
+        qv_rows = qv.collect()
+        qv = spark.createDataFrame(qv_rows, qv.schema)
         nqdf = (qv.groupBy("query_id")
                 .agg(F.sqrt(F.sum(F.col("qv") ** 2)).alias("nq"))
                 .where(F.col("nq") > 0))
         dv = self.doc_embeddings
         if self.candidate_index is not None:
             # probe math is driver-side per query (dim-sized vectors);
-            # one collect of the batch's vectors feeds every probe
+            # the one collect above feeds every probe
             qv_map: dict[int, list[tuple[int, float]]] = {}
-            for r in qv.collect():
+            for r in qv_rows:
                 qv_map.setdefault(int(r["query_id"]), []).append(
                     (int(r["i"]), float(r["qv"])))
             cand = self.candidate_index.candidates_batch(qv_map)
@@ -841,8 +880,9 @@ class DenseVectorSearcher:
         cosd = (dots.join(self._doc_norms(), "doc_id")
                 .join(F.broadcast(nqdf), "query_id")
                 .select("query_id", "doc_id",
-                        (F.col("dot") / (F.col("nd") * F.col("nq")))
-                        .alias("cos")))
+                        F.when(F.col("nd") > 0,
+                               F.col("dot") / (F.col("nd") * F.col("nq")))
+                        .otherwise(F.lit(0.0)).alias("cos")))
         score = score_transform_expr(F.lit(1.0) - F.col("cos"),
                                      self.score_alpha)
         return (cosd.select("query_id", "doc_id", score.alias("score")),
@@ -873,13 +913,7 @@ class BOESearcher(DenseVectorSearcher):
                          queries: list[str]) -> DataFrame:
         """All queries' token counts in one tiny table joined once
         against the word-vector table (boe.jl's sum, batch form)."""
-        rows = []
-        for qid, q in enumerate(queries):
-            counts: dict[str, int] = {}
-            for t in (q or "").split(" "):
-                if t:
-                    counts[t] = counts.get(t, 0) + 1
-            rows.extend((qid, t, c) for t, c in sorted(counts.items()))
+        rows = query_token_rows(queries)
         if not rows:
             return spark.createDataFrame(
                 [], "query_id INT, i INT, qv DOUBLE")
@@ -988,11 +1022,12 @@ class LSASearcher(DenseVectorSearcher):
     def embed_queries_df(self, spark: SparkSession,
                          queries: list[str]) -> DataFrame:
         """Batch form: fold every query into the latent space through
-        ONE broadcast join with V (project_dtv's query-side twin) — no
-        per-query V-row collects."""
+        ONE join with V (project_dtv's query-side twin) — no per-query
+        V-row collects.  The broadcast hint goes on the QUERY terms
+        (a tiny LocalRelation); V is vocabulary-sized."""
         from garamond_jl_spark.operators.query import embed_queries
         qt = embed_queries(spark, self.index, queries)
-        return (qt.join(F.broadcast(self.v_table), "term")
+        return (F.broadcast(qt).join(self.v_table, "term")
                 .groupBy("query_id", "i")
                 .agg(F.sum(F.col("qw") * F.col("v")).alias("qv")))
 
@@ -1021,14 +1056,7 @@ class _QueryAsDocSearcher(DenseVectorSearcher):
 
     @staticmethod
     def _query_token_rows(queries: list[str]) -> list[tuple[int, str, int]]:
-        rows = []
-        for qid, q in enumerate(queries):
-            counts: dict[str, int] = {}
-            for t in (q or "").split(" "):
-                if t:
-                    counts[t] = counts.get(t, 0) + 1
-            rows.extend((qid, t, c) for t, c in sorted(counts.items()))
-        return rows
+        return query_token_rows(queries)
 
     def _query_tokens_df(self, spark: SparkSession,
                          queries: list[str]) -> DataFrame:
@@ -1248,8 +1276,14 @@ def packed_cosine_scores(packed: DataFrame,
                 nd[nd == 0.0] = np.inf        # zero vector → cos 0
                 d = 1.0 - (X @ qb) / (nd * nq)
             score = score_transform_np(d, alpha)
+            # cast ids to the declared LONG — a packed table built from
+            # an INT doc_id column would otherwise fail the Arrow
+            # schema check (the sibling kernels cast the same way)
+            out_ids = np.asarray(ids.to_numpy(zero_copy_only=False),
+                                 dtype=np.int64)
             yield pa.RecordBatch.from_arrays(
-                [ids, pa.array(score, type=pa.float64())],
+                [pa.array(out_ids, type=pa.int64()),
+                 pa.array(score, type=pa.float64())],
                 names=["doc_id", "score"])
 
     return (packed.select("doc_id", "emb")
@@ -1344,7 +1378,9 @@ def cosine_topk(dv: DataFrame, qv_rows: list[tuple[int, float]], k: int,
             .groupBy("doc_id").agg(F.sum(F.col("dv") * F.col("qv")).alias("dot")))
     cosd = (dots.join(dn, "doc_id")
             .select("doc_id",
-                    (F.col("dot") / (F.col("nd") * F.lit(nq))).alias("score")))
+                    F.when(F.col("nd") > 0,
+                           F.col("dot") / (F.col("nd") * F.lit(nq)))
+                    .otherwise(F.lit(0.0)).alias("score")))
     rank_on = (F.round(F.col("score"), tiebreak_round)
                if tiebreak_round is not None else F.col("score"))
     top = cosd.orderBy(rank_on.desc(), F.col("doc_id").asc()).limit(k)
@@ -1359,23 +1395,11 @@ def boe_topk(spark: SparkSession, tokens: DataFrame,
     """BOE cosine top-k: (doc_id, score, rank).  Brute-force over the
     doc-embedding table (the NaiveIndex analog, naive.jl:15-32); the
     LSH multiprobe path (plans.pipeline_queries.ann_lsh_search) is the
-    sublinear variant over the same long-form embeddings."""
+    sublinear variant over the same long-form embeddings.  The ranking
+    tail is :func:`cosine_topk` — one shared definition of the
+    round(score, r) + doc_id convention."""
     dv = boe_doc_embeddings(tokens, word_vectors)
-    qv = boe_embed_query(spark, query, word_vectors)
-    dn = dv.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("dv") ** 2)).alias("nd"))
-    qn_rows = (qv.agg(F.sqrt(F.sum(F.col("qv") ** 2)).alias("nq"))
-               .collect())
-    nq = float(qn_rows[0]["nq"]) if qn_rows and qn_rows[0]["nq"] else 0.0
-    if nq == 0.0:
-        return spark.createDataFrame([], "doc_id LONG, score DOUBLE, rank INT")
-    dots = (dv.join(F.broadcast(qv), "i")
-            .groupBy("doc_id").agg(F.sum(F.col("dv") * F.col("qv")).alias("dot")))
-    cosd = (dots.join(dn, "doc_id")
-            .select("doc_id",
-                    (F.col("dot") / (F.col("nd") * F.lit(nq))).alias("score")))
-    rank_on = (F.round(F.col("score"), tiebreak_round)
-               if tiebreak_round is not None else F.col("score"))
-    top = cosd.orderBy(rank_on.desc(), F.col("doc_id").asc()).limit(k)
-    w = Window.orderBy(rank_on.desc(), F.col("doc_id").asc())
-    return (top.withColumn("rank", F.row_number().over(w))
-            .select("doc_id", "score", "rank"))
+    qv_rows = [(int(r["i"]), float(r["qv"]))
+               for r in boe_embed_query(spark, query,
+                                        word_vectors).collect()]
+    return cosine_topk(dv, qv_rows, k, tiebreak_round)

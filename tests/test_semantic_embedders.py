@@ -492,3 +492,20 @@ def test_disc_oov_tokens_compact(spark):
     b2 = red * blue / 2.0
     for i in range(DIM):
         assert got[(0, DIM + i + 1)] == pytest.approx(b2[i], abs=1e-12)
+
+
+def test_cpmean_oov_tokens_excluded_from_multiset(spark, corpus):
+    """cpmean's power means run over the EMBEDDED word multiset
+    (cpmean.jl:55 hcat's in-vocabulary columns only): an OOV token must
+    not inflate the denominator — it raised the geomean to a wrong
+    power that z-normalization cannot cancel."""
+    _, _, tf, wv, vecs = corpus
+    # append an OOV-only token row to every doc's term counts
+    oov = tf.sparkSession.createDataFrame(
+        [(d, "zz_oov_token", 3) for d, _ in DOCS],
+        "doc_id LONG, term STRING, tf LONG")
+    got = _collect_dv(cpmean_doc_embeddings(
+        tf.unionByName(oov), wv, dim=DIM, znorm=True))
+    # oracle: identical to the clean corpus (OOV contributes nothing)
+    want = _collect_dv(cpmean_doc_embeddings(tf, wv, dim=DIM, znorm=True))
+    _assert_close(got, want)
