@@ -4,12 +4,12 @@ Reference: Garamond delegates to StringAnalysis ``prepare``/``tokenize``
 with flag-driven strips (flags at /root/reference/src/config/defaults.jl:32-37,
 applied at src/embedder/interface.jl:63,171-177 and src/embedder/dtv.jl:29-33).
 
-Engine design: ONE canonical Python function (:func:`prepare_and_tokenize`)
-is used everywhere —
+Engine design: ONE canonical Python function (:func:`tokenize_with_config`,
+prepare + tokenize + cumulative n-grams) is used everywhere —
 
-* inside the Arrow-vectorized pandas UDF for corpus tokenization
-  (:func:`tokenize_udf`), batched over ``pd.Series`` (no per-row Python
-  UDF — north-rule constraint),
+* inside the Arrow-vectorized corpus tokenization
+  (operators/build.tokenize_to_postings's mapInArrow pass — no per-row
+  Python UDF, north-rule constraint),
 * driver-side for query pseudo-document embedding
   (src/embedder/dtv.jl:29-41 analog),
 * in the NumPy oracle (tests/rank identity).
@@ -24,10 +24,6 @@ import re
 import unicodedata
 from functools import lru_cache
 
-import pandas as pd
-from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
-
 from garamond_jl_spark.config import EngineConfig
 
 # Small article/preposition stop list mirroring the *shape* of SA's
@@ -35,9 +31,6 @@ from garamond_jl_spark.config import EngineConfig
 _STOPWORDS = frozenset(
     "a an the in on at of for to with by from into over under".split()
 )
-
-_PUNCT_RE = re.compile(r"[^\w]+", re.UNICODE)
-
 
 @lru_cache(maxsize=8)
 def _token_re(pattern: str) -> re.Pattern:
@@ -55,8 +48,12 @@ def prepare_and_tokenize(text: str | None, cfg: EngineConfig) -> list[str]:
     """F1 prepare + F2 tokenize: the canonical tokenizer.
 
     Pipeline (flag-driven, mirrors defaults.jl:32-37): corrupt-UTF8 guard →
-    accent fold → lowercase → punctuation→space → regex token extraction
-    → optional stopword strip.
+    accent fold → lowercase → regex token extraction → optional
+    stopword strip.  Punctuation needs no separate strip pass: any
+    character the token pattern cannot match already separates findall
+    matches, and a pre-pass replacing ``\\W+`` both cost an extra regex
+    scan of every document AND silently defeated custom token patterns
+    that keep punctuation (``[a-z0-9_.]+`` for dotted identifiers).
     """
     if not text:
         return []
@@ -66,7 +63,6 @@ def prepare_and_tokenize(text: str | None, cfg: EngineConfig) -> list[str]:
         text = _strip_accents(text)
     if cfg.lowercase:
         text = text.lower()
-    text = _PUNCT_RE.sub(" ", text)
     toks = _token_re(cfg.token_pattern).findall(text)
     if cfg.strip_stopwords:
         toks = [t for t in toks if t not in _STOPWORDS]
@@ -109,28 +105,3 @@ def tokenize_with_config(text: str | None, cfg: EngineConfig) -> list[str]:
                        cfg.ngram_complexity)
 
 
-def tokenize_udf(cfg: EngineConfig, ngram: int = 1):
-    """Arrow-vectorized pandas UDF: content → array<string> of tokens.
-
-    Batched over Arrow record batches; zero per-row Python UDFs in the
-    engine (north-rule constraint, SURVEY.md §2.10).
-    """
-
-    @F.pandas_udf(ArrayType(StringType()))
-    def _tok(s: pd.Series) -> pd.Series:
-        return s.map(lambda x: ngrams(prepare_and_tokenize(x, cfg), ngram))
-
-    return _tok
-
-
-def whitespace_tokenize_udf():
-    """Trivial whitespace tokenizer used for the DuckDB-oracle parity
-    queries over /root/testdata documents (already-clean text); the
-    oracle SQL uses ``string_split(text, ' ')`` so both sides must split
-    identically."""
-
-    @F.pandas_udf(ArrayType(StringType()))
-    def _tok(s: pd.Series) -> pd.Series:
-        return s.map(lambda x: [t for t in (x or "").split(" ") if t])
-
-    return _tok

@@ -52,8 +52,7 @@ from pyspark.sql.types import (BinaryType, DoubleType, IntegerType, LongType,
 from garamond_jl_spark.config import EngineConfig
 from garamond_jl_spark.functions.codec import pack_f32, pack_ids, varbyte_encode
 from garamond_jl_spark.functions.scoring import idf_expr, weight_expr
-from garamond_jl_spark.functions.textprep import (prepare_and_tokenize,
-                                                  tokenize_with_config)
+from garamond_jl_spark.functions.textprep import tokenize_with_config
 
 POSTINGS_SCHEMA = StructType([
     StructField("term", StringType(), False),
@@ -119,17 +118,24 @@ def assign_dense_ids(df: DataFrame, order_cols: list[str],
     # one sequential write/read and holds at any corpus size
     from pyspark import StorageLevel
     part = part.persist(StorageLevel.DISK_ONLY)
+    # the snapshot stays pinned for the session (the returned plan
+    # reads through it); sessions that assign ids repeatedly can
+    # release the previous corpus via the handle attached below
     counts = part.groupBy("_pid").count().collect()
     offsets, acc = [], 0
     for r in sorted(counts, key=lambda r: r["_pid"]):
         offsets.append((r["_pid"], acc))
         acc += r["count"]
     spark = df.sparkSession
-    off_df = F.broadcast(spark.createDataFrame(offsets, ["_pid", "_offset"]))
+    # explicit schema: an EMPTY input yields offsets == [] and
+    # schema inference would raise instead of returning an empty result
+    off_df = F.broadcast(spark.createDataFrame(
+        offsets, "_pid INT, _offset BIGINT"))
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     out = (part.join(off_df, "_pid")
            .withColumn(id_col, F.row_number().over(w) - 1 + F.col("_offset"))
            .drop("_pid", "_offset"))
+    out._dense_ids_snapshot = part       # unpersist handle for callers
     return out
 
 
@@ -219,7 +225,8 @@ def weighted_postings(postings: DataFrame, terms: DataFrame,
                       avgdl: float, cfg: EngineConfig,
                       local_norms: bool = False,
                       broadcast_idf: bool = False,
-                      norms: str = "window") -> DataFrame:
+                      norms: str = "window",
+                      n_docs: int | None = None) -> DataFrame:
     """Stages 3+4: per-posting weight ``w`` (JVM expression) and
     L2-normalized ``wnorm = w/‖d‖``.
 
@@ -233,8 +240,9 @@ def weighted_postings(postings: DataFrame, terms: DataFrame,
     * ``norms`` — ``"window"``: ``sum(w²) over (partition by doc_id)``
       (full-postings shuffle by doc_id); the default.  ``"broadcast"``:
       per-doc Σw² via map-side-combined ``groupBy(doc_id)`` (shuffle of
-      ~n_docs tiny rows) then a forced broadcast join back — callers
-      guard with ``NORM_BROADCAST_MAX_DOCS``.  CAVEAT: the probe
+      ~n_docs tiny rows) then a forced broadcast join back — guarded by
+      ``NORM_BROADCAST_MAX_DOCS`` when ``n_docs`` is passed (falls back
+      to the window plan above it).  CAVEAT: the probe
       lineage (postings scan → idf join → weight projection) is
       evaluated twice (agg + join back); in full-build A/Bs that
       recompute costs more than the one doc_id shuffle it saves
@@ -253,6 +261,19 @@ def weighted_postings(postings: DataFrame, terms: DataFrame,
                     F.col("doclen").cast("double"), F.lit(avgdl),
                     F.col("idf"), cfg)
     p = p.withColumn("w", w)
+    if norms == "broadcast":
+        # the safety valve is enforced HERE (not by convention): a
+        # forced broadcast of a too-large per-doc norms table hits
+        # Spark's broadcast hard limit or OOMs the driver with no
+        # graceful fallback.  Callers that know the corpus size pass
+        # n_docs; above the valve the plan falls back to the window.
+        if n_docs is not None and n_docs > NORM_BROADCAST_MAX_DOCS:
+            import warnings
+            warnings.warn(
+                f"norms='broadcast' requested for {n_docs} docs > "
+                f"NORM_BROADCAST_MAX_DOCS={NORM_BROADCAST_MAX_DOCS}; "
+                f"falling back to the window plan")
+            norms = "window"
     if norms == "broadcast":
         nrm = (p.groupBy("doc_id")
                .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")))
@@ -348,8 +369,6 @@ def weighted_postings_local(postings: DataFrame, terms: DataFrame,
     in_cols = ["term", "doc_id", "tf", "doclen", "idf", "w"]
 
     def add_norms(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
-        pend: "pa.Table | None" = None
-
         def flush(tbl: "pa.Table") -> "pa.RecordBatch":
             tbl = tbl.combine_chunks()
             ids = tbl.column("doc_id").to_numpy()
@@ -373,21 +392,42 @@ def weighted_postings_local(postings: DataFrame, terms: DataFrame,
             return pa.RecordBatch.from_arrays(arrays, in_cols + ["norm",
                                                                  "wnorm"])
 
+        # the pending (possibly batch-spanning) trailing run is kept as
+        # a LIST of tables and concatenated once at flush — re-concat
+        # per batch was O(run²) row copies for a doc spanning many
+        # Arrow batches.  Invariant: every pend part holds rows of one
+        # single doc_id (the current trailing run).
+        pend_parts: list["pa.Table"] = []
         for b in batches:
             t = pa.Table.from_batches([b])
-            if pend is not None:
-                t = pa.concat_tables([pend, t]).combine_chunks()
-            n = t.num_rows
-            if n == 0:
+            if t.num_rows == 0:
                 continue
             ids = t.column("doc_id").to_numpy()
             nz = np.flatnonzero(ids != ids[-1])
             cut = 0 if nz.size == 0 else int(nz[-1]) + 1
-            if cut > 0:
-                yield flush(t.slice(0, cut))
-            pend = t.slice(cut)
-        if pend is not None and pend.num_rows:
-            yield flush(pend)
+            if cut == 0:
+                # single-id batch: continues pend, or starts a new run
+                if pend_parts and pend_parts[0].column("doc_id")[0] \
+                        .as_py() != int(ids[0]):
+                    yield flush(pa.concat_tables(pend_parts))
+                    pend_parts = []
+                pend_parts.append(t)
+                continue
+            head = t.slice(0, cut)
+            if pend_parts:
+                if pend_parts[0].column("doc_id")[0].as_py() == int(ids[0]):
+                    yield flush(pa.concat_tables(pend_parts + [head]))
+                else:       # pend's run ended exactly at the boundary
+                    yield flush(pa.concat_tables(pend_parts))
+                    yield flush(head)
+                pend_parts = []
+            else:
+                yield flush(head)
+            tail = t.slice(cut)
+            if tail.num_rows:
+                pend_parts = [tail]
+        if pend_parts:
+            yield flush(pa.concat_tables(pend_parts))
 
     return p.select(*in_cols).mapInArrow(add_norms, WEIGHTED_SCHEMA)
 
@@ -489,7 +529,19 @@ def build_index(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
     if embeddable_fields:
         docs = project_embeddable(docs, embeddable_fields, text_col)
     if id_col is None:
-        docs = assign_dense_ids(docs, ["repo", "path", "commit"])
+        # dense-id assignment needs a deterministic total order; default
+        # to the synthetic code-corpus key when present, otherwise any
+        # non-text columns — hardcoding the git triple crashed every
+        # non-code schema with an unresolved-column error
+        order_cols = [c for c in ("repo", "path", "commit")
+                      if c in docs.columns]
+        if not order_cols:
+            order_cols = sorted(c for c in docs.columns if c != text_col)
+        if not order_cols:
+            raise ValueError(
+                "id_col=None needs at least one non-text column to "
+                "order dense ids by; pass an explicit id_col")
+        docs = assign_dense_ids(docs, order_cols)
         id_col = "doc_id"
     if carry_cols is None:
         carry_cols = [c for c in docs.columns if c not in (id_col, text_col)]
