@@ -33,6 +33,10 @@ def match_expr(separator: str = ":") -> re.Pattern:
     """The MATCH_EXPR regex (text_parsers.jl:89-95), ported verbatim in
     semantics: alnum keys, values = bare | (tuple) | [vector] | "quoted"."""
     alnum = r"_a-zA-Z0-9\."
+    # escape: a metacharacter separator ('|', '.') would otherwise
+    # change the regex's meaning and let a match carry NO separator,
+    # crashing the split in base_input_parser
+    separator = re.escape(separator)
     return re.compile(
         f"[{alnum}]+{separator}"
         f"([{alnum}]+|"
@@ -50,7 +54,15 @@ def _parse_scalar(valstr: str, coltype: str) -> Any:
     if t in ("double", "float", "real", "decimal"):
         return float(valstr)
     if t == "boolean":
-        return valstr.lower() in ("true", "1")
+        v = valstr.lower()
+        if v in ("true", "1"):
+            return True
+        if v in ("false", "0"):
+            return False
+        # reference: parse(Bool, ...) THROWS on other literals and the
+        # catch ignores the pair (text_parsers.jl:125-127) — silently
+        # coercing 'maybe' to False would filter the corpus wrong
+        raise ValueError(f"not a boolean literal: {valstr!r}")
     return valstr
 
 

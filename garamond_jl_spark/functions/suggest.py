@@ -65,7 +65,10 @@ def jaro_distance(a: str, b: str) -> float:
         return 0.0
     if la == 0 or lb == 0:
         return 1.0
-    window = max(la, lb) // 2 - 1
+    # clamp at 0: the standard definition's window floor — negative
+    # (length-1 strings) made the match loop empty so 'a' vs 'a'
+    # scored distance 1.0 instead of 0.0
+    window = max(0, max(la, lb) // 2 - 1)
     match_a = [False] * la
     match_b = [False] * lb
     matches = 0
@@ -159,4 +162,13 @@ def missing_needles(terms: DataFrame, query_tokens: list[str]) -> list[str]:
     present = {r["term"] for r in
                terms.where(F.col("term").isin(query_tokens))
                .select("term").collect()}
-    return [t for t in query_tokens if t not in present]
+    # dedupe (first-seen order): a repeated OOV token would duplicate
+    # every candidate row and crowd distinct suggestions out of the
+    # per-needle top max_suggestions
+    seen: set = set()
+    out = []
+    for t in query_tokens:
+        if t not in present and t not in seen:
+            seen.add(t)
+            out.append(t)
+    return out

@@ -22,7 +22,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql.types import (ArrayType, LongType, StringType, StructField,
+from pyspark.sql.types import (ArrayType, StringType, StructField,
                                StructType)
 
 PAGERANK_ALPHA = 0.85   # text.jl:61
@@ -94,16 +94,15 @@ def textrank_summary(sentences: list[str], ns: int = 1) -> list[str]:
     return [usable[i][1] for i in sorted(order)]
 
 
-SUMMARY_SCHEMA = StructType([
-    StructField("doc_id", LongType(), False),
-    StructField("summary", ArrayType(StringType()), False),
-])
-
-
 def summarize_docs(docs: DataFrame, ns: int = 1, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
-    """Distributed F5: (doc_id, summary array<string>) — one Arrow pass,
-    per-document TextRank."""
+    """Distributed F5: (<id_col>, summary array<string>) — one Arrow
+    pass, per-document TextRank.  The id field keeps the INPUT column's
+    name and type (a string/int id declared as the module's LongType
+    default would fail the Arrow schema check)."""
+    schema = StructType([docs.schema[id_col],
+                         StructField("summary",
+                                     ArrayType(StringType()), False)])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -111,6 +110,6 @@ def summarize_docs(docs: DataFrame, ns: int = 1, id_col: str = "doc_id",
             for doc_id, text in zip(b[id_col], b[text_col]):
                 out_id.append(doc_id)
                 out_sum.append(textrank_summary(split_sentences(text), ns))
-            yield pd.DataFrame({"doc_id": out_id, "summary": out_sum})
+            yield pd.DataFrame({id_col: out_id, "summary": out_sum})
 
-    return docs.select(id_col, text_col).mapInPandas(run, SUMMARY_SCHEMA)
+    return docs.select(id_col, text_col).mapInPandas(run, schema)

@@ -126,3 +126,17 @@ def test_suggest_metric_dispatch(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="metric"):
         suggest_terms(terms, ["x"], metric="cosine")
+
+
+def test_jaro_single_char_identity():
+    from garamond_jl_spark.functions.suggest import jaro_distance
+    assert jaro_distance("a", "a") == 0.0
+    assert jaro_distance("a", "b") == 1.0
+    assert jaro_distance("ab", "ab") == 0.0
+
+
+def test_missing_needles_dedupes(spark):
+    from garamond_jl_spark.functions.suggest import missing_needles
+    terms = spark.createDataFrame([("main",), ("run",)], "term STRING")
+    assert missing_needles(terms, ["dtaa", "main", "dtaa", "zz"]) == \
+        ["dtaa", "zz"]

@@ -122,3 +122,23 @@ def test_stem_words_config_round_trip_and_tokenizer():
     off = EngineConfig()
     assert prepare_and_tokenize("Motoring ponies", off) == \
         ["motoring", "ponies"]
+
+
+def test_boolean_garbage_ignores_pair_like_reference():
+    """parse(Bool, 'maybe') throws in the reference and the pair is
+    ignored (text_parsers.jl:125-127) — silently coercing to False
+    filtered the corpus wrong."""
+    from garamond_jl_spark.functions.query_parser import base_input_parser
+    schema = {"active": "boolean", "n": "bigint"}
+    parsed = base_input_parser(schema, "foo active:maybe")
+    assert parsed.filter == {} and parsed.search == "foo"
+    assert base_input_parser(schema, "active:true").filter == \
+        {"active": True}
+    assert base_input_parser(schema, "active:0").filter == \
+        {"active": False}
+
+
+def test_metachar_separator_parses():
+    from garamond_jl_spark.functions.query_parser import base_input_parser
+    parsed = base_input_parser({"n": "bigint"}, "n|5 foo", separator="|")
+    assert parsed.filter == {"n": 5} and parsed.search == "foo"
