@@ -9,8 +9,10 @@ dropped; re-sorted descending; trimmed to max_matches.  Default strategy
 
 Spark mapping: union of per-index hit DataFrames → groupBy(doc_id) with
 the strategy's aggregate.  Median uses exact ``percentile`` (hit sets
-are k-bounded); product uses sign-aware exp(sum(log|x|)) — scores here
-are positive so the simple form suffices.
+are k-bounded); product uses Spark's exact ``product`` aggregate (an
+exp(sum(log)) rewrite silently DROPPED zero/negative factors — Spark's
+log of a non-positive value is NULL and sum skips NULLs, so a muted
+searcher's 0.0 never zeroed the product).
 """
 
 from __future__ import annotations
@@ -35,15 +37,19 @@ def strategy_agg(grouped, strategy: str) -> DataFrame:
     if strategy == "median":
         return grouped.agg(F.expr("percentile(wscore, 0.5)").alias("score"))
     if strategy == "product":
-        # scores > 0 in the reference transform's range
-        return grouped.agg(F.exp(F.sum(F.log("wscore"))).alias("score"))
+        # exact product (results.jl prod): a zero factor must zero the
+        # doc — the old exp(sum(log)) form NULLed it out of the sum
+        return grouped.agg(F.product("wscore").alias("score"))
     return grouped.agg(F.avg("wscore").alias("score"))     # mean default
 
 
 def strategy_scalar(values: list[float], strategy: str) -> float:
     """Scalar twin of :func:`strategy_agg` for driver-side reductions
     (the lifecycle pad score over per-searcher fills) — change only
-    together."""
+    together.  Empty input is a caller error for EVERY strategy (the
+    product identity 1.0 would silently out-rank real scores)."""
+    if not values:
+        raise ValueError("strategy_scalar needs at least one value")
     if strategy == "min":
         return min(values)
     if strategy == "max":
@@ -69,24 +75,36 @@ def aggregate_results(hit_sets: list[tuple[DataFrame, float]],
     lifecycle sparse path)."""
     if strategy not in STRATEGIES:
         strategy = "mean"
+    if not hit_sets:
+        raise ValueError("aggregate_results needs at least one hit set")
     custom_weights = custom_weights or {}
+    # per-query frames must aggregate per query: silently dropping a
+    # query_id column would average different queries' scores together
+    by = (["query_id", "doc_id"]
+          if "query_id" in hit_sets[0][0].columns else ["doc_id"])
     parts = []
     for i, (hits, weight) in enumerate(hit_sets):
         w = weight * custom_weights.get(i, 1.0)
         parts.append(hits.select(
-            "doc_id", (F.col("score") * F.lit(w)).alias("wscore")))
+            *by, (F.col("score") * F.lit(w)).alias("wscore")))
     unioned = parts[0]
     for p in parts[1:]:
         unioned = unioned.unionByName(p)
-    agg = strategy_agg(unioned.groupBy("doc_id"), strategy)
+    agg = strategy_agg(unioned.groupBy(*by), strategy)
     dropped = agg.where(F.col("score") > 0)       # zero-score drop
     if not ranked:
-        return dropped.select("doc_id", "score")
+        return dropped.select(*by, "score")
     # distributed top-k (TakeOrdered) before the ≤max_matches ranking
     # window — keeps the global sort off a single partition
-    trimmed = (dropped
-               .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-               .limit(max_matches))               # trim (results.jl:137-144)
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return (trimmed.withColumn("rank", F.row_number().over(w))
-            .select("doc_id", "score", "rank"))
+    if by == ["doc_id"]:
+        trimmed = (dropped
+                   .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                   .limit(max_matches))           # trim (results.jl:137-144)
+        w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        return (trimmed.withColumn("rank", F.row_number().over(w))
+                .select("doc_id", "score", "rank"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (dropped.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= max_matches)
+            .select(*by, "score", "rank"))

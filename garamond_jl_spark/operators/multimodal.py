@@ -79,8 +79,12 @@ def extract_features(media: DataFrame,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             total = int(b["payload"].map(len).sum())
-            assert total <= batch_limit_bytes, \
-                f"arrow batch carries {total} payload bytes; repartition"
+            if total > batch_limit_bytes:
+                # explicit raise, not assert: the OOM guard must hold
+                # under python -O too
+                raise ValueError(
+                    f"arrow batch carries {total} payload bytes "
+                    f"(> {batch_limit_bytes}); repartition upstream")
             feats = [decode_fn(bytes(p)).tolist() for p in b["payload"]]
             yield pd.DataFrame({"media_id": b["media_id"],
                                 "modality": b["modality"],

@@ -45,8 +45,15 @@ def write_table(df: DataFrame, name: str, mode: str = "overwrite",
 
 
 def table_exists(spark: SparkSession, name: str) -> bool:
+    """_SUCCESS alone is not a reliable marker: streaming file sinks
+    write _spark_metadata instead, and the success-marker can be
+    disabled — any data/metadata entry in the directory counts."""
     if is_path(name):
-        return os.path.exists(os.path.join(name, "_SUCCESS"))
+        if not os.path.isdir(name):
+            return False
+        return any(e == "_SUCCESS" or e == "_spark_metadata"
+                   or not e.startswith(("_", "."))
+                   for e in os.listdir(name))
     return spark.catalog.tableExists(name)
 
 

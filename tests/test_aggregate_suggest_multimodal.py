@@ -140,3 +140,37 @@ def test_missing_needles_dedupes(spark):
     terms = spark.createDataFrame([("main",), ("run",)], "term STRING")
     assert missing_needles(terms, ["dtaa", "main", "dtaa", "zz"]) == \
         ["dtaa", "zz"]
+
+
+def test_product_strategy_zero_factor_zeroes_doc(spark):
+    """results.jl prod(): a zero factor zeroes the product (the doc
+    then falls to the zero-score drop) — exp(sum(log)) silently NULLed
+    it out of the sum and kept the doc."""
+    from garamond_jl_spark.operators.aggregate import (aggregate_results,
+                                                       strategy_scalar)
+    a = spark.createDataFrame([(1, 2.0), (2, 0.5)],
+                              "doc_id LONG, score DOUBLE")
+    b = spark.createDataFrame([(1, 0.0), (2, 0.5)],
+                              "doc_id LONG, score DOUBLE")
+    got = {r["doc_id"]: r["score"] for r in
+           aggregate_results([(a, 1.0), (b, 1.0)],
+                             strategy="product").collect()}
+    assert got == {2: 0.25}          # doc 1's zero factor drops it
+    assert strategy_scalar([2.0, 0.0], "product") == 0.0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        strategy_scalar([], "product")
+    with _pt.raises(ValueError):
+        aggregate_results([], strategy="mean")
+
+
+def test_aggregate_results_groups_per_query(spark):
+    """A hit frame carrying query_id aggregates per (query, doc) —
+    dropping the column averaged different queries together."""
+    from garamond_jl_spark.operators.aggregate import aggregate_results
+    h = spark.createDataFrame([(0, 1, 1.0), (1, 1, 0.2)],
+                              "query_id INT, doc_id LONG, score DOUBLE")
+    rows = aggregate_results([(h, 1.0)], strategy="mean").collect()
+    got = {(r["query_id"], r["doc_id"]): (r["score"], r["rank"])
+           for r in rows}
+    assert got == {(0, 1): (1.0, 1), (1, 1): (0.2, 1)}
