@@ -124,7 +124,9 @@ def chunk_split_fn(chunk: int = 1024) -> Callable[[bytes, int], list[bytes]]:
     'frames' — exercises the one-to-many fan-out without a codec."""
 
     def split(payload: bytes, _every_ms: int) -> list[bytes]:
-        return [payload[i:i + chunk] for i in range(0, len(payload), chunk)] \
-            or [b""]
+        # an empty payload has NO frames (the [b""] placeholder made
+        # the Spark plan emit a zero-length frame row where the parity
+        # oracle's WHERE n > 0 emits none)
+        return [payload[i:i + chunk] for i in range(0, len(payload), chunk)]
 
     return split

@@ -173,7 +173,7 @@ def streaming_dedup_first_seen(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="gjs_stream_dedup_")
     src = os.path.join(tmp, "src")
     os.makedirs(src)
-    os.symlink(os.path.join(sf_dir, "documents.parquet"),
+    os.symlink(os.path.abspath(os.path.join(sf_dir, "documents.parquet")),
                os.path.join(src, "documents.parquet"))
     schema = ("doc_id LONG, text STRING, lang STRING, source STRING, "
               "n_chars LONG")
@@ -228,8 +228,14 @@ def dedup_minhash_lsh(spark, sf_dir):
     # DuckDB hash parity only (see minhash_lsh_pairs docstring)
     jacc = minhash_lsh_pairs(shd, int_hash=False, n_rows=1,
                              bucket_cap=None)
-    return (jacc.where(F.col("jacc") >= JACCARD_T)
-            .select("doc_a", "doc_b", e6(F.col("jacc")).alias("jacc_e6")))
+    out = (jacc.where(F.col("jacc") >= JACCARD_T)
+           .select("doc_a", "doc_b", e6(F.col("jacc")).alias("jacc_e6")))
+    # materialize the (small) pair set and release the shingle cache —
+    # each gate/bench invocation otherwise pinned a full shingle table
+    # in executor storage for the session's lifetime
+    out = out.localCheckpoint(eager=True)
+    shd.unpersist()
+    return out
 
 
 def minhash_lsh_pairs(shd: DataFrame, n_bands: int = N_BANDS,
@@ -498,13 +504,30 @@ ANN_QUERY_IDS = (0, 1, 2)
 ANN_K = 10
 
 
+def _vocab_hits(wv, terms):
+    """Which of ``terms`` exist in the word-vector vocabulary — an
+    isin-filtered collect of a handful of rows (collecting the full
+    distinct vocabulary pulled the corpus dictionary through the
+    driver just to membership-test a 3-term query)."""
+    uniq = list(dict.fromkeys(terms))
+    if not uniq:
+        return set()
+    return {r["term"] for r in
+            wv.select("term").where(F.col("term").isin(uniq))
+            .distinct().collect()}
+
+
 def _probe_masks(n_planes: int, radius: int) -> list[int]:
     """XOR masks enumerating every bucket within Hamming ``radius`` of
-    the query's bucket (0 = the bucket itself)."""
-    masks = [0] + [1 << p for p in range(n_planes)]
-    if radius >= 2:
-        masks += [(1 << a) | (1 << b)
-                  for a in range(n_planes) for b in range(a + 1, n_planes)]
+    the query's bucket (0 = the bucket itself).  The radius is honored
+    exactly: 0 really is the plain same-bucket join and 3+ really
+    probes the wider ball (the old version unconditionally added the
+    Hamming-1 masks and silently capped at 2)."""
+    from itertools import combinations
+    masks = [0]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_planes), r):
+            masks.append(sum(1 << b for b in bits))
     return masks
 
 
@@ -547,10 +570,16 @@ def _emb_long(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_buckets_df(u: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
-    """(vec_id, bucket) under the deterministic hyperplane LSH."""
-    planes = (u.select("i").distinct()
+    """(vec_id, bucket) under the deterministic hyperplane LSH.  The
+    dimension list comes from one scalar max-agg (the long form is
+    dense 1..dim) — a ``select('i').distinct()`` re-ran the whole
+    embedding lineage plus a shuffle per call just to enumerate it."""
+    spark = u.sparkSession
+    dim = int(u.agg(F.max("i")).first()[0])
+    planes = (spark.range(1, dim + 1).select(F.col("id").cast("int")
+                                             .alias("i"))
               .crossJoin(F.broadcast(
-                  u.sparkSession.range(n_planes).select(F.col("id").alias("p"))))
+                  spark.range(n_planes).select(F.col("id").alias("p"))))
               .withColumn("sgn", F.when(
                   F.substring(F.md5(F.concat_ws(":", F.col("p"), F.col("i"))), 1, 1)
                   .isin(*HEX_HIGH), F.lit(1.0)).otherwise(F.lit(-1.0))))
@@ -650,7 +679,10 @@ def ann_lsh_search(u: DataFrame, query_ids: list[int], k: int,
             .groupBy("query_id", "vec_id")
             .agg(F.sum(F.col("v") * F.col("qv")).alias("dot")))
     nrm = u.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv"))
-    nq = nrm.select(F.col("vec_id").alias("query_id"), F.col("nv").alias("nq"))
+    # only the QUERIES' norms broadcast (|query_ids| rows) — the
+    # unfiltered nrm is corpus-sized and would ship to every executor
+    nq = (nrm.where(F.col("vec_id").isin(*query_ids))
+          .select(F.col("vec_id").alias("query_id"), F.col("nv").alias("nq")))
     cosd = (dots.join(nrm, "vec_id").join(F.broadcast(nq), "query_id")
             .select("query_id", "vec_id",
                     (F.col("dot") / (F.col("nv") * F.col("nq"))).alias("c")))
@@ -779,8 +811,9 @@ def ann_ivf_search(u: DataFrame, query_ids: list[int], k: int,
             .join(uq, ["query_id", "i"])
             .groupBy("query_id", "vec_id")
             .agg(F.sum(F.col("v") * F.col("qv")).alias("dot")))
-    nq = nrm.select(F.col("vec_id").alias("query_id"),
-                    F.col("nv").alias("nq"))
+    nq = (nrm.where(F.col("vec_id").isin(*query_ids))
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("nv").alias("nq")))
     cosd = (dots.join(nrm, "vec_id").join(F.broadcast(nq), "query_id")
             .select("query_id", "vec_id",
                     (F.col("dot") / (F.col("nv") * F.col("nq")))
@@ -896,8 +929,9 @@ def ann_hnsw_search(u: DataFrame, query_ids: list[int], k: int,
             .agg(F.sum(F.col("v") * F.col("qv")).alias("dot")))
     nrm = u.groupBy("vec_id").agg(
         F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv"))
-    nq = nrm.select(F.col("vec_id").alias("query_id"),
-                    F.col("nv").alias("nq"))
+    nq = (nrm.where(F.col("vec_id").isin(*query_ids))
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("nv").alias("nq")))
     cosd = (dots.join(nrm, "vec_id").join(F.broadcast(nq), "query_id")
             .select("query_id", "vec_id",
                     (F.col("dot") / (F.col("nv") * F.col("nq")))
@@ -1115,18 +1149,20 @@ z AS (SELECT doc_id, b, avg(dv) AS mu, stddev_samp(dv) AS sd
 """
 
 
-@q("semantic_cpmean_topk", f"""
-WITH {_BOE_WV_CTE},
-{_CPM_BLOCKS.format(tf="tf", dim=BOE_DIM, out="dv")
- .replace("pd AS", "pd AS").replace("nn AS", "nn AS")},
-qt(qdoc, term, tf) AS (VALUES {", ".join(f"(0, '{t}', {c})" for t, c in
+# Query-side CPMean CTE chain — ONE definition shared by the
+# semantic_cpmean_topk and lifecycle_grouped_dense_cpmean oracles
+# (a fix applied to one copy silently broke the other).  qnn counts
+# IN-VOCAB query tokens only, the embedded-multiset convention of
+# cpmean_doc_embeddings (cpmean.jl:55).
+_CPM_QUERY_CTES = f"""qt(qdoc, term, tf) AS (VALUES {", ".join(f"(0, '{t}', {c})" for t, c in
     sorted(__import__('collections').Counter(BOE_QUERY.split()).items()))}),
 qpd AS (SELECT q.qdoc AS doc_id, w.i, min(w.v) AS p_min, max(w.v) AS p_max,
                sum(w.v * q.tf) AS sum_v,
                sum(CASE WHEN w.v < 0 THEN q.tf ELSE 0 END) AS negs,
                sum(q.tf * ln(abs(w.v) + 1e-300)) AS loga
         FROM qt q JOIN wv w USING (term) GROUP BY 1, 2),
-qnn AS (SELECT qdoc AS doc_id, sum(tf) AS n FROM qt GROUP BY 1),
+qnn AS (SELECT qdoc AS doc_id, sum(tf) AS n FROM qt
+        WHERE term IN (SELECT DISTINCT term FROM wv) GROUP BY 1),
 qblk AS (
   SELECT doc_id, i, p_min AS dv, 0 AS b FROM qpd
   UNION ALL
@@ -1148,7 +1184,14 @@ dn AS (SELECT doc_id, sqrt(sum(dv * dv)) AS nd FROM dv GROUP BY 1),
 dots AS (SELECT dv.doc_id, sum(dv.dv * qv.qv) AS dot
          FROM dv JOIN qv USING (i) GROUP BY 1),
 cosd AS (SELECT d.doc_id, d.dot / (n.nd * (SELECT nq FROM qn)) AS c
-         FROM dots d JOIN dn n USING (doc_id))
+         FROM dots d JOIN dn n USING (doc_id))"""
+
+
+@q("semantic_cpmean_topk", f"""
+WITH {_BOE_WV_CTE},
+{_CPM_BLOCKS.format(tf="tf", dim=BOE_DIM, out="dv")
+ },
+{_CPM_QUERY_CTES}
 SELECT doc_id, cast(round(c * 1e6) AS BIGINT) AS cos_e6,
        cast(row_number() OVER (ORDER BY round(c, 6) DESC, doc_id ASC)
             AS BIGINT) AS rnk
@@ -1172,8 +1215,7 @@ def semantic_cpmean_topk(spark, sf_dir):
     # the query's own (in-corpus-vocab) terms
     import numpy as np
     from collections import Counter
-    vocab = {r["term"] for r in
-             wv.select("term").distinct().collect()}
+    vocab = _vocab_hits(wv, BOE_QUERY.split())
     qc = {t: c for t, c in Counter(BOE_QUERY.split()).items() if t in vocab}
     if not qc:
         return spark.createDataFrame([], "doc_id LONG, cos_e6 LONG, rnk LONG")
@@ -1202,36 +1244,7 @@ def semantic_cpmean_topk(spark, sf_dir):
 @q("lifecycle_grouped_dense_cpmean", f"""
 WITH {_BOE_WV_CTE},
 {_CPM_BLOCKS.format(tf="tf", dim=BOE_DIM, out="dv")},
-qt(qdoc, term, tf) AS (VALUES {", ".join(f"(0, '{t}', {c})" for t, c in
-    sorted(__import__('collections').Counter(BOE_QUERY.split()).items()))}),
-qpd AS (SELECT q.qdoc AS doc_id, w.i, min(w.v) AS p_min, max(w.v) AS p_max,
-               sum(w.v * q.tf) AS sum_v,
-               sum(CASE WHEN w.v < 0 THEN q.tf ELSE 0 END) AS negs,
-               sum(q.tf * ln(abs(w.v) + 1e-300)) AS loga
-        FROM qt q JOIN wv w USING (term) GROUP BY 1, 2),
-qnn AS (SELECT qdoc AS doc_id, sum(tf) AS n FROM qt GROUP BY 1),
-qblk AS (
-  SELECT doc_id, i, p_min AS dv, 0 AS b FROM qpd
-  UNION ALL
-  SELECT qpd.doc_id, i + {BOE_DIM},
-         (CASE WHEN negs % 2 = 1 THEN -1.0 ELSE 1.0 END)
-         * exp(loga / qnn.n), 1 FROM qpd JOIN qnn USING (doc_id)
-  UNION ALL
-  SELECT qpd.doc_id, i + 2 * {BOE_DIM}, sum_v / qnn.n, 2
-  FROM qpd JOIN qnn USING (doc_id)
-  UNION ALL
-  SELECT doc_id, i + 3 * {BOE_DIM}, p_max, 3 FROM qpd
-),
-qz AS (SELECT doc_id, b, avg(dv) AS mu, stddev_samp(dv) AS sd
-       FROM qblk GROUP BY 1, 2),
-qv AS (SELECT qblk.i, (dv - mu) / (sd + 1e-16) AS qv
-       FROM qblk JOIN qz USING (doc_id, b)),
-qn AS (SELECT sqrt(sum(qv * qv)) AS nq FROM qv),
-dn AS (SELECT doc_id, sqrt(sum(dv * dv)) AS nd FROM dv GROUP BY 1),
-dots AS (SELECT dv.doc_id, sum(dv.dv * qv.qv) AS dot
-         FROM dv JOIN qv USING (i) GROUP BY 1),
-cosd AS (SELECT d.doc_id, d.dot / (n.nd * (SELECT nq FROM qn)) AS c
-         FROM dots d JOIN dn n USING (doc_id)),
+{_CPM_QUERY_CTES},
 merged AS (
   SELECT d.doc_id,
          0.8 * (2 / (exp(2 * 0.4 * (1 - coalesce(c.c, 0))) + 1)) AS score
@@ -1327,7 +1340,7 @@ def semantic_borep_topk(spark, sf_dir):
     wv = synthetic_word_vectors(tf.select("term"), dim=BOE_DIM, seed=BOE_SEED)
     dv = borep_doc_embeddings(tf, wv, dim_in=BOE_DIM, dim_out=BOREP_OUT,
                               pooling="sum", seed=BOE_SEED)
-    vocab = {r["term"] for r in wv.select("term").distinct().collect()}
+    vocab = _vocab_hits(wv, BOE_QUERY.split())
     qc = {t: c for t, c in Counter(BOE_QUERY.split()).items() if t in vocab}
     if not qc:
         return spark.createDataFrame([], "doc_id LONG, cos_e6 LONG, rnk LONG")
@@ -1401,7 +1414,7 @@ def semantic_disc_topk(spark, sf_dir):
     wv = synthetic_word_vectors(tokp.select("term"), dim=BOE_DIM,
                                 seed=BOE_SEED)
     dv = disc_doc_embeddings(tokp, wv, dim=BOE_DIM, n=2)
-    vocab = {r["term"] for r in wv.select("term").distinct().collect()}
+    vocab = _vocab_hits(wv, BOE_QUERY.split())
     seq = [t for t in BOE_QUERY.split() if t in vocab]
     if not seq:
         return spark.createDataFrame([], "doc_id LONG, cos_e6 LONG, rnk LONG")
@@ -1566,7 +1579,7 @@ WITH {EMB_NORM_CTE},
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM bkt a
-  CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m) mm
+  CROSS JOIN (SELECT unnest([{", ".join(str(m) for m in _probe_masks(N_PLANES, 1))}]) AS m) mm
   JOIN bkt b ON xor(a.bucket, mm.m) = b.bucket AND a.vec_id < b.vec_id
 ),
 dots AS (

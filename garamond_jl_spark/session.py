@@ -19,6 +19,17 @@ from pyspark.sql import SparkSession
 os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
 os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
 
+# make the package importable in PYTHON WORKERS regardless of the
+# driver's cwd: a pickled UDF referencing garamond_jl_spark by name
+# (e.g. the stateful-streaming dedup) dies with ModuleNotFoundError
+# when the session was launched outside the repo root — workers
+# inherit this env, the driver's sys.path does not reach them
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _PKG_ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _PKG_ROOT + ((os.pathsep + os.environ["PYTHONPATH"])
+                     if os.environ.get("PYTHONPATH") else ""))
+
 
 def get_spark(app: str = "garamond-spark", cpus: int | None = None,
               shuffle_partitions: int | None = None,

@@ -258,3 +258,20 @@ def test_loader_sampler_registries(spark):
     d = spark.range(10)
     assert get_sampler("first_two")(d).count() == 2
     assert get_sampler(None)(d).count() == 10  # identity fallback
+
+
+def test_probe_masks_honor_radius():
+    """radius=0 is the plain same-bucket join, radius=3 probes the
+    full Hamming-3 ball (the old version forced Hamming-1 in and
+    silently capped at 2)."""
+    from garamond_jl_spark.plans.pipeline_queries import _probe_masks
+    assert _probe_masks(6, 0) == [0]
+    r1 = _probe_masks(6, 1)
+    assert sorted(r1) == [0, 1, 2, 4, 8, 16, 32]
+    import math
+    assert len(_probe_masks(6, 2)) == 1 + 6 + math.comb(6, 2)
+    assert len(_probe_masks(6, 3)) == 1 + 6 + math.comb(6, 2) + \
+        math.comb(6, 3)
+    # all masks unique and within the plane width
+    m3 = _probe_masks(6, 3)
+    assert len(set(m3)) == len(m3) and max(m3) < 2 ** 6
