@@ -121,8 +121,10 @@ class OracleIndex:
         dists = 1.0 - sims
         scores = 1.0 - np.tanh(self.cfg.score_alpha * dists)
         k = min(k, len(scores))
-        # stable sort by descending score == sort by (-score, position)
-        order = np.lexsort((np.arange(len(scores)), -scores))[:k]
+        # tiebreak on the DOC ID VALUE like the engine's ranking window
+        # (positional ties diverge when doc_ids is not monotonic)
+        ids = np.asarray(self.doc_ids)
+        order = np.lexsort((ids, -scores))[:k]
         return [(self.doc_ids[i], float(scores[i])) for i in order]
 
     def bm25_additive_topk(self, query: str, k: int) -> list[tuple[int, float]]:
@@ -130,6 +132,13 @@ class OracleIndex:
         cosine normalization): score(d) = Σ_{t∈q} bm25(t, d) · qtf(t).
         Kept alongside the cosine path so both scoring contracts are
         oracle-covered."""
+        if self.cfg.weighting != "bm25":
+            # self.weights follow cfg.weighting — under tf/tfidf this
+            # method would silently return additive NON-bm25 scores
+            # despite its name, a wrong ground truth for any consumer
+            raise ValueError(
+                f"bm25_additive_topk needs weighting='bm25' "
+                f"(index built with {self.cfg.weighting!r})")
         toks = tokenize_with_config(query, self.cfg)
         qtf: dict[int, float] = {}
         for t in toks:
@@ -143,5 +152,6 @@ class OracleIndex:
             scores += self.weights[:, j] * qc
         mask = scores > 0
         idxs = np.nonzero(mask)[0]
-        order = idxs[np.lexsort((idxs, -scores[idxs]))][:k]
+        ids = np.asarray(self.doc_ids)[idxs]
+        order = idxs[np.lexsort((ids, -scores[idxs]))][:k]
         return [(self.doc_ids[i], float(scores[i])) for i in order]

@@ -64,6 +64,22 @@ def _ft_index(spark: SparkSession, sf_dir: str):
 # SQL fragments shared by the full-text oracles: the same inverted-index
 # statistics pipeline expressed relationally (what the engine computes
 # distributed, DuckDB computes here single-node).
+# Query-side BM25 pseudo-document weights (qtf -> normalized wq) —
+# ONE definition consumed by the four fulltext/lifecycle oracles
+# (the kappa/beta/idf constants here are the [SA-public] pinned
+# semantics; a change must land in every row at once).
+QW_CTES = """qst AS (SELECT coalesce(sum(cnt), 0) AS qlen FROM qtf),
+qw AS (
+  SELECT t.term,
+         (ln(s.n / (d.df + 1)) + 1)
+         * ((2.0 + 1) * sqrt(t.cnt / greatest(q.qlen, 1.0)))
+         / (2.0 * (1 - 0.75 + 0.75 * q.qlen / s.avgdl)
+            + sqrt(t.cnt / greatest(q.qlen, 1.0))) AS wq
+  FROM qtf t JOIN dfreq d USING (term) CROSS JOIN stat s CROSS JOIN qst q
+),
+qn AS (SELECT sqrt(sum(wq * wq)) AS qn FROM qw)"""
+
+
 FT_STATS_CTE = """
 tok AS (
   SELECT d.doc_id, t.term
@@ -98,16 +114,7 @@ qtf AS (
   SELECT q.term, count(*)::DOUBLE AS cnt FROM qraw q
   JOIN dfreq USING (term) GROUP BY 1
 ),
-qst AS (SELECT coalesce(sum(cnt), 0) AS qlen FROM qtf),
-qw AS (
-  SELECT t.term,
-         (ln(s.n / (d.df + 1)) + 1)
-         * ((2.0 + 1) * sqrt(t.cnt / greatest(q.qlen, 1.0)))
-         / (2.0 * (1 - 0.75 + 0.75 * q.qlen / s.avgdl)
-            + sqrt(t.cnt / greatest(q.qlen, 1.0))) AS wq
-  FROM qtf t JOIN dfreq d USING (term) CROSS JOIN stat s CROSS JOIN qst q
-),
-qn AS (SELECT sqrt(sum(wq * wq)) AS qn FROM qw),
+{QW_CTES},
 sc AS (
   SELECT w.doc_id, sum((w.w / n.nrm) * (qw.wq / (SELECT qn FROM qn))) AS cosv
   FROM w JOIN nrm n USING (doc_id) JOIN qw USING (term) GROUP BY 1
@@ -140,7 +147,6 @@ def fulltext_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same flagship query answered by the block-max WAND plan
     (operators/wand.py) against the SAME DuckDB oracle — WAND's
     rank-identity is checked inside the driver gate, not only in pytest."""
-    from garamond_jl_spark.operators.build import build_index
     from garamond_jl_spark.operators.wand import wand_topk
     docs = load_testdata(spark, sf_dir, "documents")
     cfg = EngineConfig(score_alpha=0.4, block_size=64, min_block_df=1)
@@ -174,16 +180,7 @@ qtf AS (
   FROM dfreq d JOIN qpat q ON regexp_matches(d.term, q.pat)
   GROUP BY 1
 ),
-qst AS (SELECT coalesce(sum(cnt), 0) AS qlen FROM qtf),
-qw AS (
-  SELECT t.term,
-         (ln(s.n / (d.df + 1)) + 1)
-         * ((2.0 + 1) * sqrt(t.cnt / greatest(q.qlen, 1.0)))
-         / (2.0 * (1 - 0.75 + 0.75 * q.qlen / s.avgdl)
-            + sqrt(t.cnt / greatest(q.qlen, 1.0))) AS wq
-  FROM qtf t JOIN dfreq d USING (term) CROSS JOIN stat s CROSS JOIN qst q
-),
-qn AS (SELECT sqrt(sum(wq * wq)) AS qn FROM qw),
+{QW_CTES},
 sc AS (
   SELECT w.doc_id, sum((w.w / n.nrm) * (qw.wq / (SELECT qn FROM qn))) AS cosv
   FROM w JOIN nrm n USING (doc_id) JOIN qw USING (term) GROUP BY 1
@@ -218,16 +215,7 @@ qtf AS (
   SELECT q.term, count(*)::DOUBLE AS cnt FROM qraw q
   JOIN dfreq USING (term) GROUP BY 1
 ),
-qst AS (SELECT coalesce(sum(cnt), 0) AS qlen FROM qtf),
-qw AS (
-  SELECT t.term,
-         (ln(s.n / (d.df + 1)) + 1)
-         * ((2.0 + 1) * sqrt(t.cnt / greatest(q.qlen, 1.0)))
-         / (2.0 * (1 - 0.75 + 0.75 * q.qlen / s.avgdl)
-            + sqrt(t.cnt / greatest(q.qlen, 1.0))) AS wq
-  FROM qtf t JOIN dfreq d USING (term) CROSS JOIN stat s CROSS JOIN qst q
-),
-qn AS (SELECT sqrt(sum(wq * wq)) AS qn FROM qw),
+{QW_CTES},
 sc AS (
   SELECT w.doc_id, sum((w.w / n.nrm) * (qw.wq / (SELECT qn FROM qn))) AS cosv
   FROM w JOIN nrm n USING (doc_id) JOIN qw USING (term) GROUP BY 1
@@ -303,16 +291,7 @@ qtf AS (
   SELECT q.term, count(*)::DOUBLE AS cnt FROM qraw q
   JOIN dfreq USING (term) GROUP BY 1
 ),
-qst AS (SELECT coalesce(sum(cnt), 0) AS qlen FROM qtf),
-qw AS (
-  SELECT t.term,
-         (ln(s.n / (d.df + 1)) + 1)
-         * ((2.0 + 1) * sqrt(t.cnt / greatest(q.qlen, 1.0)))
-         / (2.0 * (1 - 0.75 + 0.75 * q.qlen / s.avgdl)
-            + sqrt(t.cnt / greatest(q.qlen, 1.0))) AS wq
-  FROM qtf t JOIN dfreq d USING (term) CROSS JOIN stat s CROSS JOIN qst q
-),
-qn AS (SELECT sqrt(sum(wq * wq)) AS qn FROM qw),
+{QW_CTES},
 sc AS (
   SELECT w.doc_id, sum((w.w / n.nrm) * (qw.wq / (SELECT qn FROM qn))) AS cosv
   FROM w JOIN nrm n USING (doc_id) JOIN qw USING (term) GROUP BY 1
@@ -574,8 +553,13 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
 def fulltext_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 scalar corpus statistics (n_docs, avg doclen)."""
     idx = _ft_index(spark, sf_dir)
+    # HALF_UP like the oracle's round() and the file's e6() — Python
+    # round() is banker's and would differ by 1 on a .5 boundary
+    from decimal import ROUND_HALF_UP, Decimal
+    avgdl_e6 = int(Decimal(repr(idx.meta["avgdl"] * 1e6))
+                   .quantize(Decimal(1), rounding=ROUND_HALF_UP))
     return spark.createDataFrame(
-        [(idx.meta["n_docs"], int(round(idx.meta["avgdl"] * 1e6)))],
+        [(idx.meta["n_docs"], avgdl_e6)],
         "n_docs BIGINT, avgdl_e6 BIGINT")
 
 

@@ -48,6 +48,16 @@ def get_ranker(name: str | None) -> Callable:
     return RANKERS.get(name or "noop_ranker", RANKERS["noop_ranker"])
 
 
+# docs-table columns the index machinery appends (operators/build.py
+# doc_table) — never user attributes, excluded from generated queries
+ENGINE_DOC_COLUMNS = frozenset({"doclen", "norm", "_pos", "_seq"})
+
+# what MATCH_EXPR's quoted-value character class can represent
+# (functions/query_parser.match_expr): alnum/underscore/dot/comma/space
+import re as _re
+_PARSEABLE_STR = _re.compile(r"[_a-zA-Z0-9.,\s]+")
+
+
 def generate_recommend_query(row: dict, id_key: str,
                              fields: list[str] | None = None,
                              separator: str = ":") -> str:
@@ -58,14 +68,28 @@ def generate_recommend_query(row: dict, id_key: str,
     for k, v in row.items():
         if k == id_key or (fields is not None and k not in fields):
             continue
+        if fields is None and k in ENGINE_DOC_COLUMNS:
+            # engine bookkeeping appended by doc_table (build.py): a
+            # doclen equality + +-10% norm interval would filter the
+            # candidates down to (nearly) the seed itself
+            continue
         if isinstance(v, bool) or v is None:
             continue
         if isinstance(v, float):
             lo, hi = sorted((0.9 * v, 1.1 * v))
+            if lo < 0:
+                # MATCH_EXPR's value class has no '-' (the reference's
+                # regex is the same): the pair would silently never
+                # parse, so skip it instead of emitting a dead filter
+                continue
             parts.append(f"{k}{separator}[{lo},{hi}]")
         elif isinstance(v, int):
+            if v < 0:
+                continue
             parts.append(f"{k}{separator}{v}")
         elif isinstance(v, str):
+            if not _PARSEABLE_STR.fullmatch(v):
+                continue               # value unrepresentable in the DSL
             parts.append(f'{k}{separator}"{v}"')
     return " ".join(parts)
 

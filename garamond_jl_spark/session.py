@@ -59,6 +59,11 @@ def get_spark(app: str = "garamond-spark", cpus: int | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # deterministic time semantics everywhere: date_trunc/window
+        # otherwise follow the HOST zone, and the tumbling-window parity
+        # row would group rows differently on a non-UTC machine while
+        # its DuckDB oracle truncates naive (UTC) timestamps
+        .config("spark.sql.session.timeZone", "UTC")
         # Arrow everywhere: pandas UDFs are the only Python in the plan
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

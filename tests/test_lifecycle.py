@@ -553,3 +553,29 @@ def test_response_total_counts_before_pagination(env):
     assert resp["n_total_results"] == 8
     assert len(resp["results"]) == 3
     assert [r["rank"] for r in resp["results"]] == [4, 5, 6]
+
+
+def test_recommend_default_fields_excludes_engine_columns(spark):
+    """recommend with NO return_fields must not turn the seed's
+    engine bookkeeping (doclen equality, ±10% norm interval) into
+    filters — that collapsed the candidate set to (nearly) the seed.
+    (User attribute filters still apply — a unique-valued attribute
+    column legitimately narrows to itself, so this env carries only
+    shared attributes.)"""
+    from garamond_jl_spark.plans.lifecycle import recommend
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(spark, docs, CFG, id_col="doc_id", text_col="text",
+                      carry_cols=["lang", "source"])
+    renv = SearchEnv(spark=spark, index=idx)
+    req = InternalRequest(query="7", operation="recommend", max_matches=5)
+    rows = recommend(renv, req).collect()
+    assert len(rows) == 5
+    assert all(r["doc_id"] != 7 for r in rows)   # seed excluded
+
+
+def test_generate_recommend_query_skips_unrepresentable():
+    from garamond_jl_spark.plugins import generate_recommend_query
+    q = generate_recommend_query(
+        {"doc_id": 1, "lang": "en", "doclen": 9, "norm": 2.5,
+         "bal": -4.0, "name": "Cust#42", "n": 3}, "doc_id")
+    assert q == 'lang:"en" n:3'
