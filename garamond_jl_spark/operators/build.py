@@ -574,7 +574,12 @@ def build_index(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
             pw.groupBy("term").agg(F.max("wnorm").alias("term_max_wnorm")),
             "term")
     dtab = doc_table(docs, pw, id_col, carry_cols)
-    meta = {"n_docs": n_docs, "avgdl": avgdl, "n_terms": n_terms,
+    # "_aux_persist": build-time caches the returned index holds no
+    # column handle to (the RAW tokenized postings feeding pw) — a
+    # serving-layer retire (server/rest._envop) unpersists them so
+    # reindex loops don't accumulate orphaned cache sets
+    meta = {"_aux_persist": [postings],
+            "n_docs": n_docs, "avgdl": avgdl, "n_terms": n_terms,
             "cfg": cfg}
     return InvertedIndex(docs=dtab, terms=terms_full, postings=pw,
                          blocks=blocks, meta=meta, tokenizer=tokenizer)

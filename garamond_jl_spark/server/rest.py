@@ -72,14 +72,37 @@ def request_from_body(body: dict, operation: str) -> InternalRequest:
     return req
 
 
+_ENV_LOCK_GUARD = threading.Lock()
+
+
+def env_lock(env: SearchEnv) -> threading.Lock:
+    """ONE envop/snapshot lock PER ENV, shared by every transport
+    serving it: gars starts up to three transports (TCP, unix, REST)
+    over one SearchEnv, and per-transport locks would let a reindex
+    through one interleave with a save through another — exactly the
+    single-writer guarantee the env_operator channel provides in the
+    reference.  Lazily attached to the env object itself."""
+    lock = getattr(env, "_envop_lock", None)
+    if lock is None:
+        with _ENV_LOCK_GUARD:
+            lock = getattr(env, "_envop_lock", None)
+            if lock is None:
+                lock = threading.Lock()
+                env._envop_lock = lock
+    return lock
+
+
 def _snapshot(env: SearchEnv) -> SearchEnv:
     """Shallow per-request copy: a handler thread reads ``env.index``
     several times across one search; snapshotting pins them all to one
     index even if a concurrent envop swaps ``env.index`` mid-request —
     the reference's semantics, where in-flight requests keep the env
     value they started with and the env_operator publishes the updated
-    env for subsequent requests (src/server/search.jl:18-21,36-38)."""
-    return dataclasses.replace(env)
+    env for subsequent requests (src/server/search.jl:18-21,36-38).
+    Taken under the env lock so a multi-field envop swap can never be
+    captured torn (new index + old searchers)."""
+    with env_lock(env):
+        return dataclasses.replace(env)
 
 
 def _configs_payload(env: SearchEnv) -> dict:
@@ -137,8 +160,12 @@ def _envop(env: SearchEnv, body: dict) -> dict:
 
     def _retire(old) -> None:
         # free the replaced index's cached frames (lazy-safe: Spark
-        # recomputes if a plan still references them)
-        for frame in (old.postings, old.terms):
+        # recomputes if a plan still references them), including the
+        # build-time auxiliary persists (raw postings) the index keeps
+        # only a meta handle to — without this every reindex cycle
+        # leaked one full tokenized-postings cache set
+        aux = (old.meta or {}).get("_aux_persist", [])
+        for frame in (old.postings, old.terms, *aux):
             try:
                 frame.unpersist()
             except Exception:
@@ -179,12 +206,18 @@ def _envop(env: SearchEnv, body: dict) -> dict:
                 reindex_searchers
             new = reindex_searchers(env, arg)
             old = env.index
+            # every config-derived field moves over (a partial copy
+            # left e.g. the old suggest_metric active after a config
+            # change); the per-env lock held by the caller plus the
+            # locked _snapshot make the multi-field swap untearable
             env.index = new.index
             env.searchers = new.searchers
             env.score_weight = new.score_weight
             env.aggregation = new.aggregation
             env.id_key = new.id_key
             env.searcher_ids = new.searcher_ids
+            env.suggest_metric = new.suggest_metric
+            env.agg_ids = new.agg_ids
             _retire(old)
             return {"envop": "reindex", "searchers": arg,
                     "n_docs": env.index.meta["n_docs"]}
@@ -245,10 +278,13 @@ class _Handler(BaseHTTPRequestHandler):
             if not isinstance(body, dict):
                 raise ValueError("body must be a JSON object")
             if self.path == "/api/envop":
-                # one writer at a time (the reference's env_operator
-                # channel serializes updates, server/search.jl:18-21)
-                with srv.envop_lock:
-                    self._send(200, json.dumps(_envop(srv.env, body)))
+                # one writer at a time ACROSS transports (the
+                # reference's env_operator channel, search.jl:18-21);
+                # the response is sent AFTER releasing the lock so a
+                # slow client cannot pin every other envop
+                with env_lock(srv.env):
+                    payload = json.dumps(_envop(srv.env, body))
+                self._send(200, payload)
                 return
             req = request_from_body(body, ops[self.path])
             self._send(200, response_json(_snapshot(srv.env), req))
@@ -266,7 +302,7 @@ class RestServer:
     def __init__(self, env: SearchEnv, host: str = "127.0.0.1",
                  port: int = 0):
         self.env = env
-        self.envop_lock = threading.Lock()
+        self.envop_lock = env_lock(env)   # shared per-env (see env_lock)
         self.httpd = ThreadingHTTPServer((host, port), _Handler)
         self.httpd.rest = self  # type: ignore[attr-defined]
         self.host, self.port = self.httpd.server_address[:2]

@@ -72,7 +72,7 @@ def respond_line(srv: "SocketServer", line: str) -> tuple[str, bool]:
                               default=str), False
         if op == "envop":
             body = json.loads(d.get("query") or "{}")
-            with srv.envop_lock:
+            with srv.envop_lock:          # per-ENV lock (rest.env_lock)
                 return json.dumps(_envop(srv.env, body)), False
         if op in _ENGINE_OPS:
             return response_json(_snapshot(srv.env),
@@ -105,8 +105,11 @@ class _TCP(socketserver.ThreadingTCPServer):
     daemon_threads = True
 
 
-class _Unix(socketserver.ThreadingUnixStreamServer):
-    daemon_threads = True
+if hasattr(socketserver, "ThreadingUnixStreamServer"):
+    class _Unix(socketserver.ThreadingUnixStreamServer):
+        daemon_threads = True
+else:                                   # platform without AF_UNIX:
+    _Unix = None                        # TCP/REST must still import
 
 
 class SocketServer:
@@ -120,11 +123,15 @@ class SocketServer:
     def __init__(self, env, host: str = "127.0.0.1",
                  port: int = 0, unix_path: str | None = None):
         self.env = env
-        self.envop_lock = threading.Lock()
+        from garamond_jl_spark.server.rest import env_lock
+        self.envop_lock = env_lock(env)   # shared across transports
         self.unix_path = unix_path
         if unix_path is not None:
             if os.path.exists(unix_path):
                 os.remove(unix_path)
+            if _Unix is None:
+                raise OSError("unix-domain sockets are not supported "
+                              "on this platform; use the TCP transport")
             self.server = _Unix(unix_path, _Handler)
             self.host, self.port = None, None
         else:

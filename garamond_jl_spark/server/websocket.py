@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import base64
 import hashlib
+import json
 import socket
 import socketserver
 import threading
@@ -32,6 +33,15 @@ _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 OP_CONT, OP_TEXT, OP_BIN = 0x0, 0x1, 0x2
 OP_CLOSE, OP_PING, OP_PONG = 0x8, 0x9, 0xA
 
+# largest client frame honored (search requests are <1 KB; this is
+# pure DoS headroom) — larger declared lengths close with 1009
+MAX_FRAME_BYTES = 8 * 1024 * 1024
+
+
+class FrameTooBig(Exception):
+    def __init__(self, n: int):
+        super().__init__(f"frame declares {n} bytes")
+
 
 def accept_key(client_key: str) -> str:
     """Sec-WebSocket-Accept for a client's Sec-WebSocket-Key (§4.2.2)."""
@@ -40,13 +50,15 @@ def accept_key(client_key: str) -> str:
 
 
 def _read_exact(rfile: BinaryIO, n: int) -> bytes:
-    buf = b""
-    while len(buf) < n:
-        chunk = rfile.read(n - len(buf))
+    parts = []                 # list-accumulate: += on bytes is O(n^2)
+    got = 0
+    while got < n:
+        chunk = rfile.read(n - got)
         if not chunk:
             raise ConnectionError("peer closed mid-frame")
-        buf += chunk
-    return buf
+        parts.append(chunk)
+        got += len(chunk)
+    return b"".join(parts)
 
 
 def read_frame(rfile: BinaryIO) -> tuple[bool, int, bool, bytes]:
@@ -58,6 +70,11 @@ def read_frame(rfile: BinaryIO) -> tuple[bool, int, bool, bytes]:
         ln = int.from_bytes(_read_exact(rfile, 2), "big")
     elif ln == 127:
         ln = int.from_bytes(_read_exact(rfile, 8), "big")
+    if ln > MAX_FRAME_BYTES:
+        # a client-declared length is untrusted input: honoring an
+        # arbitrary 2^63 value would let one frame OOM the DRIVER
+        # process hosting the SparkSession
+        raise FrameTooBig(ln)
     mask = _read_exact(rfile, 4) if masked else b""
     payload = _read_exact(rfile, ln)
     if masked:
@@ -126,6 +143,13 @@ class _WSHandler(socketserver.StreamRequestHandler):
         try:
             while True:
                 fin, opcode, masked, payload = read_frame(self.rfile)
+                if not masked:
+                    # EVERY client frame (control included) must be
+                    # masked; close 1002 before any opcode handling
+                    # (RFC 6455 para 5.1)
+                    write_frame(self.wfile, (1002).to_bytes(2, "big"),
+                                OP_CLOSE)
+                    return
                 if opcode == OP_PING:
                     write_frame(self.wfile, payload, OP_PONG)
                     continue
@@ -133,10 +157,6 @@ class _WSHandler(socketserver.StreamRequestHandler):
                     continue
                 if opcode == OP_CLOSE:
                     write_frame(self.wfile, payload[:2], OP_CLOSE)
-                    return
-                if not masked:           # client data MUST be masked (§5.1)
-                    write_frame(self.wfile, (1002).to_bytes(2, "big"),
-                                OP_CLOSE)
                     return
                 if opcode in (OP_TEXT, OP_BIN):
                     message = payload
@@ -152,8 +172,22 @@ class _WSHandler(socketserver.StreamRequestHandler):
                 message = b""
                 if not text:             # isempty(request) gate (ws.jl:31)
                     continue
+                if "\n" in text:
+                    # the io wire is newline-framed: a pretty-printed
+                    # JSON message would be split into one garbage
+                    # request per line — compact it first
+                    try:
+                        text = json.dumps(json.loads(text))
+                    except ValueError:
+                        text = " ".join(text.split())
                 write_frame(self.wfile, self._forward(text).encode(),
                             OP_TEXT)
+        except FrameTooBig:
+            try:                         # 1009 Message Too Big
+                write_frame(self.wfile, (1009).to_bytes(2, "big"), OP_CLOSE)
+            except OSError:
+                pass
+            return
         except ConnectionError:
             return                       # client went away mid-frame
         except OSError:                  # search server unreachable → 1011

@@ -230,3 +230,41 @@ def test_kill_through_websocket(env):
             ss.shutdown()
         except Exception:
             pass
+
+
+def test_pretty_printed_json_is_one_request(ws):
+    """A browser's JSON.stringify(req, null, 2) carries interior
+    newlines: the bridge must compact it into ONE line-JSON wire
+    request instead of splitting it into garbage fragments."""
+    s, _, _ = _handshake(ws.host, ws.port)
+    pretty = json.dumps({"operation": "search", "query": "spark join data",
+                         "max_matches": 3}, indent=2)
+    assert "\n" in pretty
+    _send(s, pretty.encode())
+    fin, opcode, data = _recv_frame(s)
+    assert fin and opcode == OP_TEXT
+    resp = json.loads(data)
+    assert resp["n_total_results"] == 3
+    s.close()
+
+
+def test_oversized_frame_closes_1009(ws):
+    """A client-declared 2^40 length is untrusted input — the server
+    must close 1009 instead of trying to allocate it."""
+    s, _, _ = _handshake(ws.host, ws.port)
+    mask = b"\x01\x02\x03\x04"
+    head = bytes([0x80 | OP_TEXT, 0x80 | 127]) + (1 << 40).to_bytes(8, "big")
+    s.sendall(head + mask)
+    fin, opcode, data = _recv_frame(s)
+    assert opcode == 0x8 and int.from_bytes(data[:2], "big") == 1009
+    s.close()
+
+
+def test_unmasked_control_frame_rejected(ws):
+    """RFC 6455 §5.1: EVERY unmasked client frame — control frames
+    included — must close the connection with 1002."""
+    s, _, _ = _handshake(ws.host, ws.port)
+    s.sendall(bytes([0x80 | 0x9, 0x00]))     # unmasked PING
+    fin, opcode, data = _recv_frame(s)
+    assert opcode == 0x8 and int.from_bytes(data[:2], "big") == 1002
+    s.close()
