@@ -29,7 +29,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: batched BM25 top-k with
     hydrated metadata (SURVEY.md §3.1 plan)."""
     from garamond_jl_spark.operators.query import search
-    from garamond_jl_spark.plans.testdata_queries import FT_CFG, _ft_index
+    from garamond_jl_spark.plans.testdata_queries import _ft_index
 
     idx = _ft_index(spark, "/root/testdata/sf0.001")
     return search(spark, idx, ["spark join data", "window batch merge"],
@@ -55,6 +55,14 @@ GATE_TAIL = [
 
 def _gate_ordered(d: dict) -> dict:
     head = {k: v for k, v in d.items() if k not in GATE_TAIL}
+    # the driver's correctness snapshot captures the FIRST 50 entries:
+    # every hash-checked query must sit in that window, so any registry
+    # growth must be matched by growing GATE_TAIL (stable, already-
+    # adjudicated rows) — fail loudly instead of silently dropping a
+    # row out of the gate
+    assert len(head) <= 50, (
+        f"{len(head)} head entries exceed the driver's 50-row "
+        f"correctness snapshot; move stable rows into GATE_TAIL")
     head.update({k: d[k] for k in GATE_TAIL if k in d})
     return head
 

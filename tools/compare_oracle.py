@@ -47,10 +47,16 @@ def _canon_types(pairs: list[tuple[str, str]], table: dict) -> dict:
     return {c: table.get(str(t), str(t)) for c, t in pairs}
 
 
+def _canon_val(v):
+    # PySpark collects BINARY as bytearray, DuckDB as bytes: equal
+    # values must hash equally
+    return bytes(v) if isinstance(v, bytearray) else v
+
+
 def value_hash(rows: list[tuple], cols: list[str]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     canon = sorted(
-        tuple(repr(r[i]) for i in order) for r in rows
+        tuple(repr(_canon_val(r[i])) for i in order) for r in rows
     )
     h = hashlib.sha256()
     for row in canon:
@@ -111,8 +117,8 @@ def main() -> int:
         if type_diffs:
             print(f"      TYPE mismatch (spark vs duckdb): {type_diffs}")
         if status == "FAIL" and srows and orows:
-            print(f"      spark sample: {sorted(srows)[:3]}")
-            print(f"      duck  sample: {sorted(orows)[:3]}")
+            print(f"      spark sample: {sorted(srows, key=repr)[:3]}")
+            print(f"      duck  sample: {sorted(orows, key=repr)[:3]}")
     spark.stop()
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
