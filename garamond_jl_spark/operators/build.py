@@ -575,10 +575,15 @@ def build_index(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
             "term")
     dtab = doc_table(docs, pw, id_col, carry_cols)
     # "_aux_persist": build-time caches the returned index holds no
-    # column handle to (the RAW tokenized postings feeding pw) — a
-    # serving-layer retire (server/rest._envop) unpersists them so
-    # reindex loops don't accumulate orphaned cache sets
-    meta = {"_aux_persist": [postings],
+    # column handle to (the RAW tokenized postings feeding pw, and the
+    # id_col=None dense-id DISK_ONLY corpus snapshot) — retire via
+    # server/rest._envop or bench._retire_index so reindex/bench loops
+    # don't accumulate orphaned cache sets
+    aux = [postings]
+    snap = getattr(docs, "_dense_ids_snapshot", None)
+    if snap is not None:
+        aux.append(snap)
+    meta = {"_aux_persist": aux,
             "n_docs": n_docs, "avgdl": avgdl, "n_terms": n_terms,
             "cfg": cfg}
     return InvertedIndex(docs=dtab, terms=terms_full, postings=pw,

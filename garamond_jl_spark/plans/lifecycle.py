@@ -608,12 +608,19 @@ def response_json(env: SearchEnv, request: InternalRequest) -> str:
     hits = _respond_hits(env, request)
     # the reference's n_total_results counts ALL matches BEFORE the
     # page window (search.jl:141) — a client paging through 100 hits
-    # must see 100 on every page, not the page length.  The hit set is
-    # already bounded by max_matches, so the count is cheap; Spark
-    # reuses the plan for the paginated collect below.
-    n_total = hits.count()
+    # must see 100 on every page, not the page length.  ONE execution
+    # of the ranking DAG: collect the (≤ max_matches) ranked id set,
+    # derive the total and the page slice driver-side, and hydrate only
+    # the page rows through a LocalRelation join — a hits.count() here
+    # would re-run the whole ranking plan a second time per request.
+    hit_rows = hits.collect()
+    n_total = len(hit_rows)
+    lo = (request.response_page - 1) * request.response_size
+    hi = lo + request.response_size
+    page = [r for r in hit_rows if lo < r["rank"] <= hi]
+    page_df = env.spark.createDataFrame(page, hits.schema)
     rows = [r.asDict()
-            for r in _paginate_hydrate(env, request, hits).collect()]
+            for r in _paginate_hydrate(env, request, page_df).collect()]
     rows.sort(key=lambda r: r["rank"])
     suggestions: dict[str, list[str]] = {}
     if (request.max_suggestions > 0 and request.operation == "search"

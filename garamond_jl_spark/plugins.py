@@ -58,6 +58,12 @@ import re as _re
 _PARSEABLE_STR = _re.compile(r"[_a-zA-Z0-9.,\s]+")
 
 
+def _fmt_num(x: float) -> str:
+    """Plain-decimal float rendering (never scientific notation)."""
+    out = format(x, ".12f").rstrip("0").rstrip(".")
+    return out or "0"
+
+
 def generate_recommend_query(row: dict, id_key: str,
                              fields: list[str] | None = None,
                              separator: str = ":") -> str:
@@ -82,7 +88,11 @@ def generate_recommend_query(row: dict, id_key: str,
                 # regex is the same): the pair would silently never
                 # parse, so skip it instead of emitting a dead filter
                 continue
-            parts.append(f"{k}{separator}[{lo},{hi}]")
+            # plain decimal rendering: str() uses scientific notation
+            # for small/large floats ('4.5e-05') whose '-'/'+' are
+            # ALSO outside the value class
+            parts.append(f"{k}{separator}"
+                         f"[{_fmt_num(lo)},{_fmt_num(hi)}]")
         elif isinstance(v, int):
             if v < 0:
                 continue

@@ -75,6 +75,25 @@ def request_from_body(body: dict, operation: str) -> InternalRequest:
 _ENV_LOCK_GUARD = threading.Lock()
 
 
+def _attached_lock(env, attr: str) -> threading.Lock:
+    lock = getattr(env, attr, None)
+    if lock is None:
+        with _ENV_LOCK_GUARD:
+            lock = getattr(env, attr, None)
+            if lock is None:
+                lock = threading.Lock()
+                setattr(env, attr, lock)
+    return lock
+
+
+def env_swap_lock(env: SearchEnv) -> threading.Lock:
+    """Brief lock guarding the env's field swap and request snapshots:
+    held for microseconds, never across a Spark job, so searches keep
+    serving the OLD env while an envop rebuilds (the reference's
+    publish-at-the-end channel semantics)."""
+    return _attached_lock(env, "_swap_lock")
+
+
 def env_lock(env: SearchEnv) -> threading.Lock:
     """ONE envop/snapshot lock PER ENV, shared by every transport
     serving it: gars starts up to three transports (TCP, unix, REST)
@@ -82,14 +101,7 @@ def env_lock(env: SearchEnv) -> threading.Lock:
     through one interleave with a save through another — exactly the
     single-writer guarantee the env_operator channel provides in the
     reference.  Lazily attached to the env object itself."""
-    lock = getattr(env, "_envop_lock", None)
-    if lock is None:
-        with _ENV_LOCK_GUARD:
-            lock = getattr(env, "_envop_lock", None)
-            if lock is None:
-                lock = threading.Lock()
-                env._envop_lock = lock
-    return lock
+    return _attached_lock(env, "_envop_lock")
 
 
 def _snapshot(env: SearchEnv) -> SearchEnv:
@@ -99,9 +111,11 @@ def _snapshot(env: SearchEnv) -> SearchEnv:
     the reference's semantics, where in-flight requests keep the env
     value they started with and the env_operator publishes the updated
     env for subsequent requests (src/server/search.jl:18-21,36-38).
-    Taken under the env lock so a multi-field envop swap can never be
-    captured torn (new index + old searchers)."""
-    with env_lock(env):
+    Taken under the SWAP lock (microseconds) so a multi-field envop
+    swap can never be captured torn (new index + old searchers) —
+    without stalling behind the envop WRITER lock, which is held for
+    the whole rebuild."""
+    with env_swap_lock(env):
         return dataclasses.replace(env)
 
 
@@ -190,8 +204,9 @@ def _envop(env: SearchEnv, body: dict) -> dict:
         if not arg:
             raise ValueError("envop load needs 'cmd_argument' (a path)")
         old = env.index
-        env.index = load_live_index(env.spark, arg,
-                                    tokenizer=old.tokenizer)
+        loaded = load_live_index(env.spark, arg, tokenizer=old.tokenizer)
+        with env_swap_lock(env):
+            env.index = loaded
         _retire(old)
         return {"envop": "load", "path": arg,
                 "n_docs": env.index.meta["n_docs"]}
@@ -208,17 +223,22 @@ def _envop(env: SearchEnv, body: dict) -> dict:
             old = env.index
             # every config-derived field moves over (a partial copy
             # left e.g. the old suggest_metric active after a config
-            # change); the per-env lock held by the caller plus the
-            # locked _snapshot make the multi-field swap untearable
-            env.index = new.index
-            env.searchers = new.searchers
-            env.score_weight = new.score_weight
-            env.aggregation = new.aggregation
-            env.id_key = new.id_key
-            env.searcher_ids = new.searcher_ids
-            env.suggest_metric = new.suggest_metric
-            env.agg_ids = new.agg_ids
-            _retire(old)
+            # change); the swap-lock section is microseconds, so the
+            # multi-field swap is untearable without stalling searches
+            # behind the whole rebuild
+            with env_swap_lock(env):
+                env.index = new.index
+                env.searchers = new.searchers
+                env.score_weight = new.score_weight
+                env.aggregation = new.aggregation
+                env.id_key = new.id_key
+                env.searcher_ids = new.searcher_ids
+                env.suggest_metric = new.suggest_metric
+                env.agg_ids = new.agg_ids
+            if new.index is not old:
+                # a SELECTIVE reindex can KEEP the primary (via _keep):
+                # retiring it would unpersist the live serving caches
+                _retire(old)
             return {"envop": "reindex", "searchers": arg,
                     "n_docs": env.index.meta["n_docs"]}
         if arg not in ("", "*"):
@@ -231,9 +251,11 @@ def _envop(env: SearchEnv, body: dict) -> dict:
         # repeatable: reindex→reindex / reindex→save must not drop text
         carry = [c for c in old.docs.columns
                  if c not in ("doc_id", "doclen", "norm")]
-        env.index = build_index(env.spark, old.docs, old.cfg,
-                                id_col="doc_id", text_col=_text_col(),
-                                carry_cols=carry, tokenizer=old.tokenizer)
+        rebuilt = build_index(env.spark, old.docs, old.cfg,
+                              id_col="doc_id", text_col=_text_col(),
+                              carry_cols=carry, tokenizer=old.tokenizer)
+        with env_swap_lock(env):
+            env.index = rebuilt
         _retire(old)
         return {"envop": "reindex", "n_docs": env.index.meta["n_docs"]}
     raise ValueError(f"unknown envop cmd: {cmd!r}")

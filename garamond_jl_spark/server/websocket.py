@@ -161,6 +161,11 @@ class _WSHandler(socketserver.StreamRequestHandler):
                 if opcode in (OP_TEXT, OP_BIN):
                     message = payload
                 elif opcode == OP_CONT:
+                    if len(message) + len(payload) > MAX_FRAME_BYTES:
+                        # the per-frame cap must also bound the
+                        # ASSEMBLED message or fragmentation bypasses
+                        # the OOM guard
+                        raise FrameTooBig(len(message) + len(payload))
                     message += payload
                 else:                    # reserved opcode → protocol error
                     write_frame(self.wfile, (1002).to_bytes(2, "big"),

@@ -138,8 +138,20 @@ def append_docs(spark: SparkSession, out_dir: str, new_docs: DataFrame,
     # one evaluation of the (possibly sampled) input: the postings and
     # docs writes below both consume it, and a nondeterministic sampler
     # evaluated twice could commit docs and postings describing
-    # different row sets inside one "atomic" batch
+    # different row sets inside one "atomic" batch.  try/finally: a
+    # failed push (tokenizer mismatch, schema error) must not leak the
+    # cached frame in a long-lived serving driver.
     new_docs = new_docs.persist()
+    try:
+        return _append_docs_inner(spark, out_dir, new_docs, id_col,
+                                  text_col, tokenizer, _position,
+                                  dedupe_tag)
+    finally:
+        new_docs.unpersist()
+
+
+def _append_docs_inner(spark, out_dir, new_docs, id_col, text_col,
+                       tokenizer, _position, dedupe_tag) -> int:
     m, cfg = read_meta(out_dir)
     _check_tokenizer(m, tokenizer)
     terms = spark.read.parquet(os.path.join(out_dir, "terms"))
@@ -197,7 +209,6 @@ def append_docs(spark: SparkSession, out_dir: str, new_docs: DataFrame,
         .join(doc_stats, "doc_id", "left") \
         .fillna({"doclen": 0, "norm": 0.0}).write.parquet(d_dir)
     n = p_written.count()
-    new_docs.unpersist()
     # atomic commit (M4 guard): both tables live under ONE batch dir;
     # a single rename publishes them together or not at all — no window
     # where postings exist without their docs
@@ -242,11 +253,15 @@ def _ordered_segments(out_dir: str) -> list[tuple[int, str]]:
     pre, app = [], []
     for b in _committed_batches(out_dir):
         (pre if os.path.basename(b).startswith("first-") else app).append(b)
+    # order by COMMIT STAMP (name as tiebreak): plain name sorting
+    # would put zero-padded ns names before legacy strftime names,
+    # misordering stores that span the naming change
+    bykey = lambda b: (_batch_commit_ns(b), os.path.basename(b))  # noqa: E731
     segs = [(-(i + 1), os.path.join(b, "docs"), _batch_commit_ns(b))
-            for i, b in enumerate(sorted(pre))]          # oldest → -1 …
+            for i, b in enumerate(sorted(pre, key=bykey))]  # oldest → -1 …
     segs.append((0, os.path.join(out_dir, "docs"), 0))
     segs += [(i + 1, os.path.join(b, "docs"), _batch_commit_ns(b))
-             for i, b in enumerate(sorted(app))]
+             for i, b in enumerate(sorted(app, key=bykey))]
     return segs
 
 
