@@ -79,9 +79,16 @@ def aggregate_results(hit_sets: list[tuple[DataFrame, float]],
         raise ValueError("aggregate_results needs at least one hit set")
     custom_weights = custom_weights or {}
     # per-query frames must aggregate per query: silently dropping a
-    # query_id column would average different queries' scores together
-    by = (["query_id", "doc_id"]
-          if "query_id" in hit_sets[0][0].columns else ["doc_id"])
+    # query_id column would average different queries' scores together.
+    # Every frame must agree — a doc-only first frame followed by a
+    # per-query one would otherwise silently drop query_id and merge
+    # different queries' scores (the reverse mix fails loudly in select)
+    has_qid = ["query_id" in hits.columns for hits, _ in hit_sets]
+    if any(has_qid) and not all(has_qid):
+        raise ValueError(
+            "aggregate_results: hit sets disagree on query_id presence "
+            f"(per-frame: {has_qid}) — merge would mix queries' scores")
+    by = ["query_id", "doc_id"] if has_qid[0] else ["doc_id"]
     parts = []
     for i, (hits, weight) in enumerate(hit_sets):
         w = weight * custom_weights.get(i, 1.0)

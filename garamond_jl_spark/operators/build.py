@@ -91,6 +91,11 @@ class InvertedIndex:
     # imp_rank) for the champion-list plan (operators/impact.py);
     # attached by load_index when the persistent index stored them
     champions: "DataFrame | None" = None
+    # warm serving posture (operators/resident.py make_resident):
+    # driver-held term stats + pad prefixes so a single request costs
+    # one Spark job over the persisted postings instead of stats /
+    # bucket / pad round-trips.  None = the default lazy posture.
+    resident: object = None
 
     @property
     def cfg(self) -> EngineConfig:

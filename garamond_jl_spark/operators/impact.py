@@ -124,6 +124,23 @@ def impact_topk(spark: SparkSession, index: InvertedIndex,
         # persist the (≤ p·|q_terms| rows) prefix or the window scan,
         # the heaviest stage of the plan, runs twice per batch
         ch = ch.persist()
+    try:
+        return _impact_topk_scored(index, qterms, qt_rows, ch, k,
+                                   tiebreak_round, pad_to_k, stats)
+    finally:
+        # always release the cached champion prefix — an exception
+        # between the persist and the collects must not leak the frame
+        # in a long-lived serving driver
+        if recomputed:
+            ch.unpersist()
+
+
+def _impact_topk_scored(index: InvertedIndex, qterms: DataFrame,
+                        qt_rows: list, ch: DataFrame, k: int,
+                        tiebreak_round: int | None, pad_to_k: bool,
+                        stats: dict | None) -> DataFrame:
+    q_terms = sorted({r["term"] for r in qt_rows})
+    cfg = index.cfg
     cand = (F.broadcast(qterms.select("query_id", "term"))
             .join(ch, "term")
             .select("query_id", "doc_id").distinct())
@@ -140,7 +157,6 @@ def impact_topk(spark: SparkSession, index: InvertedIndex,
               .groupBy("query_id", "doc_id")
               .agg(F.sum(F.col("qw") * F.col("wnorm")).alias("cos"))
               .join(cand, ["query_id", "doc_id"], "left_semi"))
-    cfg = index.cfg
     score = score_transform_expr(F.lit(1.0) - F.col("cos"), cfg.score_alpha)
     scored = scored.withColumn("score", score)
     # cut to k with the SAME ranking key the exact plan uses: the rounded
@@ -153,7 +169,20 @@ def impact_topk(spark: SparkSession, index: InvertedIndex,
                                                F.col("doc_id").asc())
     topc = (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k).persist())
+    try:
+        return _certify_and_assemble(index, qterms, qt_rows, ch, topc,
+                                     rank_on, cfg, k, tiebreak_round,
+                                     pad_to_k, stats)
+    finally:
+        topc.unpersist()
 
+
+def _certify_and_assemble(index: InvertedIndex, qterms: DataFrame,
+                          qt_rows: list, ch: DataFrame, topc: DataFrame,
+                          rank_on, cfg, k: int,
+                          tiebreak_round: int | None, pad_to_k: bool,
+                          stats: dict | None) -> DataFrame:
+    q_terms = sorted({r["term"] for r in qt_rows})
     # certificate: k-th candidate (by the ranking key) vs the
     # hidden-mass bound B_q.  On an incremental live view the frozen
     # index.terms df UNDERCOUNTS appended postings: a term whose live
@@ -161,6 +190,7 @@ def impact_topk(spark: SparkSession, index: InvertedIndex,
     # the certificate would pass while hidden pushed docs rank — so df
     # must come from the same live postings the champions came from.
     if index.meta.get("live_deltas"):
+        from garamond_jl_spark.operators.query import pruned_postings
         dfs = (pruned_postings(index, qterms)
                .where(F.col("term").isin(q_terms))
                .groupBy("term").agg(F.count("*").alias("df")))
@@ -218,10 +248,8 @@ def impact_topk(spark: SparkSession, index: InvertedIndex,
     out = parts[0]
     for pt in parts[1:]:
         out = out.unionByName(pt)
-    # materialize the ≤ |queries|·k result and release the cached
-    # candidate top-k (same leak-avoidance contract as wand_topk)
-    out = out.localCheckpoint(eager=True)
-    topc.unpersist()
-    if recomputed:
-        ch.unpersist()
-    return out
+    # materialize the ≤ |queries|·k result so the caller's finally
+    # blocks can release the cached frames (same leak-avoidance
+    # contract as wand_topk — unpersist happens in impact_topk even on
+    # exceptions now)
+    return out.localCheckpoint(eager=True)

@@ -260,10 +260,15 @@ def _check_tokenizer(m: dict, tokenizer) -> None:
 
 
 def load_index(spark: SparkSession, out_dir: str,
-               tokenizer=None) -> InvertedIndex:
+               tokenizer=None, resident: bool = False) -> InvertedIndex:
     """Open a persisted index — the 'load cache' path (env.jl:31-39
     analog): just table reads, no recompute.  An index built with a
-    custom ``tokenizer`` must be opened with the same one."""
+    custom ``tokenizer`` must be opened with the same one.
+
+    ``resident=True`` switches to the warm serving posture
+    (operators/resident.py): tables persisted + materialized, term
+    stats and pad prefixes driver-held, so a single request costs one
+    Spark job — the long-lived ``gars`` server default."""
     m, cfg = read_meta(out_dir)
     _check_tokenizer(m, tokenizer)
     terms = spark.read.parquet(os.path.join(out_dir, "terms"))
@@ -272,7 +277,7 @@ def load_index(spark: SparkSession, out_dir: str,
     champs = (spark.read.parquet(champ_dir)
               if os.path.exists(os.path.join(champ_dir, "_SUCCESS"))
               else None)
-    return InvertedIndex(
+    idx = InvertedIndex(
         docs=spark.read.parquet(os.path.join(out_dir, "docs")),
         terms=terms.join(tmax, "term"),
         postings=spark.read.parquet(os.path.join(out_dir, "postings")),
@@ -283,6 +288,10 @@ def load_index(spark: SparkSession, out_dir: str,
               "term_bucket_splits": m.get("term_bucket_splits"),
               "champion_p": m.get("champion_p")},
         tokenizer=tokenizer, champions=champs)
+    if resident:
+        from garamond_jl_spark.operators.resident import make_resident
+        make_resident(spark, idx)
+    return idx
 
 
 def lineage(spark: SparkSession, out_dir: str) -> DataFrame:

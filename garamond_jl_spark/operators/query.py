@@ -66,6 +66,15 @@ def pruned_postings(index: InvertedIndex, qterms: DataFrame) -> DataFrame:
     p = index.postings
     if not nb or "_tb" not in p.columns:
         return p
+    if index.resident is not None:
+        # warm posture: bucket ids come from the driver-held stats —
+        # no job at all (operators/resident.py).  qterms is a
+        # LocalRelation, so this collect is driver-side evaluation.
+        terms = sorted({r["term"] for r in qterms.select("term").collect()})
+        buckets = index.resident.buckets_of(terms)
+        if buckets is None or not terms:
+            return p
+        return p.where(F.col("_tb").isin(buckets))
     terms = [r["term"] for r in qterms.select("term").distinct().collect()]
     if not terms:
         return p
@@ -121,9 +130,14 @@ def embed_queries(spark: SparkSession, index: InvertedIndex,
         all_terms = sorted({t for toks in tokenized for t in toks})
         if not all_terms:
             return spark.createDataFrame([], QTERMS_SCHEMA)
-        stats = {r["term"]: r["df"] for r in
-                 index.terms.where(F.col("term").isin(all_terms))
-                            .select("term", "df").collect()}
+        if index.resident is not None:
+            # warm posture: df stats are a driver lookup — the per-
+            # request stats job disappears (operators/resident.py)
+            stats = index.resident.df_of(all_terms)
+        else:
+            stats = {r["term"]: r["df"] for r in
+                     index.terms.where(F.col("term").isin(all_terms))
+                                .select("term", "df").collect()}
     n_docs, avgdl = float(index.meta["n_docs"]), index.meta["avgdl"]
     rows = []
     for qid, toks in enumerate(tokenized):
@@ -223,21 +237,47 @@ def topk_plan(index: InvertedIndex, qterms: DataFrame, k: int,
         oov_cos = (qterms.groupBy("query_id")
                    .agg((F.sum("qw") / F.lit(n_terms ** 0.5))
                         .alias("cos")))
-        oov_low = (index.docs.where(F.col("doclen") == 0)
-                   .orderBy("doc_id").limit(2 * k).select("doc_id"))
+        res = index.resident
+        if res is not None and k <= res.pad_k:
+            # warm posture: the 2k lowest all-OOV ids are driver-held
+            spark = qterms.sparkSession
+            oov_low = spark.createDataFrame(
+                [(i,) for i in res.oov_low_ids[:2 * k]], "doc_id LONG")
+        else:
+            oov_low = (index.docs.where(F.col("doclen") == 0)
+                       .orderBy("doc_id").limit(2 * k).select("doc_id"))
         oov_hits = oov_cos.crossJoin(oov_low) \
             .select("query_id", "doc_id", "cos")
     if pad_to_k:
         qids = qterms.select("query_id").distinct()
-        low = index.docs.orderBy("doc_id").limit(2 * k).select("doc_id")
-        pad = (qids.crossJoin(low)
-               .join(hits.select("query_id", "doc_id"),
-                     ["query_id", "doc_id"], "left_anti")
-               .withColumn("cos", F.lit(0.0)))
-        if oov_hits is not None:
-            # the cos=0 pad must not double-cover the all-OOV docs
-            pad = pad.join(index.docs.where(F.col("doclen") > 0)
-                           .select("doc_id"), "doc_id", "left_semi")
+        res = index.resident
+        if res is not None and k <= res.pad_k:
+            # warm posture: pad ids (and the all-OOV exclusion) are
+            # pure driver math over the resident prefix — the per-
+            # request docs scan disappears.  Same rows as the lazy
+            # plan: prefix-of-sorted = the 2k lowest, and filtering
+            # the prefix to doclen>0 = the lazy semi-join.
+            spark = qterms.sparkSession
+            low_pairs = res.low_ids[:2 * k]
+            if oov_hits is not None:
+                low_pairs = [(d, p) for d, p in low_pairs if p]
+            low = spark.createDataFrame(
+                [(d,) for d, _ in low_pairs], "doc_id LONG")
+            pad = (qids.crossJoin(low)
+                   .join(hits.select("query_id", "doc_id"),
+                         ["query_id", "doc_id"], "left_anti")
+                   .withColumn("cos", F.lit(0.0)))
+        else:
+            low = index.docs.orderBy("doc_id").limit(2 * k) \
+                .select("doc_id")
+            pad = (qids.crossJoin(low)
+                   .join(hits.select("query_id", "doc_id"),
+                         ["query_id", "doc_id"], "left_anti")
+                   .withColumn("cos", F.lit(0.0)))
+            if oov_hits is not None:
+                # the cos=0 pad must not double-cover the all-OOV docs
+                pad = pad.join(index.docs.where(F.col("doclen") > 0)
+                               .select("doc_id"), "doc_id", "left_semi")
         hits = hits.unionByName(pad)
     if oov_hits is not None:
         hits = hits.unionByName(oov_hits)
@@ -280,9 +320,12 @@ def choose_plan(index: InvertedIndex, queries: list[str],
             q_count[t] = q_count.get(t, 0) + 1
     if not q_count:
         return "exact"
-    stats = {r["term"]: r["df"] for r in
-             index.terms.where(F.col("term").isin(sorted(q_count)))
-             .select("term", "df").collect()}
+    if index.resident is not None:
+        stats = index.resident.df_of(sorted(q_count))
+    else:
+        stats = {r["term"]: r["df"] for r in
+                 index.terms.where(F.col("term").isin(sorted(q_count)))
+                 .select("term", "df").collect()}
     exact_rows = sum(stats[t] * q for t, q in q_count.items()
                      if t in stats)
     impact_rows = (len(stats) * p

@@ -489,8 +489,17 @@ def build_search_env(spark: SparkSession, config_path: str,
         path = e["embeddings_path"]
         if path:
             if path not in wv_dim_cache:
-                wv_dim_cache[path] = int(
-                    spark.read.parquet(path).agg(F.max("i")).first()[0])
+                mx = spark.read.parquet(path).agg(F.max("i")).first()[0]
+                if mx is None:
+                    raise ConfigError(
+                        f"embeddings_path {path!r} is empty — cannot "
+                        "infer vectors_dimension; set vectors_dimension "
+                        "explicitly or provide a non-empty table. Note "
+                        "the table must be DENSE in i (every vector "
+                        "stores all components, zeros included): dim is "
+                        "inferred as max(i), so a sparse table whose top "
+                        "component is never stored under-reports dim.")
+                wv_dim_cache[path] = int(mx)
             return wv_dim_cache[path]
         return 16
 

@@ -1377,8 +1377,15 @@ def semantic_sif_topk(spark, sf_dir):
     wv = synthetic_word_vectors(tf.select("term"), dim=BOE_DIM, seed=BOE_SEED)
     lex = tf.groupBy("term").agg(F.sum("tf").alias("count"))
     dv = sif_doc_embeddings(tf, wv, lex)
-    stats = {r["term"]: r["count"] for r in lex.collect()}
-    total = sum(stats.values())
+    # query embedding needs counts for the QUERY's ~4 terms plus the
+    # corpus-total scalar — never the full lexicon on the driver (at a
+    # code-corpus vocabulary that collect is a driver OOM; same
+    # discipline as operators/query.embed_queries and semantic.py's
+    # env SIF path)
+    q_terms = sorted(set(BOE_QUERY.split()))
+    stats = {r["term"]: r["count"] for r in
+             lex.where(F.col("term").isin(q_terms)).collect()}
+    total = lex.agg(F.sum("count")).first()[0]
     qc = {t: c for t, c in Counter(BOE_QUERY.split()).items() if t in stats}
     if not qc:
         return spark.createDataFrame([], "doc_id LONG, cos_e6 LONG, rnk LONG")

@@ -175,10 +175,14 @@ def _append_docs_inner(spark, out_dir, new_docs, id_col, text_col,
     # nanosecond commit stamp: (a) same-second pushes keep a
     # deterministic positional order (the old 1 s strftime prefix
     # tie-broke on a random uuid), (b) tombstone ordering reads it
-    # back via _batch_commit_ns
+    # back via _batch_commit_ns.  The stamp in the PUBLISHED name is
+    # re-taken at rename time (below) so it reflects commit order, not
+    # staging order — a delete_docs issued while this batch was staging
+    # must NOT tombstone the batch's docs just because staging started
+    # before the delete.
     tag = dedupe_tag if dedupe_tag is not None else uuid.uuid4().hex[:6]
-    batch = f"{prefix}-{time.time_ns():020d}-{tag}"
-    stage = os.path.join(out_dir, f"_staging_{batch}")
+    stage = os.path.join(out_dir,
+                         f"_staging_{prefix}-{time.time_ns():020d}-{tag}")
     p_dir, d_dir = os.path.join(stage, "postings"), os.path.join(stage, "docs")
     nb = int(m.get("term_buckets") or 0)
     if nb:
@@ -211,8 +215,11 @@ def _append_docs_inner(spark, out_dir, new_docs, id_col, text_col,
     n = p_written.count()
     # atomic commit (M4 guard): both tables live under ONE batch dir;
     # a single rename publishes them together or not at all — no window
-    # where postings exist without their docs
+    # where postings exist without their docs.  Stamp NOW: tombstones
+    # created during staging carry a smaller ts than this batch, so
+    # they correctly miss docs that commit after the delete.
     os.makedirs(_delta_root(out_dir), exist_ok=True)
+    batch = f"{prefix}-{time.time_ns():020d}-{tag}"
     os.rename(stage, os.path.join(_delta_root(out_dir), batch))
     return n
 

@@ -84,6 +84,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="HTTP IP for REST services")
     p.add_argument("--search-server-port", "-i", type=int, default=9000,
                    help="internal TCP port for the search server")
+    # engine flag (no reference counterpart — the reference env is
+    # in-memory by construction): gars is a long-lived server, so a
+    # cache-loaded index defaults to the warm resident posture
+    # (operators/resident.py); --no-resident keeps the lazy tables
+    p.add_argument("--no-resident", action="store_true",
+                   help="skip the warm resident posture for -c loads")
     return p
 
 
@@ -241,7 +247,8 @@ def real_main(argv, out=sys.stdout, spark=None, block: bool = True):
     if args.env_cache is not None:
         from garamond_jl_spark.operators.persist import load_index
         env = SearchEnv(spark=spark,
-                        index=load_index(spark, args.env_cache))
+                        index=load_index(spark, args.env_cache,
+                                         resident=not args.no_resident))
     else:
         from garamond_jl_spark.plans.env_config import build_search_env
         env = build_search_env(spark, args.data_config)
