@@ -107,10 +107,17 @@ class EngineConfig:
     strip_accents: bool = True
     strip_stopwords: bool = False
     token_pattern: str = r"[a-z0-9_]+"  # post-lowercase token shape
-    # Porter-stem tokens after the strips (the reference's stem_words
+    # Stem tokens after the strips (the reference's stem_words
     # StringAnalysis flag, interface.jl:63; DEFAULT_STEM_WORDS=false,
-    # defaults.jl:7).  English only — functions/stemmer.py.
+    # defaults.jl:7).  The algorithm is selected by ``language``.
     stem_words: bool = False
+    # reference `language` config key (defaults.jl:134-143
+    # SUPPORTED_LANGUAGES; Snowball dispatch via Languages.jl).
+    # Selects the stemmer: english → Porter (functions/stemmer.py),
+    # german/french → Snowball (functions/snowball.py); other
+    # supported languages have no shipped stemmer and env_config
+    # warns stem_words off for them.
+    language: str = "english"
     # F3: index tokens of every order 1..n (TextAnalysis-style cumulative
     # ngramize; reference config_parser.jl:142-146 + dtv.jl:36-39,
     # DEFAULT_NGRAM_COMPLEXITY=1 defaults.jl:9)

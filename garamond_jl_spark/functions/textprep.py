@@ -67,12 +67,19 @@ def prepare_and_tokenize(text: str | None, cfg: EngineConfig) -> list[str]:
     if cfg.strip_stopwords:
         toks = [t for t in toks if t not in _STOPWORDS]
     if cfg.stem_words:
-        # Porter stemming (interface.jl:63's stem_words flag) — applied
+        # stemming (interface.jl:63's stem_words flag) — applied
         # symmetrically at build (inside the Arrow UDF batches) and at
         # query embedding because THIS function is the one tokenizer;
+        # the algorithm follows cfg.language (Porter for english,
+        # Snowball german/french — functions/snowball.py); each is
         # lru-cached per token so Zipf-head repeats cost a dict hit
-        from garamond_jl_spark.functions.stemmer import porter_stem
-        toks = [porter_stem(t) for t in toks]
+        from garamond_jl_spark.functions.snowball import stemmer_for
+        stem = stemmer_for(getattr(cfg, "language", "english"))
+        if stem is None:           # env_config warns these off; a
+            from garamond_jl_spark.functions.stemmer import \
+                porter_stem        # directly-built cfg falls back
+            stem = porter_stem
+        toks = [stem(t) for t in toks]
     return toks
 
 

@@ -189,14 +189,18 @@ def parse_configuration(config_path: str) -> dict:
             _warn(eid, f"Defaulting language={DEFAULT_LANGUAGE}.")
             language = DEFAULT_LANGUAGE
         stem = bool(e.get("stem_words", False))
-        if stem and language != "english":
-            # the engine ships the Porter stemmer (functions/stemmer.py)
-            # — English only; the reference stems via per-language
-            # Snowball.  Non-english + stem_words soft-defaults off.
-            _warn(eid, "stem_words=true is English-only in this engine; "
-                       f"defaulting stem_words=false for language="
-                       f"{language}.")
-            stem = False
+        if stem:
+            # stemmers shipped: english (Porter), german/french
+            # (Snowball, functions/snowball.py).  Remaining supported
+            # languages (romanian/italian/dutch) have none yet —
+            # stem_words soft-defaults off for those, same posture
+            # the reference takes for a missing Snowball language.
+            from garamond_jl_spark.functions.snowball import stemmer_for
+            if stemmer_for(language) is None:
+                _warn(eid, "stem_words=true has no shipped stemmer for "
+                           f"language={language} (english/german/french "
+                           "available); defaulting stem_words=false.")
+                stem = False
         ekind = str(e.get("embeddings_kind", "parquet"))
         if ekind not in EMBEDDINGS_KINDS:
             # config_parser.jl:181-184 (reference kinds :binary/:text
@@ -443,6 +447,7 @@ def build_search_env(spark: SparkSession, config_path: str,
             strip_stopwords=e["strip_stopwords"],
             token_pattern=e["token_pattern"],
             stem_words=e["stem_words"],
+            language=e["language"],
             ngram_complexity=e["ngram_complexity"],
             oov_policy=e["oov_policy"])
         fl = e.get("text_strip_flags")
@@ -465,6 +470,19 @@ def build_search_env(spark: SparkSession, config_path: str,
             kw["token_pattern"] = {
                 r"[a-z0-9_]+": r"[A-Za-z0-9_]+",
                 r"[a-z_]+": r"[A-Za-z_]+",
+            }.get(kw["token_pattern"], kw["token_pattern"])
+        if not kw["strip_accents"]:
+            # accents preserved (strip_accents absent from
+            # text_strip_flags): accented Latin letters must stay word
+            # characters — a French/German corpus tokenized with the
+            # ASCII default pattern would split 'continuité' at the é.
+            # À-ɏ = Latin-1 Supplement + Extended-A/B.
+            acc = "À-ɏ"
+            kw["token_pattern"] = {
+                r"[a-z0-9_]+": rf"[a-z0-9_{acc}]+",
+                r"[a-z_]+": rf"[a-z_{acc}]+",
+                r"[A-Za-z0-9_]+": rf"[A-Za-z0-9_{acc}]+",
+                r"[A-Za-z_]+": rf"[A-Za-z_{acc}]+",
             }.get(kw["token_pattern"], kw["token_pattern"])
         return EngineConfig(**kw)
 
