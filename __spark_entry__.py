@@ -50,6 +50,11 @@ GATE_TAIL = [
     "ann_lsh_buckets", "filter_eq", "filter_interval", "filter_exclude_id",
     "dedup_simhash", "semantic_sif_topk", "semantic_disc_topk",
     "semantic_lsa_topk", "text_summarize", "multimodal_features",
+    # round-5 head additions (multimodal_wav_decode / multimodal_
+    # pgm_decode) displace two long-stable hash rows into the tail —
+    # both hash-green since round 2 and re-verified in every judge
+    # full replay
+    "filter_sort_page", "window_topk_per_group",
 ]
 
 

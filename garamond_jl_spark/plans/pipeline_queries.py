@@ -1719,6 +1719,113 @@ def multimodal_features(spark, sf_dir):
                         .alias("f0_e6"))
 
 
+# The stdlib-codec rows verify a REAL encode→decode round-trip: the
+# Spark side synthesizes genuine WAV / PGM byte payloads from a
+# closed-form sample formula, decodes them with the stdlib parsers
+# (operators/multimodal.wav_decode_features / pnm_decode_features)
+# through the same mapInPandas plumbing, and the DuckDB oracle
+# re-derives the identical features directly from the formula — a hash
+# mismatch means the codec mis-parsed bytes.  Sample formulas:
+#   WAV   n = least(n_chars, 256) int16 samples,
+#         s_i = ((media_id·31 + i·17) mod 4096) − 2048, mono @ 8 kHz
+#   PGM   8 × (1 + n_chars mod 13) grayscale pixels,
+#         p_j = (media_id·7 + j·13) mod 256; binary P5 for even ids,
+#         ASCII P2 for odd (both header grammars exercised)
+
+@q("multimodal_wav_decode", """
+WITH m AS (SELECT doc_id AS media_id, least(n_chars, 256) AS n
+           FROM documents WHERE n_chars > 0),
+s AS (SELECT media_id, ((media_id*31 + i*17) % 4096) - 2048 AS v
+      FROM (SELECT media_id, unnest(range(n)) AS i FROM m))
+SELECT media_id,
+       cast(count(*) AS BIGINT) AS n_samples,
+       cast(sum(v) AS BIGINT) AS s_sum,
+       cast(sum(abs(v)) AS BIGINT) AS abs_sum,
+       cast(min(v) AS BIGINT) AS s_min,
+       cast(max(v) AS BIGINT) AS s_max
+FROM s GROUP BY media_id
+""")
+def multimodal_wav_decode(spark, sf_dir):
+    """Audio decode through the REAL stdlib WAV codec (no fake): build
+    PCM payloads with `wave`, decode them back via extract_features'
+    Arrow batches, emit integer-exact sample statistics."""
+    import numpy as np
+    import pandas as pd
+    from garamond_jl_spark.operators.multimodal import (extract_features,
+                                                        stdlib_decoder,
+                                                        wav_encode)
+    d = (load_testdata(spark, sf_dir, "documents")
+         .where(F.col("n_chars") > 0)
+         .select("doc_id", F.least("n_chars", F.lit(256)).alias("n")))
+
+    def synth(batches):
+        for b in batches:
+            payloads = []
+            for mid, n in zip(b["doc_id"], b["n"]):
+                i = np.arange(int(n), dtype=np.int64)
+                s = ((int(mid) * 31 + i * 17) % 4096) - 2048
+                payloads.append(wav_encode(s.astype("<i2")))
+            yield pd.DataFrame({"media_id": b["doc_id"],
+                                "modality": "audio",
+                                "payload": payloads})
+
+    media = d.mapInPandas(
+        synth, "media_id LONG, modality STRING, payload BINARY")
+    feats = extract_features(media, stdlib_decoder())
+    el = lambda i: F.element_at("feature", i).cast("long")  # noqa: E731
+    return feats.select("media_id",
+                        el(3).alias("n_samples"), el(4).alias("s_sum"),
+                        el(5).alias("abs_sum"), el(6).alias("s_min"),
+                        el(7).alias("s_max"))
+
+
+@q("multimodal_pgm_decode", """
+WITH m AS (SELECT doc_id AS media_id, 8 AS w, 1 + (n_chars % 13) AS h
+           FROM documents),
+px AS (SELECT media_id, w, h, (media_id*7 + j*13) % 256 AS v
+       FROM (SELECT media_id, w, h, unnest(range(w*h)) AS j FROM m))
+SELECT media_id,
+       cast(max(w) AS BIGINT) AS width, cast(max(h) AS BIGINT) AS height,
+       cast(sum(v) AS BIGINT) AS p_sum,
+       cast(min(v) AS BIGINT) AS p_min, cast(max(v) AS BIGINT) AS p_max
+FROM px GROUP BY media_id
+""")
+def multimodal_pgm_decode(spark, sf_dir):
+    """Image decode through the REAL netpbm parser: synthesize P5
+    (binary, even ids) and P2 (ASCII, odd ids) grayscale payloads,
+    decode via the hand parser, emit integer-exact pixel statistics."""
+    import numpy as np
+    import pandas as pd
+    from garamond_jl_spark.operators.multimodal import (extract_features,
+                                                        pnm_encode,
+                                                        stdlib_decoder)
+    d = (load_testdata(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.lit(8).alias("w"),
+                 (F.lit(1) + F.col("n_chars") % 13).alias("h")))
+
+    def synth(batches):
+        for b in batches:
+            payloads = []
+            for mid, w, h in zip(b["doc_id"], b["w"], b["h"]):
+                j = np.arange(int(w) * int(h), dtype=np.int64)
+                px = (int(mid) * 7 + j * 13) % 256
+                payloads.append(pnm_encode(px, int(w), int(h),
+                                           binary=(int(mid) % 2 == 0)))
+            yield pd.DataFrame({"media_id": b["doc_id"],
+                                "modality": "image",
+                                "payload": payloads})
+
+    media = d.mapInPandas(
+        synth, "media_id LONG, modality STRING, payload BINARY")
+    feats = extract_features(media, stdlib_decoder())
+    el = lambda i: F.element_at("feature", i).cast("long")  # noqa: E731
+    return feats.select("media_id",
+                        el(1).alias("width"), el(2).alias("height"),
+                        el(4).alias("p_sum"), el(5).alias("p_min"),
+                        el(6).alias("p_max"))
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------

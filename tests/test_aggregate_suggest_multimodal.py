@@ -174,3 +174,58 @@ def test_aggregate_results_groups_per_query(spark):
     got = {(r["query_id"], r["doc_id"]): (r["score"], r["rank"])
            for r in rows}
     assert got == {(0, 1): (1.0, 1), (1, 1): (0.2, 1)}
+
+
+# ----------------------------------------------------------------- stdlib codecs
+
+def test_wav_roundtrip_exact():
+    """Real stdlib WAV codec: encode int16 PCM, decode through the
+    feature extractor — integer-exact statistics."""
+    import numpy as np
+    from garamond_jl_spark.operators.multimodal import (wav_decode_features,
+                                                        wav_encode)
+    s = np.array([-2048, 0, 17, 2047, -5], dtype="<i2")
+    f = wav_decode_features(wav_encode(s, framerate=8000))
+    assert f.tolist() == [1.0, 8000.0, 5.0, float(s.sum()),
+                          float(np.abs(s.astype(int)).sum()),
+                          -2048.0, 2047.0]
+
+
+def test_pnm_roundtrip_binary_and_ascii():
+    import numpy as np
+    from garamond_jl_spark.operators.multimodal import (pnm_decode_features,
+                                                        pnm_encode)
+    px = np.array([0, 255, 13, 7, 99, 1], dtype=np.uint8)
+    for binary in (True, False):
+        f = pnm_decode_features(pnm_encode(px, 3, 2, binary=binary))
+        assert f.tolist() == [3.0, 2.0, 1.0, float(px.sum()), 0.0, 255.0]
+
+
+def test_pnm_parser_handles_comments_and_p3():
+    from garamond_jl_spark.operators.multimodal import pnm_decode_features
+    payload = b"P2\n# a comment\n2 2\n255\n1 2\n3 4\n"
+    assert pnm_decode_features(payload).tolist() == \
+        [2.0, 2.0, 1.0, 10.0, 1.0, 4.0]
+    p3 = b"P3\n1 1\n255\n10 20 30\n"
+    assert pnm_decode_features(p3).tolist() == \
+        [1.0, 1.0, 3.0, 60.0, 10.0, 30.0]
+
+
+def test_pnm_truncated_raster_raises():
+    import pytest
+    from garamond_jl_spark.operators.multimodal import pnm_decode_features
+    with pytest.raises(ValueError, match="truncated"):
+        pnm_decode_features(b"P5\n4 4\n255\n\x00\x01")
+
+
+def test_stdlib_decoder_dispatch_and_residual_stub():
+    import numpy as np
+    import pytest
+    from garamond_jl_spark.operators.multimodal import (pnm_encode,
+                                                        stdlib_decoder,
+                                                        wav_encode)
+    dec = stdlib_decoder()
+    assert dec(wav_encode(np.array([1], dtype="<i2")))[2] == 1.0
+    assert dec(pnm_encode(np.array([5], dtype=np.uint8), 1, 1))[3] == 5.0
+    with pytest.raises(NotImplementedError):
+        dec(b"\x89PNG....")        # real PNG still needs PIL — honest
