@@ -46,6 +46,41 @@ QTERMS_SCHEMA = StructType([
     StructField("qw", DoubleType(), False),
 ])
 
+# driver-OOM guard for the regex vocabulary expansion: a pattern like
+# '.' matches the ENTIRE dictionary — at a 10^8-term code vocabulary
+# that collect would kill a serving driver.  Explicit error, never a
+# silent truncation (truncating would silently change scores).
+REGEX_COLLECT_CAP = 200_000
+
+_REGEX_META = set(r"\.^$*+?()[]{}|")
+
+
+def _regex_literal(pat: str) -> tuple[str, str | None]:
+    """Classify a vocabulary-expansion pattern for scan pruning.
+
+    * ``("literal", s)`` — the whole pattern is metachar-free: an
+      unanchored rlike equals a plain substring test, so the scan uses
+      codegen ``contains`` and skips java.util.regex entirely.
+    * ``("prefix", s)`` — pattern is ``^<literal>...``: every match
+      starts with the literal, so a ``startswith`` band prunes the
+      scan FIRST (StringStartsWith pushes into the parquet terms scan
+      as a min/max range — the sorted-dictionary file skip), then the
+      full rlike applies to the survivors.
+    * ``("rlike", None)`` — no usable literal; full regex scan (the
+      reference scans its whole lexicon per token too, dtv.jl:27).
+    """
+    if not any(c in _REGEX_META for c in pat):
+        return ("literal", pat)
+    if pat.startswith("^"):
+        run = []
+        for c in pat[1:]:
+            if c in _REGEX_META:
+                break
+            run.append(c)
+        if run:
+            return ("prefix", "".join(run))
+    return ("rlike", None)
+
 
 def pruned_postings(index: InvertedIndex, qterms: DataFrame) -> DataFrame:
     """Partition-pruned view of ``index.postings``.
@@ -87,7 +122,8 @@ def pruned_postings(index: InvertedIndex, qterms: DataFrame) -> DataFrame:
 
 
 def embed_queries(spark: SparkSession, index: InvertedIndex,
-                  queries: list[str], isregex: bool = False) -> DataFrame:
+                  queries: list[str], isregex: bool = False,
+                  stats_out: dict | None = None) -> DataFrame:
     """Queries → (query_id, term, qw) with qw the L2-normalized
     pseudo-document weight computed from corpus stats (dtv.jl:29-41).
 
@@ -116,9 +152,37 @@ def embed_queries(spark: SparkSession, index: InvertedIndex,
             return spark.createDataFrame([], QTERMS_SCHEMA)
         pdf = F.broadcast(spark.createDataFrame(
             pats, "query_id INT, pat STRING, c INT"))
-        matched = (index.terms.select("term", "df")
-                   .join(pdf, F.expr("term rlike pat"))
-                   .select("query_id", "term", "df", "c").collect())
+        # one pruned scan per DISTINCT pattern, unioned: pure literals
+        # become codegen `contains` (no regex at all), ^-anchored
+        # patterns band the scan with `startswith` (pushed into the
+        # parquet terms scan as a range filter) before the rlike, and
+        # only truly open patterns pay the full |V| regex pass.  The
+        # (term→query) fan-out is then a broadcast equi-join on the
+        # pattern string — never a |V|×|patterns| nested loop.
+        terms_df = index.terms.select("term", "df")
+        branches = []
+        for pat in sorted({p for _, p, _ in pats}):
+            kind, lit = _regex_literal(pat)
+            if kind == "literal":
+                t = terms_df.where(F.col("term").contains(lit))
+            elif kind == "prefix":
+                t = terms_df.where(F.col("term").startswith(lit)) \
+                            .where(F.col("term").rlike(pat))
+            else:
+                t = terms_df.where(F.col("term").rlike(pat))
+            branches.append(t.withColumn("pat", F.lit(pat)))
+        uni = branches[0]
+        for b in branches[1:]:
+            uni = uni.unionByName(b)
+        matched = (uni.join(pdf, "pat")
+                   .select("query_id", "term", "df", "c")
+                   .limit(REGEX_COLLECT_CAP + 1).collect())
+        if len(matched) > REGEX_COLLECT_CAP:
+            raise ValueError(
+                f"regex query expansion exceeds {REGEX_COLLECT_CAP} "
+                "(term, query) matches — the pattern set is too broad "
+                "for driver-side embedding (e.g. '.' matches the whole "
+                "vocabulary); narrow the patterns")
         stats = {r["term"]: r["df"] for r in matched}
         exp_counts: dict[int, dict[str, int]] = {}
         for r in matched:
@@ -165,6 +229,15 @@ def embed_queries(spark: SparkSession, index: InvertedIndex,
         nrm = math.sqrt(sum(w * w for w in ws.values()))
         for t, w in ws.items():
             rows.append((qid, t, w / nrm if nrm > 0 else 0.0))
+    if stats_out is not None:
+        # exact size of the score join's aggregation input, free from
+        # the df stats already in hand: each (query, term) row fans out
+        # to df_t posting rows.  topk_plan/score_all size their wide
+        # groupBy from this so large batches never hand-tune
+        # spark.sql.shuffle.partitions (the 2400-query GC-pressure
+        # class, BENCH.md round 4).
+        stats_out["expected_hit_rows"] = sum(
+            stats.get(t, 0) for _, t, _ in rows)
     return spark.createDataFrame(rows, QTERMS_SCHEMA)
 
 
@@ -178,7 +251,37 @@ def fill_score(cfg: EngineConfig) -> float:
     return score_transform(1.0, cfg.score_alpha)
 
 
-def score_all(index: InvertedIndex, qterms: DataFrame) -> DataFrame:
+# per-task aggregation-input budget for the wide (query_id, doc_id)
+# score groupBy: ~1M rows ≈ 50-100 MB of hash state, safe under the
+# 8 g/32-thread local heap AND a 4-8 g production executor.  The
+# round-4 protocol needed a hand-pinned shuffle=512 exactly when
+# expected rows / default partitions crossed this line (BENCH.md).
+AGG_ROWS_PER_TASK = 1_000_000
+
+
+def _sized_for_agg(joined: DataFrame, agg_rows_hint: int | None) -> DataFrame:
+    """Last-resort sizing for the wide score aggregation: repartition
+    on the grouping keys when the exact row estimate exceeds even the
+    AQE initial partition width (session.py initialPartitionNum, which
+    is the FIRST line of defense — it bounds per-task state while
+    keeping map-side partial aggregation).  This explicit repartition
+    trades partial aggregation away for bounded state, so it fires
+    only beyond the AQE ceiling (batches in the multi-billion-row
+    class); ordinary and merely-large batches pass through untouched."""
+    if not agg_rows_hint:
+        return joined
+    spark = joined.sparkSession
+    ceiling = int(spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        spark.conf.get("spark.sql.shuffle.partitions")))
+    need = -(-agg_rows_hint // AGG_ROWS_PER_TASK)      # ceil
+    if need <= ceiling:
+        return joined
+    return joined.repartition(need, "query_id", "doc_id")
+
+
+def score_all(index: InvertedIndex, qterms: DataFrame,
+              agg_rows_hint: int | None = None) -> DataFrame:
     """Sparse scored hits (query_id, doc_id, score) — NO ranking window,
     NO pad.  Only documents sharing ≥1 term with the query appear; the
     caller appends :func:`fill_score` rows for zero-overlap docs if the
@@ -189,9 +292,10 @@ def score_all(index: InvertedIndex, qterms: DataFrame) -> DataFrame:
     row here outranks every absent doc, so downstream top-k never needs
     corpus-wide scoring — the round-1 ``full=True`` plan's per-query
     corpus window and 2·n_docs cross-join are both gone."""
-    hits = (F.broadcast(qterms)
-            .join(pruned_postings(index, qterms)
-                  .select("term", "doc_id", "wnorm"), "term")
+    joined = (F.broadcast(qterms)
+              .join(pruned_postings(index, qterms)
+                    .select("term", "doc_id", "wnorm"), "term"))
+    hits = (_sized_for_agg(joined, agg_rows_hint)
             .groupBy("query_id", "doc_id")
             .agg(F.sum(F.col("qw") * F.col("wnorm")).alias("cos")))
     score = score_transform_expr(F.lit(1.0) - F.col("cos"),
@@ -201,7 +305,8 @@ def score_all(index: InvertedIndex, qterms: DataFrame) -> DataFrame:
 
 def topk_plan(index: InvertedIndex, qterms: DataFrame, k: int,
               tiebreak_round: int | None = None,
-              pad_to_k: bool = True) -> DataFrame:
+              pad_to_k: bool = True,
+              agg_rows_hint: int | None = None) -> DataFrame:
     """The scoring DAG on the flat postings table → (query_id, doc_id,
     score, rank).  ``tiebreak_round`` rounds the score before ranking so
     cross-engine float noise cannot flip near-ties (used by the DuckDB
@@ -216,9 +321,10 @@ def topk_plan(index: InvertedIndex, qterms: DataFrame, k: int,
     ``2k`` doc_ids (≤ k of which can be displaced by matches) — a tiny
     ``limit`` scan, not a full-corpus score."""
     cfg = index.cfg
-    hits = (F.broadcast(qterms)
-            .join(pruned_postings(index, qterms)
-                  .select("term", "doc_id", "wnorm"), "term")
+    joined = (F.broadcast(qterms)
+              .join(pruned_postings(index, qterms)
+                    .select("term", "doc_id", "wnorm"), "term"))
+    hits = (_sized_for_agg(joined, agg_rows_hint)
             .groupBy("query_id", "doc_id")
             .agg(F.sum(F.col("qw") * F.col("wnorm")).alias("cos")))
     oov_hits = None
@@ -377,8 +483,10 @@ def search(spark: SparkSession, index: InvertedIndex, queries: list[str],
         hits = wand_topk(spark, index, queries, k=k,
                          tiebreak_round=tiebreak_round, pad_to_k=pad_to_k)
     elif plan == "exact":
-        qterms = embed_queries(spark, index, queries)
-        hits = topk_plan(index, qterms, k, tiebreak_round, pad_to_k)
+        est: dict = {}
+        qterms = embed_queries(spark, index, queries, stats_out=est)
+        hits = topk_plan(index, qterms, k, tiebreak_round, pad_to_k,
+                         agg_rows_hint=est.get("expected_hit_rows"))
     else:
         raise ValueError(f"unknown plan: {plan!r}")
     if not hydrate:

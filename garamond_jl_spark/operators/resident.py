@@ -99,11 +99,15 @@ def make_resident(spark: SparkSession, index: InvertedIndex,
             "make_resident on an incremental live view: resident stats "
             "would freeze while appends change them — load a frozen "
             "snapshot (operators/persist.load_index) instead")
-    index.docs = index.docs.persist()
-    index.terms = index.terms.persist()
-    index.postings = index.postings.persist()
+    def _persist(df):
+        lvl = df.storageLevel
+        return df if (lvl.useMemory or lvl.useDisk) else df.persist()
+
+    index.docs = _persist(index.docs)
+    index.terms = _persist(index.terms)
+    index.postings = _persist(index.postings)
     if index.champions is not None:
-        index.champions = index.champions.persist()
+        index.champions = _persist(index.champions)
 
     # one scan of the terms table yields df + bucket id per term; the
     # bucket hash MUST match write_bucketed_postings' partitioning
@@ -141,6 +145,77 @@ def make_resident(spark: SparkSession, index: InvertedIndex,
                                    low_ids=low_ids,
                                    oov_low_ids=oov_low_ids, pad_k=pad_k)
     return index
+
+
+def make_env_resident(env, pad_k: int = RESIDENT_PAD_K):
+    """Warm serving posture for a whole :class:`SearchEnv` — classic
+    AND dense/mixed searchers (the multi-searcher analog of
+    :func:`make_resident`, VERDICT r4 item 7).
+
+    Classic searchers get the full resident treatment (driver stats +
+    pad prefixes).  Dense searchers (``DenseVectorSearcher`` family)
+    hold several frames a request re-reads every time — doc_embeddings,
+    packed storage, word_vectors, the LSA V table, the SIF lexicon —
+    all persisted + materialized here, and the lazily-built doc-norms
+    frame is forced and persisted so the first request doesn't pay it.
+    RP/LSA searchers embed queries through their backing classic index
+    (``embed_queries``), so that index goes resident too — its stats
+    lookup then costs no job.  Incremental live-view indexes keep the
+    lazy posture (their stats move under appends).
+
+    Idempotent per object; returns ``env`` for chaining."""
+    from pyspark.sql import DataFrame
+    seen: set[int] = set()
+
+    def _residentify(obj) -> None:
+        if obj is None or id(obj) in seen:
+            return
+        seen.add(id(obj))
+        if isinstance(obj, InvertedIndex):
+            if obj.resident is None and not obj.meta.get("live_deltas"):
+                make_resident(env.spark, obj, pad_k=pad_k)
+            return
+        frame_attrs = [n for n, v in vars(obj).items()
+                       if isinstance(v, DataFrame)]
+        for n in frame_attrs:
+            f = getattr(obj, n)
+            if f.storageLevel.useMemory or f.storageLevel.useDisk:
+                continue                       # already persisted
+            setattr(obj, n, f.persist())
+        if hasattr(obj, "_doc_norms"):
+            norms = obj._doc_norms()
+            if not (norms.storageLevel.useMemory
+                    or norms.storageLevel.useDisk):
+                obj._norms = norms.persist()
+        _residentify(getattr(obj, "index", None))   # RP/LSA backing
+        for n, v in vars(obj).items():
+            if isinstance(v, DataFrame):
+                v.count()                      # materialize
+
+    for s in [env.index] + [s for s, _ in env.searchers]:
+        _residentify(s)
+    return env
+
+
+def release_env_resident(env) -> None:
+    """Undo :func:`make_env_resident` (server shutdown path)."""
+    from pyspark.sql import DataFrame
+    seen: set[int] = set()
+
+    def _release(obj) -> None:
+        if obj is None or id(obj) in seen:
+            return
+        seen.add(id(obj))
+        if isinstance(obj, InvertedIndex):
+            release_resident(obj)
+            return
+        for v in vars(obj).values():
+            if isinstance(v, DataFrame):
+                v.unpersist()
+        _release(getattr(obj, "index", None))
+
+    for s in [env.index] + [s for s, _ in env.searchers]:
+        _release(s)
 
 
 def release_resident(index: InvertedIndex) -> None:

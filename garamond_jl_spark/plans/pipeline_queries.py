@@ -1404,8 +1404,67 @@ def semantic_sif_topk(spark, sf_dir):
                        F.col("rank").cast("long").alias("rnk"))
 
 
-@q("semantic_disc_topk")  # order-dependent k-gram blocks; rows-only
-# driver check, NumPy value identity in test_semantic_embedders
+def _disc_query_values() -> str:
+    """DisC needs ORDERED query tokens (pairs are positional)."""
+    return ", ".join(f"({o + 1}, '{t}')"
+                     for o, t in enumerate(BOE_QUERY.split()))
+
+
+@q("semantic_disc_topk", f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+tok0 AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS ord, toks
+         FROM base),
+tok AS (SELECT doc_id, term,
+               row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1
+               AS pos
+        FROM (SELECT doc_id, ord, toks[ord] AS term FROM tok0)
+        WHERE term <> ''),
+vocab AS (SELECT DISTINCT term FROM tok),
+dims AS (SELECT unnest(range(1, {BOE_DIM + 1})) AS i),
+wvh AS (SELECT term, i,
+               md5(cast({BOE_SEED} AS VARCHAR) || ':' || term || ':' ||
+                   cast(i AS VARCHAR)) AS h
+        FROM vocab CROSS JOIN dims),
+wv AS (SELECT term, i, ({_SEM.component_sql()}) / 8388608.0 - 1.0 AS v
+       FROM wvh),
+b1 AS (SELECT t.doc_id, w.i, sum(w.v) AS dv
+       FROM tok t JOIN wv w USING (term) GROUP BY 1, 2),
+pair AS (SELECT a.doc_id, a.term AS t1, b.term AS t2
+         FROM tok a JOIN tok b
+           ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+b2 AS (SELECT p.doc_id, w1.i, sum(w1.v * w2.v) / 2.0 AS dv
+       FROM pair p
+       JOIN wv w1 ON w1.term = p.t1
+       JOIN wv w2 ON w2.term = p.t2 AND w2.i = w1.i
+       GROUP BY 1, 2),
+dv AS (SELECT doc_id, i, dv FROM b1
+       UNION ALL SELECT doc_id, i + {BOE_DIM} AS i, dv FROM b2),
+dn AS (SELECT doc_id, sqrt(sum(dv * dv)) AS nd FROM dv GROUP BY 1),
+qtok0(ord, term) AS (VALUES {{DISC_QVALUES}}),
+qtok AS (SELECT row_number() OVER (ORDER BY ord) - 1 AS pos, term
+         FROM qtok0 WHERE term IN (SELECT term FROM vocab)),
+q1 AS (SELECT w.i, sum(w.v) AS qv
+       FROM qtok JOIN wv w USING (term) GROUP BY 1),
+qpair AS (SELECT a.term AS t1, b.term AS t2
+          FROM qtok a JOIN qtok b ON b.pos = a.pos + 1),
+q2 AS (SELECT w1.i, sum(w1.v * w2.v) / 2.0 AS qv
+       FROM qpair p
+       JOIN wv w1 ON w1.term = p.t1
+       JOIN wv w2 ON w2.term = p.t2 AND w2.i = w1.i
+       GROUP BY 1),
+qv AS (SELECT i, qv FROM q1
+       UNION ALL SELECT i + {BOE_DIM} AS i, qv FROM q2),
+qn AS (SELECT sqrt(sum(qv * qv)) AS nq FROM qv),
+dots AS (SELECT dv.doc_id, sum(dv.dv * qv.qv) AS dot
+         FROM dv JOIN qv USING (i) GROUP BY 1),
+cosd AS (SELECT d.doc_id, d.dot / (n.nd * (SELECT nq FROM qn)) AS c
+         FROM dots d JOIN dn n USING (doc_id))
+SELECT doc_id, cast(round(c * 1e6) AS BIGINT) AS cos_e6,
+       cast(row_number() OVER (ORDER BY round(c, 6) DESC, doc_id ASC)
+            AS BIGINT) AS rnk
+FROM cosd QUALIFY rnk <= {BOE_K}
+""".replace("{DISC_QVALUES}", _disc_query_values()))
 def semantic_disc_topk(spark, sf_dir):
     """E5 DisC cosine top-k (disc.jl:49-90): concatenated k-gram
     product-sum blocks (k=1,2) over ordered tokens."""

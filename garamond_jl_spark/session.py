@@ -59,6 +59,18 @@ def get_spark(app: str = "garamond-spark", cpus: int | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # start every AQE shuffle WIDE and let coalescing shrink small
+        # stages: bounds per-task aggregation/window state on huge
+        # batches (the 2400-query leg GCLocker-crashed an 8 g heap at
+        # 256 final-agg partitions and needed a hand-pinned
+        # --shuffle 512, BENCH.md r4 — this removes that knob) while
+        # map-side partial aggregation stays intact and ordinary
+        # stages still end up at their coalesced size.  1024 = 2× the
+        # partition count the crashed leg needed (512), at half the
+        # small-stage planning overhead of 2048 (interleaved A/B on
+        # the WAND parity row: 2048 costs ~6% there, BENCH.md r5)
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                str(max(1024, 16 * cpus)))
         # deterministic time semantics everywhere: date_trunc/window
         # otherwise follow the HOST zone, and the tumbling-window parity
         # row would group rows differently on a non-UTC machine while

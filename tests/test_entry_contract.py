@@ -12,10 +12,12 @@ import __spark_entry__ as entry  # noqa: E402
 def test_every_query_has_oracle_or_is_documented_rows_only():
     qs, osql = entry.queries(), entry.oracle_sql()
     missing = sorted(set(qs) - set(osql))
-    # the five rows-only entries carry NumPy identity pytests instead
-    assert missing == ["multimodal_features", "semantic_disc_topk",
-                       "semantic_lsa_topk", "semantic_sif_topk",
-                       "text_summarize"]
+    # the remaining rows-only entries carry NumPy identity pytests
+    # instead (disc was promoted to a hash row in round 5; sif/lsa stay
+    # rows-only — PC removal / SVD are eigen-decompositions no SQL
+    # oracle reproduces, summarize is iterative TextRank)
+    assert missing == ["multimodal_features", "semantic_lsa_topk",
+                       "semantic_sif_topk", "text_summarize"]
     assert not set(osql) - set(qs)        # no orphan oracles
 
 

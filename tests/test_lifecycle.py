@@ -579,3 +579,32 @@ def test_generate_recommend_query_skips_unrepresentable():
         {"doc_id": 1, "lang": "en", "doclen": 9, "norm": 2.5,
          "bal": -4.0, "name": "Cust#42", "n": 3}, "doc_id")
     assert q == 'lang:"en" n:3'
+
+
+def test_regex_prune_branches_rank_identically(spark, env, monkeypatch):
+    """The literal-prefix banding (query._regex_literal): pure-literal
+    patterns (contains fast path), ^-anchored patterns (startswith band
+    + rlike) and open patterns (full rlike) must all expand exactly the
+    terms an unanchored regex search matches."""
+    import re as _re
+
+    import garamond_jl_spark.operators.query as Q
+    assert Q._regex_literal("parse_0") == ("literal", "parse_0")
+    assert Q._regex_literal("^parse_[0-3]") == ("prefix", "parse_")
+    assert Q._regex_literal("parse_[0-3]") == ("rlike", None)
+    assert Q._regex_literal("^[ab]c") == ("rlike", None)
+
+    vocab = {r["term"] for r in env.index.terms.collect()}
+    for pat in ("parse_0", "^parse_[0-3]", "pars._[0-3]"):
+        want = sorted(t for t in vocab if _re.search(pat, t))
+        got = sorted(r["term"] for r in Q.embed_queries(
+            spark, env.index, [pat], isregex=True).collect())
+        assert got == want, pat
+        assert want, pat       # each branch actually matched something
+
+    # driver-OOM guard: an over-broad pattern set errors loudly
+    # instead of silently truncating the expansion
+    monkeypatch.setattr(Q, "REGEX_COLLECT_CAP", 1)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="too broad"):
+        Q.embed_queries(spark, env.index, ["parse_[0-3]"], isregex=True)

@@ -134,3 +134,73 @@ def test_make_resident_idempotent_and_released(spark, built):
     # released index still answers (lazy posture)
     assert len(_rows(search(spark, warm, query_set(2), k=3,
                             hydrate=False))) > 0
+
+
+def test_agg_sizing_hint_preserves_results(spark, built, monkeypatch):
+    """The auto-sized wide aggregation (query.AGG_ROWS_PER_TASK /
+    _sized_for_agg) repartitions on the grouping keys when the exact
+    row estimate overflows the session default — results identical,
+    manual --shuffle knob gone."""
+    import garamond_jl_spark.operators.query as Q
+    lazy = load_index(spark, built)
+    qs = query_set(9)
+    want = _rows(search(spark, lazy, qs, k=5, hydrate=False))
+    monkeypatch.setattr(Q, "AGG_ROWS_PER_TASK", 1)   # force the path
+    key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "1")                          # force past ceiling
+    try:
+        est: dict = {}
+        qt = Q.embed_queries(spark, lazy, qs, stats_out=est)
+        assert est["expected_hit_rows"] > 0
+        got = _rows(Q.topk_plan(lazy, qt, 5,
+                                agg_rows_hint=est["expected_hit_rows"]))
+        assert got == want
+        plan = Q.topk_plan(lazy, qt, 5,
+                           agg_rows_hint=est["expected_hit_rows"]) \
+            ._jdf.queryExecution().toString()
+        assert "repartitionbyexpression" in plan.lower() \
+            or "RepartitionByExpression" in plan
+    finally:
+        spark.conf.set(key, prev)
+
+
+def test_env_resident_mixed_identity(spark, built):
+    """make_env_resident over a mixed classic+BOE env: results
+    identical to the lazy env, dense frames persisted, classic index
+    resident, and a request embeds with zero pre-scoring jobs."""
+    from garamond_jl_spark.operators.resident import (make_env_resident,
+                                                      release_env_resident)
+    from garamond_jl_spark.operators.semantic import (
+        BOESearcher, synthetic_word_vectors)
+    from garamond_jl_spark.plans.lifecycle import InternalRequest, SearchEnv
+    from garamond_jl_spark.plans.lifecycle import search as lsearch
+
+    def mk_env():
+        idx = load_index(spark, built)
+        tok = (idx.postings.select("doc_id", "term", "tf"))
+        wv = synthetic_word_vectors(tok.select("term"), dim=8, seed=3)
+        boe = BOESearcher.from_tokens(tok, wv, score_alpha=0.4)
+        return SearchEnv(spark=spark, index=idx,
+                         searchers=[(boe, 1.0)])
+
+    req = InternalRequest(query="main run", max_matches=6,
+                          tiebreak_round=9)
+    want = [(r["doc_id"], round(r["score"], 9), r["rank"])
+            for r in sorted(lsearch(mk_env(), req).collect(),
+                            key=lambda r: r["rank"])]
+    env = make_env_resident(mk_env())
+    try:
+        assert env.index.resident is not None
+        boe = env.searchers[0][0]
+        assert boe.doc_embeddings.storageLevel.useMemory
+        assert boe.word_vectors.storageLevel.useMemory
+        assert boe._norms is not None \
+            and boe._norms.storageLevel.useMemory
+        got = [(r["doc_id"], round(r["score"], 9), r["rank"])
+               for r in sorted(lsearch(env, req).collect(),
+                               key=lambda r: r["rank"])]
+        assert got == want and got
+    finally:
+        release_env_resident(env)
+        assert env.index.resident is None

@@ -252,6 +252,12 @@ def real_main(argv, out=sys.stdout, spark=None, block: bool = True):
     else:
         from garamond_jl_spark.plans.env_config import build_search_env
         env = build_search_env(spark, args.data_config)
+        if not args.no_resident:
+            # long-lived server: warm the whole env (classic resident
+            # stats + persisted dense frames, operators/resident.py)
+            from garamond_jl_spark.operators.resident import \
+                make_env_resident
+            make_env_resident(env)
     for line in describe(env).splitlines():
         log.info("%s", line)
     log.info("Searchers ready.")
