@@ -251,37 +251,17 @@ def fill_score(cfg: EngineConfig) -> float:
     return score_transform(1.0, cfg.score_alpha)
 
 
-# per-task aggregation-input budget for the wide (query_id, doc_id)
-# score groupBy: ~1M rows ≈ 50-100 MB of hash state, safe under the
-# 8 g/32-thread local heap AND a 4-8 g production executor.  The
-# round-4 protocol needed a hand-pinned shuffle=512 exactly when
-# expected rows / default partitions crossed this line (BENCH.md).
-AGG_ROWS_PER_TASK = 1_000_000
-
-
-def _sized_for_agg(joined: DataFrame, agg_rows_hint: int | None) -> DataFrame:
-    """Last-resort sizing for the wide score aggregation: repartition
-    on the grouping keys when the exact row estimate exceeds even the
-    AQE initial partition width (session.py initialPartitionNum, which
-    is the FIRST line of defense — it bounds per-task state while
-    keeping map-side partial aggregation).  This explicit repartition
-    trades partial aggregation away for bounded state, so it fires
-    only beyond the AQE ceiling (batches in the multi-billion-row
-    class); ordinary and merely-large batches pass through untouched."""
-    if not agg_rows_hint:
-        return joined
-    spark = joined.sparkSession
-    ceiling = int(spark.conf.get(
-        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        spark.conf.get("spark.sql.shuffle.partitions")))
-    need = -(-agg_rows_hint // AGG_ROWS_PER_TASK)      # ceil
-    if need <= ceiling:
-        return joined
-    return joined.repartition(need, "query_id", "doc_id")
-
-
-def score_all(index: InvertedIndex, qterms: DataFrame,
-              agg_rows_hint: int | None = None) -> DataFrame:
+# NOTE on sizing the wide (query_id, doc_id) score aggregation: the
+# per-task state ceiling is handled by AQE's initialPartitionNum
+# (session.py) — every shuffle starts wide, coalescing shrinks small
+# stages, and map-side partial aggregation stays intact.  An explicit
+# repartition-by-grouping-keys "last resort" was tried in round 5 and
+# REMOVED: it discards partial aggregation, so the 2400-query protocol
+# shuffled the RAW ~6G-row join output (~150 GB, disk-filling) instead
+# of the ~2.4G combined rows — strictly worse at every reachable
+# scale (BENCH.md r5).  ``embed_queries``'s ``stats_out`` row estimate
+# remains available to callers as observability.
+def score_all(index: InvertedIndex, qterms: DataFrame) -> DataFrame:
     """Sparse scored hits (query_id, doc_id, score) — NO ranking window,
     NO pad.  Only documents sharing ≥1 term with the query appear; the
     caller appends :func:`fill_score` rows for zero-overlap docs if the
@@ -295,7 +275,7 @@ def score_all(index: InvertedIndex, qterms: DataFrame,
     joined = (F.broadcast(qterms)
               .join(pruned_postings(index, qterms)
                     .select("term", "doc_id", "wnorm"), "term"))
-    hits = (_sized_for_agg(joined, agg_rows_hint)
+    hits = (joined
             .groupBy("query_id", "doc_id")
             .agg(F.sum(F.col("qw") * F.col("wnorm")).alias("cos")))
     score = score_transform_expr(F.lit(1.0) - F.col("cos"),
@@ -305,8 +285,7 @@ def score_all(index: InvertedIndex, qterms: DataFrame,
 
 def topk_plan(index: InvertedIndex, qterms: DataFrame, k: int,
               tiebreak_round: int | None = None,
-              pad_to_k: bool = True,
-              agg_rows_hint: int | None = None) -> DataFrame:
+              pad_to_k: bool = True) -> DataFrame:
     """The scoring DAG on the flat postings table → (query_id, doc_id,
     score, rank).  ``tiebreak_round`` rounds the score before ranking so
     cross-engine float noise cannot flip near-ties (used by the DuckDB
@@ -324,7 +303,7 @@ def topk_plan(index: InvertedIndex, qterms: DataFrame, k: int,
     joined = (F.broadcast(qterms)
               .join(pruned_postings(index, qterms)
                     .select("term", "doc_id", "wnorm"), "term"))
-    hits = (_sized_for_agg(joined, agg_rows_hint)
+    hits = (joined
             .groupBy("query_id", "doc_id")
             .agg(F.sum(F.col("qw") * F.col("wnorm")).alias("cos")))
     oov_hits = None
@@ -483,10 +462,8 @@ def search(spark: SparkSession, index: InvertedIndex, queries: list[str],
         hits = wand_topk(spark, index, queries, k=k,
                          tiebreak_round=tiebreak_round, pad_to_k=pad_to_k)
     elif plan == "exact":
-        est: dict = {}
-        qterms = embed_queries(spark, index, queries, stats_out=est)
-        hits = topk_plan(index, qterms, k, tiebreak_round, pad_to_k,
-                         agg_rows_hint=est.get("expected_hit_rows"))
+        qterms = embed_queries(spark, index, queries)
+        hits = topk_plan(index, qterms, k, tiebreak_round, pad_to_k)
     else:
         raise ValueError(f"unknown plan: {plan!r}")
     if not hydrate:

@@ -217,16 +217,12 @@ def search(env: SearchEnv, request: InternalRequest,
         single- and multi-searcher branches inherit the semantics; that
         score is ≥ the :none fill, so the pad invariants are
         unchanged."""
-        est: dict = {}
         qt = embed_queries(env.spark, index, [parsed.search],
-                           isregex=(request.search_method == "regex"),
-                           stats_out=est)
+                           isregex=(request.search_method == "regex"))
         rows = qt.collect()                 # |query terms| rows — tiny
         if not rows:
             return None
-        h = score_all(index, qt,
-                      agg_rows_hint=est.get("expected_hit_rows")) \
-            .drop("query_id")               # single request query
+        h = score_all(index, qt).drop("query_id")  # single request query
         if index.cfg.oov_policy == "large_vector":
             import math
             from garamond_jl_spark.functions.scoring import score_transform
@@ -446,11 +442,9 @@ def _search_many_multi(env: SearchEnv, queries: list[str], k: int,
     spark = env.spark
 
     def classic_set(index: InvertedIndex, wgt: float):
-        est: dict = {}
-        qt = embed_queries(spark, index, queries, stats_out=est)
+        qt = embed_queries(spark, index, queries)
         emb = qt.select("query_id").distinct()
-        h = score_all(index, qt,
-                      agg_rows_hint=est.get("expected_hit_rows"))
+        h = score_all(index, qt)
         if index.cfg.oov_policy == "large_vector":
             # E8 batch form: per-query constant-fill-vector score for
             # the all-OOV docs (same math as the single path's s_oov)

@@ -136,33 +136,23 @@ def test_make_resident_idempotent_and_released(spark, built):
                             hydrate=False))) > 0
 
 
-def test_agg_sizing_hint_preserves_results(spark, built, monkeypatch):
-    """The auto-sized wide aggregation (query.AGG_ROWS_PER_TASK /
-    _sized_for_agg) repartitions on the grouping keys when the exact
-    row estimate overflows the session default — results identical,
-    manual --shuffle knob gone."""
+def test_embed_queries_row_estimate(spark, built):
+    """embed_queries' stats_out carries the exact score-join input size
+    (sum of df over the batch's (query, in-vocab term) rows) — the
+    observability hook left after the round-5 repartition experiment
+    (sizing itself is AQE initialPartitionNum, session.py)."""
     import garamond_jl_spark.operators.query as Q
+    from pyspark.sql import functions as F
     lazy = load_index(spark, built)
     qs = query_set(9)
-    want = _rows(search(spark, lazy, qs, k=5, hydrate=False))
-    monkeypatch.setattr(Q, "AGG_ROWS_PER_TASK", 1)   # force the path
-    key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, "1")                          # force past ceiling
-    try:
-        est: dict = {}
-        qt = Q.embed_queries(spark, lazy, qs, stats_out=est)
-        assert est["expected_hit_rows"] > 0
-        got = _rows(Q.topk_plan(lazy, qt, 5,
-                                agg_rows_hint=est["expected_hit_rows"]))
-        assert got == want
-        plan = Q.topk_plan(lazy, qt, 5,
-                           agg_rows_hint=est["expected_hit_rows"]) \
-            ._jdf.queryExecution().toString()
-        assert "repartitionbyexpression" in plan.lower() \
-            or "RepartitionByExpression" in plan
-    finally:
-        spark.conf.set(key, prev)
+    est: dict = {}
+    qt = Q.embed_queries(spark, lazy, qs, stats_out=est)
+    got = est["expected_hit_rows"]
+    # independent recount: join the embedded terms with the terms table
+    want = (qt.select("query_id", "term")
+            .join(lazy.terms.select("term", "df"), "term")
+            .agg(F.sum("df")).first()[0])
+    assert got == int(want) > 0
 
 
 def test_env_resident_mixed_identity(spark, built):
