@@ -106,7 +106,11 @@ def main() -> None:
         docs = assign_dense_ids(spark.read.parquet(corpus_dir),
                                 ["repo", "path", "commit"])
         t0 = time.perf_counter()
-        build_persistent(spark, docs, cfg, idx_dir, n_buckets=64)
+        # term_buckets is the SERVING layout (postings partitioned by
+        # pmod(xxhash64(term), 64) → per-request scans prune to the
+        # query's buckets); n_buckets only shards the build checkpoints
+        build_persistent(spark, docs, cfg, idx_dir, n_buckets=16,
+                         term_buckets=64)
         t_build = round(time.perf_counter() - t0, 1)
 
     from garamond_jl_spark.operators.persist import load_index

@@ -283,9 +283,15 @@ def score_all(index: InvertedIndex, qterms: DataFrame) -> DataFrame:
     return hits.select("query_id", "doc_id", score.alias("score"))
 
 
+# phase-1 salt fan-out for the two-phase top-k window (see topk_plan):
+# bounds any single ranking task at ~hits/TOPK_SALTS rows
+TOPK_SALTS = 32
+
+
 def topk_plan(index: InvertedIndex, qterms: DataFrame, k: int,
               tiebreak_round: int | None = None,
-              pad_to_k: bool = True) -> DataFrame:
+              pad_to_k: bool = True,
+              n_queries: int | None = None) -> DataFrame:
     """The scoring DAG on the flat postings table → (query_id, doc_id,
     score, rank).  ``tiebreak_round`` rounds the score before ranking so
     cross-engine float noise cannot flip near-ties (used by the DuckDB
@@ -348,9 +354,21 @@ def topk_plan(index: InvertedIndex, qterms: DataFrame, k: int,
                 low_pairs = [(d, p) for d, p in low_pairs if p]
             low = spark.createDataFrame(
                 [(d,) for d, _ in low_pairs], "doc_id LONG")
+            # membership probe RESTRICTED to the pad-candidate ids:
+            # (qid, d) ∈ hits ⟺ doc d has ≥1 posting on one of qid's
+            # terms, so this tiny filtered re-join decides the anti-
+            # join without re-evaluating the full scored aggregation
+            # (the lazy plan's `hits` right side re-ran the whole agg
+            # per request — measured 2.1 s of a 5 s warm request at
+            # 1M docs, BENCH.md r5 warm-serving table)
+            probe = (F.broadcast(qterms.select("query_id", "term"))
+                     .join(pruned_postings(index, qterms)
+                           .select("term", "doc_id")
+                           .where(F.col("doc_id").isin(
+                               [d for d, _ in low_pairs])), "term")
+                     .select("query_id", "doc_id").distinct())
             pad = (qids.crossJoin(low)
-                   .join(hits.select("query_id", "doc_id"),
-                         ["query_id", "doc_id"], "left_anti")
+                   .join(probe, ["query_id", "doc_id"], "left_anti")
                    .withColumn("cos", F.lit(0.0)))
         else:
             low = index.docs.orderBy("doc_id").limit(2 * k) \
@@ -370,9 +388,37 @@ def topk_plan(index: InvertedIndex, qterms: DataFrame, k: int,
     hits = hits.withColumn("score", score)
     rank_on = (F.round(F.col("score"), tiebreak_round)
                if tiebreak_round is not None else F.col("score"))
-    w = Window.partitionBy("query_id").orderBy(rank_on.desc(),
-                                               F.col("doc_id").asc())
-    return (hits.withColumn("rank", F.row_number().over(w))
+    order = [rank_on.desc(), F.col("doc_id").asc()]
+    if n_queries == 1 and k <= 10_000:
+        # (k bound = Spark's topKSortFallbackThreshold: beyond it the
+        # sort+limit stops compiling to TakeOrdered and the windowed
+        # plan below is the better shape)
+        # single-request serving path: orderBy+limit compiles to
+        # TakeOrderedAndProject — per-partition top-k merged on the
+        # driver, NO ranking exchange at all (the same selection and
+        # tiebreak as the window; the k-row rank window below is a
+        # single trivial task).  A request at 1M docs drops ~0.6 s of
+        # window shuffling (BENCH.md r5 warm-serving table).
+        top = hits.orderBy(*order).limit(k)
+        w = Window.orderBy(*order)
+        return (top.withColumn("rank", F.row_number().over(w))
+                .select("query_id", "doc_id", "score", "rank"))
+    # two-phase top-k: a hot query can match most of the corpus, and a
+    # single per-query window sorts ALL its hits in ONE task (measured
+    # 0.7 s for a 630k-hit query at 1M docs; fatal at 100× that).
+    # Phase 1 ranks within (query_id, doc_id-hash salt) — every salt's
+    # top-k is a superset of its contribution to the global top-k, so
+    # phase 2's window sees ≤ k·SALTS rows per query.  Rank-identical
+    # by construction (same ordering keys, deterministic doc_id
+    # tiebreak); pinned by test_rank_identity's two-phase case.
+    w1 = Window.partitionBy("query_id", "_salt").orderBy(*order)
+    survivors = (hits
+                 .withColumn("_salt", F.pmod(F.xxhash64("doc_id"),
+                                             F.lit(TOPK_SALTS)))
+                 .withColumn("_r1", F.row_number().over(w1))
+                 .where(F.col("_r1") <= k).drop("_salt", "_r1"))
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (survivors.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "doc_id", "score", "rank"))
 
@@ -463,7 +509,8 @@ def search(spark: SparkSession, index: InvertedIndex, queries: list[str],
                          tiebreak_round=tiebreak_round, pad_to_k=pad_to_k)
     elif plan == "exact":
         qterms = embed_queries(spark, index, queries)
-        hits = topk_plan(index, qterms, k, tiebreak_round, pad_to_k)
+        hits = topk_plan(index, qterms, k, tiebreak_round, pad_to_k,
+                         n_queries=len(queries))
     else:
         raise ValueError(f"unknown plan: {plan!r}")
     if not hydrate:

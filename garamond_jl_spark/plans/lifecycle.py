@@ -190,7 +190,8 @@ def search(env: SearchEnv, request: InternalRequest,
                            isregex=(request.search_method == "regex"))
         return topk_plan(primary, qt, k,
                          tiebreak_round=request.tiebreak_round,
-                         pad_to_k=True).select("doc_id", "score", "rank")
+                         pad_to_k=True,
+                         n_queries=1).select("doc_id", "score", "rank")
 
     # --- sparse "full result set" paths (combined / multi-searcher) ---
     # Round-1's full=True plan scored the WHOLE corpus per query (a

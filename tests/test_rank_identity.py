@@ -185,3 +185,23 @@ def test_oov_large_vector_without_pad(spark):
     assert 2 in got                       # the all-OOV doc is present
     assert got[2] > 1.0 - math.tanh(cfg.score_alpha)
     assert 1 not in got                   # zero-overlap fill IS suppressed
+
+
+def test_two_phase_topk_salt_invariance(spark, built, monkeypatch):
+    """The salted two-phase ranking window (query.TOPK_SALTS) is
+    rank-identical at every salt count — each salt's local top-k is a
+    superset of its contribution to the global top-k, and both phases
+    order by the same (score, doc_id) keys."""
+    import garamond_jl_spark.operators.query as Q
+    idx = built[0]
+    qs = query_set(seed=13, n=12)
+
+    def rows(salts):
+        monkeypatch.setattr(Q, "TOPK_SALTS", salts)
+        return sorted((r["query_id"], r["doc_id"],
+                       round(r["score"], 12), r["rank"])
+                      for r in search(spark, idx, qs, k=7,
+                                      hydrate=False).collect())
+
+    base = rows(1)          # single salt == the classic one-window plan
+    assert base == rows(32) == rows(5)
