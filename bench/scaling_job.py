@@ -59,6 +59,19 @@ def main() -> None:
                          "memory-bus ceiling from the disk ceiling")
     args = ap.parse_args()
 
+    # derive the AQE wide-start from the workload size — the in-code
+    # replacement for the hand-pinned --shuffle 512 the round-4
+    # protocol needed: the wide (query_id, doc_id) aggregation's input
+    # is ∝ docs × queries, and per-task state must stay bounded under
+    # an 8 g heap.  Anchor: 3M docs × 2400 q needed ≥512 partitions
+    # (GCLocker crash at 256, BENCH.md r4) → one partition per ~14M of
+    # the docs×queries product, clamped to [shuffle default, 4096].
+    initial_parts = None
+    product = args.docs * args.queries
+    derived = -(-product // 14_000_000)
+    if derived > (args.shuffle or 256):
+        initial_parts = min(int(derived), 4096)
+
     if args.scratch != "/tmp":
         local_dir = os.path.join(args.scratch, "spark-local")
         os.makedirs(local_dir, exist_ok=True)
@@ -80,6 +93,7 @@ def main() -> None:
         spark = get_spark(
             f"scaling-exec{args.executors}", cpus=total,
             shuffle_partitions=args.shuffle or None,
+            initial_partitions=initial_parts,
             master=f"local-cluster[{args.executors}, {args.exec_cores}, "
                    f"{args.exec_mem_mb}]",
             executor_memory=f"{args.exec_mem_mb - 1024}m")
@@ -87,7 +101,8 @@ def main() -> None:
         args.cpus = total
     else:
         spark = get_spark(f"scaling-{args.cpus}", cpus=args.cpus,
-                          shuffle_partitions=args.shuffle or None)
+                          shuffle_partitions=args.shuffle or None,
+                          initial_partitions=initial_parts)
     spark.sparkContext.setLogLevel("ERROR")
     cfg = EngineConfig()
 

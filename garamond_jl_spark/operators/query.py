@@ -286,12 +286,18 @@ def score_all(index: InvertedIndex, qterms: DataFrame) -> DataFrame:
 # phase-1 salt fan-out for the two-phase top-k window (see topk_plan):
 # bounds any single ranking task at ~hits/TOPK_SALTS rows
 TOPK_SALTS = 32
+# engage the two-phase window only when the per-query hit estimate says
+# a single ranking task would sort this many rows or more — ordinary
+# batches keep the one-window plan (the blanket two-phase cost the
+# 200-query headline ~0.9 s, BENCH.md r5)
+TOPK_TWO_PHASE_ROWS = 500_000
 
 
 def topk_plan(index: InvertedIndex, qterms: DataFrame, k: int,
               tiebreak_round: int | None = None,
               pad_to_k: bool = True,
-              n_queries: int | None = None) -> DataFrame:
+              n_queries: int | None = None,
+              agg_rows_hint: int | None = None) -> DataFrame:
     """The scoring DAG on the flat postings table → (query_id, doc_id,
     score, rank).  ``tiebreak_round`` rounds the score before ranking so
     cross-engine float noise cannot flip near-ties (used by the DuckDB
@@ -403,22 +409,27 @@ def topk_plan(index: InvertedIndex, qterms: DataFrame, k: int,
         w = Window.orderBy(*order)
         return (top.withColumn("rank", F.row_number().over(w))
                 .select("query_id", "doc_id", "score", "rank"))
-    # two-phase top-k: a hot query can match most of the corpus, and a
-    # single per-query window sorts ALL its hits in ONE task (measured
-    # 0.7 s for a 630k-hit query at 1M docs; fatal at 100× that).
-    # Phase 1 ranks within (query_id, doc_id-hash salt) — every salt's
-    # top-k is a superset of its contribution to the global top-k, so
-    # phase 2's window sees ≤ k·SALTS rows per query.  Rank-identical
-    # by construction (same ordering keys, deterministic doc_id
-    # tiebreak); pinned by test_rank_identity's two-phase case.
-    w1 = Window.partitionBy("query_id", "_salt").orderBy(*order)
-    survivors = (hits
-                 .withColumn("_salt", F.pmod(F.xxhash64("doc_id"),
-                                             F.lit(TOPK_SALTS)))
-                 .withColumn("_r1", F.row_number().over(w1))
-                 .where(F.col("_r1") <= k).drop("_salt", "_r1"))
+    # two-phase top-k for heavy queries: a hot query can match most of
+    # the corpus, and a single per-query window sorts ALL its hits in
+    # ONE task (measured 0.7 s for a 630k-hit query at 1M docs; fatal
+    # at 100× that).  Phase 1 ranks within (query_id, doc_id-hash
+    # salt) — every salt's top-k is a superset of its contribution to
+    # the global top-k, so phase 2's window sees ≤ k·SALTS rows per
+    # query.  Rank-identical by construction (same ordering keys,
+    # deterministic doc_id tiebreak); pinned by test_rank_identity's
+    # salt-invariance case.  Engaged from the exact per-query row
+    # estimate (embed_queries stats_out): ordinary batches keep the
+    # single window and its one shuffle.
+    per_query = (agg_rows_hint or 0) / max(n_queries or 1, 1)
+    if TOPK_SALTS > 1 and per_query >= TOPK_TWO_PHASE_ROWS:
+        w1 = Window.partitionBy("query_id", "_salt").orderBy(*order)
+        hits = (hits
+                .withColumn("_salt", F.pmod(F.xxhash64("doc_id"),
+                                            F.lit(TOPK_SALTS)))
+                .withColumn("_r1", F.row_number().over(w1))
+                .where(F.col("_r1") <= k).drop("_salt", "_r1"))
     w = Window.partitionBy("query_id").orderBy(*order)
-    return (survivors.withColumn("rank", F.row_number().over(w))
+    return (hits.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "doc_id", "score", "rank"))
 
@@ -508,9 +519,11 @@ def search(spark: SparkSession, index: InvertedIndex, queries: list[str],
         hits = wand_topk(spark, index, queries, k=k,
                          tiebreak_round=tiebreak_round, pad_to_k=pad_to_k)
     elif plan == "exact":
-        qterms = embed_queries(spark, index, queries)
+        est: dict = {}
+        qterms = embed_queries(spark, index, queries, stats_out=est)
         hits = topk_plan(index, qterms, k, tiebreak_round, pad_to_k,
-                         n_queries=len(queries))
+                         n_queries=len(queries),
+                         agg_rows_hint=est.get("expected_hit_rows"))
     else:
         raise ValueError(f"unknown plan: {plan!r}")
     if not hydrate:

@@ -34,7 +34,8 @@ if _PKG_ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
 def get_spark(app: str = "garamond-spark", cpus: int | None = None,
               shuffle_partitions: int | None = None,
               master: str | None = None,
-              executor_memory: str | None = None) -> SparkSession:
+              executor_memory: str | None = None,
+              initial_partitions: int | None = None) -> SparkSession:
     """``master`` overrides the default ``local[cpus]`` — e.g.
     ``local-cluster[4, 8, 6144]`` spawns 4 SEPARATE executor JVMs × 8
     cores × 6 GiB each, the faithful N-executor topology for scaling
@@ -59,18 +60,18 @@ def get_spark(app: str = "garamond-spark", cpus: int | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # start every AQE shuffle WIDE and let coalescing shrink small
-        # stages: bounds per-task aggregation/window state on huge
-        # batches (the 2400-query leg GCLocker-crashed an 8 g heap at
-        # 256 final-agg partitions and needed a hand-pinned
-        # --shuffle 512, BENCH.md r4 — this removes that knob) while
-        # map-side partial aggregation stays intact and ordinary
-        # stages still end up at their coalesced size.  1024 = 2× the
-        # partition count the crashed leg needed (512), at half the
-        # small-stage planning overhead of 2048 (interleaved A/B on
-        # the WAND parity row: 2048 costs ~6% there, BENCH.md r5)
+        # ``initial_partitions``: start every AQE shuffle WIDE and let
+        # coalescing shrink small stages — bounds per-task
+        # aggregation/window state on huge batches (the 2400-query leg
+        # GCLocker-crashed an 8 g heap at 256 final-agg partitions,
+        # BENCH.md r4).  Callers that know their workload derive it
+        # from input size (bench/scaling_job.py: docs × queries); it is
+        # NOT set by default because a session-wide wide start taxes
+        # every small stage (the r5 headline regressed 15 → 32 s with
+        # a blanket 1024 — BENCH.md r5 initialPartitionNum table).
         .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-                str(max(1024, 16 * cpus)))
+                str(initial_partitions)
+                if initial_partitions else str(shuffle_partitions))
         # deterministic time semantics everywhere: date_trunc/window
         # otherwise follow the HOST zone, and the tumbling-window parity
         # row would group rows differently on a non-UTC machine while

@@ -195,6 +195,9 @@ def test_two_phase_topk_salt_invariance(spark, built, monkeypatch):
     import garamond_jl_spark.operators.query as Q
     idx = built[0]
     qs = query_set(seed=13, n=12)
+    # force the heavy-query branch so the salted plan actually runs
+    # (production engages it from the per-query row estimate)
+    monkeypatch.setattr(Q, "TOPK_TWO_PHASE_ROWS", 0)
 
     def rows(salts):
         monkeypatch.setattr(Q, "TOPK_SALTS", salts)
