@@ -519,9 +519,10 @@ def test_text_strip_flags_names(spark, tmp_path):
 def test_stem_words_builds_stemmed_index(spark, tmp_path):
     """stem_words=true (english) Porter-stems the classic vocabulary at
     build AND query — a query inflection matches documents that only
-    contain other inflections of the stem; german + stem_words warns
-    and defaults off (Porter is English-only here, the reference stems
-    per-language via Snowball)."""
+    contain other inflections of the stem.  Since round 5 german/french
+    stem too (Snowball, functions/snowball.py —
+    tests/test_stemmer_languages.py); only languages WITHOUT a shipped
+    stemmer (romanian/italian/dutch) warn stemming off."""
     c = _base_config()
     c["embedders"][0]["stem_words"] = True
     env = build_search_env(spark, _write(tmp_path, c))
@@ -533,7 +534,10 @@ def test_stem_words_builds_stemmed_index(spark, tmp_path):
                    if len(t) > 3)
 
     c["embedders"][0]["language"] = "german"
-    with pytest.warns(UserWarning, match="English-only"):
+    parsed = parse_configuration(_write(tmp_path, c))   # no warning now
+    assert parsed["embedders"][0]["stem_words"] is True
+    c["embedders"][0]["language"] = "italian"
+    with pytest.warns(UserWarning, match="no shipped stemmer"):
         parsed = parse_configuration(_write(tmp_path, c))
     assert parsed["embedders"][0]["stem_words"] is False
 
