@@ -78,6 +78,23 @@ WHERE i * 1.0 / (x.n + y.n - i) >= {JACCARD_T}
 """
 
 
+def _spread_input(d: DataFrame) -> DataFrame:
+    """Widen a too-narrow scan before a doc-local Arrow pass.
+
+    A small parquet table arrives as ONE input split, so a mapInArrow
+    pass (and everything downstream of its persisted output) would run
+    single-task.  When the scan has fewer partitions than the cluster
+    has cores, one round-robin repartition of the raw rows restores
+    parallelism (guide §2.5 "input skew: repartition immediately after
+    the read").  Well-split inputs (the 100-TB case: thousands of
+    splits) pass through untouched — no shuffle."""
+    sc = d.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if d.rdd.getNumPartitions() < target:
+        return d.repartition(2 * target)
+    return d
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct word-3-gram shingles per doc, pure SQL functions (no UDF).
     Matches the DuckDB list_transform fragment element-for-element."""
@@ -94,7 +111,13 @@ def shingles_from(d: DataFrame) -> DataFrame:
     shingle (8.3 s for 260k rows at sf0.1).  posexplode + two
     windowed ``lead``s is fully codegen'd and 40× faster; the window
     partitions by doc_id (bounded by document length — no skew at any
-    corpus size).  Output set is identical (oracle SQL unchanged)."""
+    corpus size).  Output set is identical (oracle SQL unchanged).
+
+    r6 note: a zero-shuffle doc-local mapInArrow variant was measured
+    and REJECTED — the Python boundary (text out, shingle strings back,
+    cache build from Python-produced rows) cost more than the two
+    shuffles it removed at every local scale tried (probe in
+    OPTIMIZATION_r06.md; same verdict as the r5 norms="arrow" tier)."""
     w = Window.partitionBy("doc_id").orderBy("p")
     return (d.select("doc_id", F.posexplode(F.split("text", " "))
                      .alias("p", "w"))
@@ -353,12 +376,6 @@ def _nib_sql(i: int) -> str:
     return f"(strpos('0123456789abcdef', substring(h, {i}, 1)) - 1)"
 
 
-def _nib_spark(i: int) -> str:
-    """Same nibble arithmetic via Spark's locate (strpos is DuckDB-only;
-    both return the 1-based position, so the expressions are equal)."""
-    return f"(locate(substring(h, {i}, 1), '0123456789abcdef') - 1)"
-
-
 def _simhash64_cte() -> str:
     """DuckDB CTE chain ending in sh(doc_id, sh_hi, sh_lo): 64-bit
     SimHash from md5 nibbles (2 bits per nibble), tf-weighted integer
@@ -383,36 +400,85 @@ sh AS (SELECT doc_id, cast({hi} AS BIGINT) AS sh_hi,
 """
 
 
+# per-task cap on the term → sign-vector memo inside the SimHash Arrow
+# pass: Zipf reuse makes the hit rate high, but an unbounded dict over
+# a 10^8-term corpus vocabulary would OOM a worker (64 B/entry + key)
+_SIMHASH_SIGN_CACHE_CAP = 1_000_000
+
+
 def _simhash64_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh_hi, sh_lo) — Spark mirror of :func:`_simhash64_cte`.
 
-    Plan note: the 32 nibble parses are hoisted into columns BEFORE the
-    aggregation — inlining them into the 64 vote expressions makes every
-    row do 64 substring+locate string scans (Catalyst does not CSE
-    across aggregate expressions); hoisted, each row does 32 and the
-    votes are pure integer ops.  Same values, same oracle."""
-    d = load_testdata(spark, sf_dir, "documents")
-    tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-           .where(F.col("term") != ""))
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    hashed = (tf.select("doc_id", F.md5("term").alias("h"), "tf")
-              .select("doc_id", "tf",
-                      *[F.expr(_nib_spark(i)).alias(f"n{i}")
-                        for i in range(1, 33)]))
-    votes = [F.sum(F.when(
-        F.expr(f"(n{j // 2 + 1} & {1 << (j % 2)}) > 0"),
-        F.col("tf")).otherwise(-F.col("tf"))).alias(f"v{j}")
-        for j in range(64)]
-    agg = hashed.groupBy("doc_id").agg(*votes)
-    lo = hi = None
-    for j in range(32):
-        t = F.when(F.col(f"v{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-        lo = t if lo is None else lo + t
-    for j in range(32, 64):
-        t = F.when(F.col(f"v{j}") >= 0, F.lit(1 << (j - 32))).otherwise(F.lit(0))
-        hi = t if hi is None else hi + t
-    return agg.select("doc_id", hi.cast("long").alias("sh_hi"),
-                      lo.cast("long").alias("sh_lo"))
+    Plan note (r6, guide §2.4 + §4.2): SimHash is DOC-LOCAL math — every
+    vote bit depends only on the document's own tokens — so the whole
+    signature is computed in ONE ``mapInArrow`` pass with zero shuffles.
+    The previous relational plan paid two full-token shuffles
+    (``groupBy(doc_id, term)`` then ``groupBy(doc_id)``) and its 64
+    conditional sum aggregates ran on Catalyst's interpreted path (the
+    >100-field projection disables whole-stage codegen;
+    plans/r06/dedup_simhash64_before.txt has no codegen span at all).
+    Vote math here is vectorized NumPy: one ±1 sign matrix row per
+    distinct term (memoized per task — Zipf head terms hash once), one
+    integer matvec per document.  Integer-exact and engine-identical:
+    md5 bytes are the same, tf-weighted votes are the same sums, so the
+    DuckDB oracle hash is unchanged (gate-verified)."""
+    import pyarrow as pa
+
+    d = _spread_input(load_testdata(spark, sf_dir, "documents"))
+
+    def simhash(batches):
+        import hashlib
+
+        import numpy as np
+
+        # hex char i (1-based) of md5 = high/low nibble of byte (i-1)//2;
+        # vote j reads bit (j%2) of nibble j//2+1 → per term a length-64
+        # ±1 sign vector (int64 so the tf matvec never overflows)
+        sign_cache: dict[str, "np.ndarray"] = {}
+
+        def signs(term: str) -> "np.ndarray":
+            s = sign_cache.get(term)
+            if s is None:
+                dig = np.frombuffer(
+                    hashlib.md5(term.encode()).digest(), np.uint8)
+                nibs = np.empty(32, np.uint8)
+                nibs[0::2] = dig >> 4      # hex chars 1,3,5,...
+                nibs[1::2] = dig & 15      # hex chars 2,4,6,...
+                bits = (nibs.repeat(2) >> np.tile([0, 1], 32)) & 1
+                s = (2 * bits.astype(np.int64) - 1)
+                if len(sign_cache) >= _SIMHASH_SIGN_CACHE_CAP:
+                    sign_cache.clear()
+                sign_cache[term] = s
+            return s
+
+        weights = (np.int64(1) << np.arange(32, dtype=np.int64))
+        for b in batches:
+            ids = b.column(b.schema.get_field_index("doc_id")).to_pylist()
+            texts = b.column(b.schema.get_field_index("text")).to_pylist()
+            out_id, out_hi, out_lo = [], [], []
+            for doc_id, text in zip(ids, texts):
+                counts: dict[str, int] = {}
+                for t in (text or "").split(" "):
+                    if t:
+                        counts[t] = counts.get(t, 0) + 1
+                if not counts:
+                    continue   # no tokens ⇒ no votes row (matches the
+                               # relational plan: no tf rows ⇒ no doc)
+                votes = np.zeros(64, np.int64)
+                for term, tf in counts.items():
+                    votes += tf * signs(term)
+                bits = votes >= 0
+                out_id.append(doc_id)
+                out_lo.append(int(weights[bits[:32]].sum()))
+                out_hi.append(int(weights[bits[32:64]].sum()))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_id, pa.int64()),
+                 pa.array(out_hi, pa.int64()),
+                 pa.array(out_lo, pa.int64())],
+                ["doc_id", "sh_hi", "sh_lo"])
+
+    return d.select("doc_id", "text").mapInArrow(
+        simhash, "doc_id long, sh_hi long, sh_lo long")
 
 
 @q("dedup_simhash64", f"""
@@ -452,8 +518,17 @@ def dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs at scale: 4×16-bit banded candidate join
     (pigeonhole: any pair within Hamming ≤ 3 shares ≥1 exact band) →
     exact popcount verify.  No all-pairs join anywhere — the quadratic
-    term is bounded per 16-bit band bucket."""
-    sh = _simhash64_df(spark, sf_dir)
+    term is bounded per 16-bit band bucket.
+
+    Plan note (r6, guide §2.4): ``sh`` feeds FOUR consumers (both sides
+    of the band self-join + both verify joins); lazily that evaluated
+    the whole tokenize→md5→64-vote lineage four times in one plan
+    (plans/r06/dedup_simhash64_before.txt: 4 identical scan+agg
+    subtrees).  ``localCheckpoint`` materializes the 3-column/n_docs-row
+    signature table once; every consumer reads the tiny checkpoint.  At
+    100 TB the signature table is ~24 B/doc — the cost model only
+    improves with corpus size."""
+    sh = _simhash64_df(spark, sf_dir).localCheckpoint(eager=True)
     band_structs = [
         F.struct(F.lit(0).alias("band"),
                  F.expr("sh_lo & 65535").alias("chunk")),
