@@ -69,7 +69,14 @@ def main() -> None:
     initial_parts = None
     product = args.docs * args.queries
     derived = -(-product // 14_000_000)
-    if derived > (args.shuffle or 256):
+    # compare against the shuffle width the session will ACTUALLY
+    # resolve (get_spark's max(8·cpus, 64) default when --shuffle is
+    # unset) — the old hardcoded 256 stand-in could set a derived start
+    # NARROWER than the unconfigured fallback at high --cpus (ADVICE r5)
+    cpus_resolved = (args.executors * args.exec_cores
+                     if args.executors else args.cpus)
+    resolved_shuffle = args.shuffle or max(8 * cpus_resolved, 64)
+    if derived > resolved_shuffle:
         initial_parts = min(int(derived), 4096)
 
     if args.scratch != "/tmp":

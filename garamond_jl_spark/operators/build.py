@@ -141,6 +141,7 @@ def assign_dense_ids(df: DataFrame, order_cols: list[str],
            .withColumn(id_col, F.row_number().over(w) - 1 + F.col("_offset"))
            .drop("_pid", "_offset"))
     out._dense_ids_snapshot = part       # unpersist handle for callers
+    out._dense_ids_total = acc           # exact row count, already paid
     return out
 
 
@@ -206,13 +207,21 @@ def term_stats(postings: DataFrame, n_docs: int,
 
     ``postings`` is unique on (term, doc_id) so df = row count per term.
     Salting bounds the per-reducer key volume for Zipf head terms.
+
+    Also carries ``tf_sum`` (Σ tf per term, exact integer) so corpus
+    totals — Σ tf over ALL postings, i.e. avgdl·n_docs — are derivable
+    from the vocabulary-sized dictionary without a second pass over the
+    postings (r6: build_index folds the avgdl job into the terms job).
     """
     salted = (postings
               .withColumn("_salt", F.pmod(F.xxhash64("doc_id"),
                                           F.lit(cfg.term_salt_buckets)))
-              .groupBy("term", "_salt").agg(F.count("*").alias("_partial_df")))
+              .groupBy("term", "_salt")
+              .agg(F.count("*").alias("_partial_df"),
+                   F.sum("tf").alias("_partial_tf")))
     terms = (salted.groupBy("term")
-             .agg(F.sum("_partial_df").alias("df"))
+             .agg(F.sum("_partial_df").alias("df"),
+                  F.sum("_partial_tf").alias("tf_sum"))
              .withColumn("idf", idf_expr(float(n_docs), F.col("df").cast("double"))))
     return terms
 
@@ -551,14 +560,25 @@ def build_index(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
     if carry_cols is None:
         carry_cols = [c for c in docs.columns if c not in (id_col, text_col)]
     postings = tokenize_to_postings(docs, cfg, id_col, text_col, tokenizer)
-    postings = postings.persist()
-    n_docs = docs.count()
-    # Σ tf over all postings == Σ doclen over docs (every token lands in
-    # exactly one (term, doc) cell) — a scalar agg, no doc_id shuffle
-    total_len = postings.agg(F.sum("tf").alias("s")).collect()[0]["s"] or 0
-    avgdl = float(total_len) / n_docs if n_docs else 0.0
+    # the raw postings are consumed exactly twice (the terms job below
+    # and the weighting probe); r6 measurement: building their columnar
+    # cache cost ~3× the tokenize pass itself (1.7 s vs 0.5 s at the
+    # 50k-doc bench corpus — OPTIMIZATION_r06.md), so the cache is gone
+    # and each consumer re-evaluates the cheap tokenize lineage instead
+    n_docs = getattr(docs, "_dense_ids_total", None)
+    if n_docs is None:
+        n_docs = docs.count()
     terms = term_stats(postings, n_docs, cfg).persist()
-    n_terms = terms.count()
+    # ONE vocabulary-sized job yields n_terms AND the corpus token total
+    # (Σ tf == Σ doclen, every token lands in exactly one (term, doc)
+    # cell) — this replaces the former postings-wide sum(tf) job and the
+    # separate terms.count() job; both values are exact integers so
+    # avgdl is bit-identical to the two-job version
+    trow = terms.agg(F.count("*").alias("n"),
+                     F.sum("tf_sum").alias("s")).collect()[0]
+    n_terms = int(trow["n"])
+    total_len = int(trow["s"] or 0)
+    avgdl = float(total_len) / n_docs if n_docs else 0.0
     # persist WEIGHTED postings: otherwise every query batch would re-run
     # the terms join and the doc_id norm window (a full shuffle) — the
     # persistent index stores wnorm for the same reason.  broadcast_idf
@@ -580,11 +600,11 @@ def build_index(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
             "term")
     dtab = doc_table(docs, pw, id_col, carry_cols)
     # "_aux_persist": build-time caches the returned index holds no
-    # column handle to (the RAW tokenized postings feeding pw, and the
-    # id_col=None dense-id DISK_ONLY corpus snapshot) — retire via
-    # server/rest._envop or bench._retire_index so reindex/bench loops
-    # don't accumulate orphaned cache sets
-    aux = [postings]
+    # column handle to (the id_col=None dense-id DISK_ONLY corpus
+    # snapshot; the raw tokenized postings are no longer cached at all)
+    # — retire via server/rest._envop or bench._retire_index so
+    # reindex/bench loops don't accumulate orphaned cache sets
+    aux = []
     snap = getattr(docs, "_dense_ids_snapshot", None)
     if snap is not None:
         aux.append(snap)

@@ -238,6 +238,15 @@ def embed_queries(spark: SparkSession, index: InvertedIndex,
         # class, BENCH.md round 4).
         stats_out["expected_hit_rows"] = sum(
             stats.get(t, 0) for _, t, _ in rows)
+        # per-query maximum (r6, ADVICE fix): the two-phase ranking
+        # guard protects against ONE hot query whose single window task
+        # sorts millions of rows — in a large skewed batch the MEAN
+        # dilutes below the threshold while the hot query still melts a
+        # task, so the gate must see the worst query, not the average
+        per_q: dict[int, int] = {}
+        for qid, t, _ in rows:
+            per_q[qid] = per_q.get(qid, 0) + stats.get(t, 0)
+        stats_out["max_query_hit_rows"] = max(per_q.values(), default=0)
     return spark.createDataFrame(rows, QTERMS_SCHEMA)
 
 
@@ -297,7 +306,8 @@ def topk_plan(index: InvertedIndex, qterms: DataFrame, k: int,
               tiebreak_round: int | None = None,
               pad_to_k: bool = True,
               n_queries: int | None = None,
-              agg_rows_hint: int | None = None) -> DataFrame:
+              agg_rows_hint: int | None = None,
+              max_rows_hint: int | None = None) -> DataFrame:
     """The scoring DAG on the flat postings table → (query_id, doc_id,
     score, rank).  ``tiebreak_round`` rounds the score before ranking so
     cross-engine float noise cannot flip near-ties (used by the DuckDB
@@ -420,7 +430,12 @@ def topk_plan(index: InvertedIndex, qterms: DataFrame, k: int,
     # salt-invariance case.  Engaged from the exact per-query row
     # estimate (embed_queries stats_out): ordinary batches keep the
     # single window and its one shuffle.
-    per_query = (agg_rows_hint or 0) / max(n_queries or 1, 1)
+    # engage on the WORST query's exact row estimate when available
+    # (ADVICE r5: the mean dilutes a single hot query in a large batch
+    # — 2400 ordinary queries hide one that matches most of the corpus);
+    # the batch-mean fallback covers callers without per-query stats
+    per_query = (max_rows_hint if max_rows_hint is not None
+                 else (agg_rows_hint or 0) / max(n_queries or 1, 1))
     if TOPK_SALTS > 1 and per_query >= TOPK_TWO_PHASE_ROWS:
         w1 = Window.partitionBy("query_id", "_salt").orderBy(*order)
         hits = (hits
@@ -519,11 +534,31 @@ def search(spark: SparkSession, index: InvertedIndex, queries: list[str],
         hits = wand_topk(spark, index, queries, k=k,
                          tiebreak_round=tiebreak_round, pad_to_k=pad_to_k)
     elif plan == "exact":
+        # batch memoization (r6): identical query strings tokenize and
+        # embed identically, so the scoring DAG runs once per DISTINCT
+        # query and the per-qid results fan back out through a tiny
+        # broadcast map.  Real batches repeat hot queries; the score-
+        # aggregation input shrinks by the duplication factor (the
+        # exact plan's cost is Σ_t df_t·q_t — guide §2.3 "shuffle fewer
+        # bytes").  With no duplicates rep ids equal the original ids
+        # and the plan is unchanged.  An OOV representative yields no
+        # rows, so its duplicates correctly yield none either.
+        uniq: dict[str, int] = {}
+        rep_of = [uniq.setdefault(q, len(uniq)) for q in queries]
+        reps = list(uniq)
         est: dict = {}
-        qterms = embed_queries(spark, index, queries, stats_out=est)
+        qterms = embed_queries(spark, index, reps, stats_out=est)
         hits = topk_plan(index, qterms, k, tiebreak_round, pad_to_k,
-                         n_queries=len(queries),
-                         agg_rows_hint=est.get("expected_hit_rows"))
+                         n_queries=len(reps),
+                         agg_rows_hint=est.get("expected_hit_rows"),
+                         max_rows_hint=est.get("max_query_hit_rows"))
+        if len(reps) < len(queries):
+            fan = F.broadcast(spark.createDataFrame(
+                [(rep, qid) for qid, rep in enumerate(rep_of)],
+                "_rep LONG, query_id LONG"))
+            hits = (hits.withColumnRenamed("query_id", "_rep")
+                    .join(fan, "_rep")
+                    .select("query_id", "doc_id", "score", "rank"))
     else:
         raise ValueError(f"unknown plan: {plan!r}")
     if not hydrate:

@@ -177,16 +177,23 @@ def make_env_resident(env, pad_k: int = RESIDENT_PAD_K):
             return
         frame_attrs = [n for n, v in vars(obj).items()
                        if isinstance(v, DataFrame)]
+        owned: list[str] = []
         for n in frame_attrs:
             f = getattr(obj, n)
             if f.storageLevel.useMemory or f.storageLevel.useDisk:
                 continue                       # already persisted
             setattr(obj, n, f.persist())
+            owned.append(n)
+        # record which frames THIS call persisted so shutdown releases
+        # exactly those — release_env_resident must not evict caches
+        # other code created (ADVICE r5)
+        obj._resident_owned = owned
         if hasattr(obj, "_doc_norms"):
             norms = obj._doc_norms()
             if not (norms.storageLevel.useMemory
                     or norms.storageLevel.useDisk):
                 obj._norms = norms.persist()
+                owned.append("_norms")
         _residentify(getattr(obj, "index", None))   # RP/LSA backing
         for n, v in vars(obj).items():
             if isinstance(v, DataFrame):
@@ -209,9 +216,20 @@ def release_env_resident(env) -> None:
         if isinstance(obj, InvertedIndex):
             release_resident(obj)
             return
-        for v in vars(obj).values():
-            if isinstance(v, DataFrame):
-                v.unpersist()
+        owned = getattr(obj, "_resident_owned", None)
+        if owned is not None:
+            # unpersist only the frames make_env_resident itself
+            # persisted (recorded there) — never caches other code
+            # created on the same object (ADVICE r5)
+            for n in owned:
+                v = getattr(obj, n, None)
+                if isinstance(v, DataFrame):
+                    v.unpersist()
+            obj._resident_owned = []
+        else:
+            for v in vars(obj).values():
+                if isinstance(v, DataFrame):
+                    v.unpersist()
         _release(getattr(obj, "index", None))
 
     for s in [env.index] + [s for s, _ in env.searchers]:

@@ -43,10 +43,11 @@ _DENOM = float(1 << 23)
 
 def _component_expr(h: str = "h") -> str:
     """Spark SQL: first-6-nibble integer of md5 hex column ``h`` (the
-    DuckDB oracle uses the identical arithmetic with strpos)."""
-    parts = [f"(locate(substring({h}, {c}, 1), '{_NIB}') - 1) * {16 ** (6 - c)}"
-             for c in range(1, 7)]
-    return " + ".join(parts)
+    DuckDB oracle keeps the equivalent per-nibble strpos arithmetic).
+    One ``conv`` hex parse replaces six substring+locate string scans
+    (r6, guide §1.2 per-task work) — the parsed integer is identical
+    by construction, so every downstream component value is unchanged."""
+    return f"cast(conv(substring({h}, 1, 6), 16, 10) as bigint)"
 
 
 def component_sql(h: str = "h") -> str:

@@ -644,13 +644,17 @@ def _emb_long(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("i", F.col("i") + 1))
 
 
-def _lsh_buckets_df(u: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+def _lsh_buckets_df(u: DataFrame, n_planes: int = N_PLANES,
+                    dim: int | None = None) -> DataFrame:
     """(vec_id, bucket) under the deterministic hyperplane LSH.  The
     dimension list comes from one scalar max-agg (the long form is
     dense 1..dim) — a ``select('i').distinct()`` re-ran the whole
-    embedding lineage plus a shuffle per call just to enumerate it."""
+    embedding lineage plus a shuffle per call just to enumerate it.
+    Callers that know the embedding width pass ``dim`` and skip even
+    that scalar job (r6)."""
     spark = u.sparkSession
-    dim = int(u.agg(F.max("i")).first()[0])
+    if dim is None:
+        dim = int(u.agg(F.max("i")).first()[0])
     planes = (spark.range(1, dim + 1).select(F.col("id").cast("int")
                                              .alias("i"))
               .crossJoin(F.broadcast(
@@ -719,7 +723,8 @@ def ann_lsh_buckets(spark, sf_dir):
 
 def ann_lsh_search(u: DataFrame, query_ids: list[int], k: int,
                    n_planes: int = ANN_PLANES,
-                   radius: int = ANN_PROBE_RADIUS) -> DataFrame:
+                   radius: int = ANN_PROBE_RADIUS,
+                   dim: int | None = None) -> DataFrame:
     """END-TO-END bucketed ANN search (the capability of
     reference/src/index/hnsw.jl:28-45 / ivfadc.jl:22-39 in the
     Spark-native idiom): hyperplane bucket → multiprobe candidates
@@ -735,7 +740,12 @@ def ann_lsh_search(u: DataFrame, query_ids: list[int], k: int,
     uniform-random vectors (the parity testdata) are the adversarial
     case and need wide probes (figures in BENCH.md)."""
     spark = u.sparkSession
-    bkt = _lsh_buckets_df(u, n_planes)
+    # the bucket table feeds TWO consumers (the query-side filter and
+    # the candidate join) — checkpoint the tiny (vec_id, bucket) table
+    # once instead of re-deriving the projection+bucket aggregation per
+    # consumer (r6, guide §2.4; ~16 B/vector at any corpus size)
+    bkt = _lsh_buckets_df(u, n_planes, dim=dim) \
+        .localCheckpoint(eager=True)
     qb = (bkt.where(F.col("vec_id").isin(*query_ids))
           .select(F.col("vec_id").alias("query_id"),
                   F.col("bucket").alias("qbkt")))
@@ -803,9 +813,12 @@ FROM cosd QUALIFY rnk <= {ANN_K}
 """)
 def ann_lsh_topk(spark, sf_dir):
     """Parity wrapper: multiprobe LSH ANN over the embeddings table
-    (see :func:`ann_lsh_search`)."""
+    (see :func:`ann_lsh_search`).  The embedding width comes from one
+    1-row peek at the array column — not a full-table max-agg."""
+    e = load_testdata(spark, sf_dir, "embeddings")
+    dim = int(e.select(F.size("embedding")).first()[0])
     return ann_lsh_search(_emb_long(spark, sf_dir),
-                          list(ANN_QUERY_IDS), ANN_K)
+                          list(ANN_QUERY_IDS), ANN_K, dim=dim)
 
 
 IVF_CENTROIDS = 16
@@ -1764,7 +1777,9 @@ def embedding_cosine_pairs(u: DataFrame, threshold: float = DEDUP_COS_T,
     (radius 1 ⇒ n_planes+1 masks), still an equi-join — never
     all-pairs.  Injected-near-dup recall at τ=0.95 is asserted ≥0.99 in
     test_pipeline_ops."""
-    bkt = _lsh_buckets_df(u, n_planes)
+    # both sides of the bucket equi-join read the same tiny bucket
+    # table — checkpoint it once (r6, same reuse fix as ann_lsh_search)
+    bkt = _lsh_buckets_df(u, n_planes).localCheckpoint(eager=True)
     masks = F.explode(F.array(*[
         F.lit(m) for m in _probe_masks(n_planes, probe_radius)])).alias("m")
     a = (bkt.select(F.col("vec_id").alias("vec_a"), "bucket", masks)

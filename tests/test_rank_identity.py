@@ -208,3 +208,27 @@ def test_two_phase_topk_salt_invariance(spark, built, monkeypatch):
 
     base = rows(1)          # single salt == the classic one-window plan
     assert base == rows(32) == rows(5)
+
+
+def test_duplicate_query_memoization_identity(spark, built):
+    """search() scores each DISTINCT query once and fans results back
+    out (r6 batch memoization): a batch with repeated query strings must
+    return, per query_id, exactly the rows of the all-unique run —
+    including an OOV duplicate yielding zero rows."""
+    idx = built[0]
+    uniq = query_set(seed=7, n=4) + ["zzz_oov_only"]
+    dup = [uniq[i % len(uniq)] for i in range(13)]   # every rep repeated
+    got = search(spark, idx, dup, k=5, hydrate=False).collect()
+    ref = search(spark, idx, uniq, k=5, hydrate=False).collect()
+    ref_by_q: dict[int, set] = {}
+    for r in ref:
+        ref_by_q.setdefault(r["query_id"], set()).add(
+            (r["doc_id"], round(r["score"], 9), r["rank"]))
+    got_by_q: dict[int, set] = {}
+    for r in got:
+        got_by_q.setdefault(r["query_id"], set()).add(
+            (r["doc_id"], round(r["score"], 9), r["rank"]))
+    for qid, q in enumerate(dup):
+        assert got_by_q.get(qid, set()) == ref_by_q.get(uniq.index(q),
+                                                        set()), \
+            f"query {qid} ({q!r}) differs from its unique-run twin"
