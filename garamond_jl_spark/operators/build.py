@@ -559,6 +559,12 @@ def build_index(spark: SparkSession, docs: DataFrame, cfg: EngineConfig,
         id_col = "doc_id"
     if carry_cols is None:
         carry_cols = [c for c in docs.columns if c not in (id_col, text_col)]
+    # note (r6): widening a single-split scan before the tokenize pass
+    # (repartition to 2·cores) was measured and REJECTED for this path —
+    # interleaved same-JVM A/B at sf0.1: narrow 1.75-2.2 s vs wide
+    # 2.55-2.60 s per build.  The extra shuffle plus 128-task stages
+    # cost more than the single-task Python tokenize they parallelize;
+    # big corpora arrive multi-split and never hit the question.
     postings = tokenize_to_postings(docs, cfg, id_col, text_col, tokenizer)
     # the raw postings are consumed exactly twice (the terms job below
     # and the weighting probe); r6 measurement: building their columnar

@@ -78,23 +78,6 @@ WHERE i * 1.0 / (x.n + y.n - i) >= {JACCARD_T}
 """
 
 
-def _spread_input(d: DataFrame) -> DataFrame:
-    """Widen a too-narrow scan before a doc-local Arrow pass.
-
-    A small parquet table arrives as ONE input split, so a mapInArrow
-    pass (and everything downstream of its persisted output) would run
-    single-task.  When the scan has fewer partitions than the cluster
-    has cores, one round-robin repartition of the raw rows restores
-    parallelism (guide §2.5 "input skew: repartition immediately after
-    the read").  Well-split inputs (the 100-TB case: thousands of
-    splits) pass through untouched — no shuffle."""
-    sc = d.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if d.rdd.getNumPartitions() < target:
-        return d.repartition(2 * target)
-    return d
-
-
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct word-3-gram shingles per doc, pure SQL functions (no UDF).
     Matches the DuckDB list_transform fragment element-for-element."""
@@ -424,7 +407,12 @@ def _simhash64_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle hash is unchanged (gate-verified)."""
     import pyarrow as pa
 
-    d = _spread_input(load_testdata(spark, sf_dir, "documents"))
+    # input stays at its natural split count: widening a single-split
+    # scan first (repartition to 2·cores) measured SLOWER in an
+    # interleaved A/B (1.61 s vs 1.04 s per pairs run at sf0.1) — the
+    # shuffle costs more than the single-task Python pass it spreads,
+    # and large corpora arrive multi-split anyway
+    d = load_testdata(spark, sf_dir, "documents")
 
     def simhash(batches):
         import hashlib
