@@ -113,7 +113,15 @@ def boe_embed_query(spark: SparkSession, query: str,
         counts[t] = counts.get(t, 0) + 1
     qt = F.broadcast(spark.createDataFrame(
         list(counts.items()), "term STRING, qtf INT"))
-    return (qt.join(word_vectors, "term")
+    # prefilter the word-vector lineage to the query's own tokens (r6):
+    # the equi-join keeps exactly these rows anyway, but the static
+    # isin pushes BELOW the synthetic md5 projection / a parquet scan,
+    # so the query job no longer materializes vocab×dim vector
+    # components just to keep |query terms|·dim of them.  Row order of
+    # the probe side is preserved by the filter, so the per-dim float
+    # sums see identical addends in identical order — bit-identical qv.
+    wv_f = word_vectors.where(F.col("term").isin(list(counts)))
+    return (qt.join(wv_f, "term")
             .groupBy("i").agg(F.sum(F.col("qtf") * F.col("v")).alias("qv")))
 
 

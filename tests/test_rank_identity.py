@@ -232,3 +232,20 @@ def test_duplicate_query_memoization_identity(spark, built):
         assert got_by_q.get(qid, set()) == ref_by_q.get(uniq.index(q),
                                                         set()), \
             f"query {qid} ({q!r}) differs from its unique-run twin"
+
+
+def test_stats_probe_join_path_identity(spark, built, monkeypatch):
+    """Large batches fetch term stats via a broadcast join instead of a
+    multi-thousand-literal isin (r6, bounded plan size); both probes
+    must return identical results."""
+    import garamond_jl_spark.operators.query as Q
+    idx = built[0]
+    qs = query_set(seed=21, n=16)
+    base = sorted((r["query_id"], r["doc_id"], r["rank"])
+                  for r in search(spark, idx, qs, k=5,
+                                  hydrate=False).collect())
+    monkeypatch.setattr(Q, "STATS_PROBE_ISIN_MAX", 0)   # force the join
+    joined = sorted((r["query_id"], r["doc_id"], r["rank"])
+                    for r in search(spark, idx, qs, k=5,
+                                    hydrate=False).collect())
+    assert base == joined
