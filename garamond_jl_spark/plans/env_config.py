@@ -476,8 +476,11 @@ def build_search_env(spark: SparkSession, config_path: str,
             # text_strip_flags): accented Latin letters must stay word
             # characters — a French/German corpus tokenized with the
             # ASCII default pattern would split 'continuité' at the é.
-            # À-ɏ = Latin-1 Supplement + Extended-A/B.
-            acc = "À-ɏ"
+            # Letter-only ranges of Latin-1 Supplement + Extended-A/B:
+            # the raw À-ɏ span also swept in × (U+00D7) and ÷ (U+00F7),
+            # which are NOT letters — '3×4'-style text tokenized the
+            # operators into terms (ADVICE r5).
+            acc = "À-ÖØ-öø-ɏ"
             kw["token_pattern"] = {
                 r"[a-z0-9_]+": rf"[a-z0-9_{acc}]+",
                 r"[a-z_]+": rf"[a-z_{acc}]+",
