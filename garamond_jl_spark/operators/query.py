@@ -129,6 +129,33 @@ def pruned_postings(index: InvertedIndex, qterms: DataFrame) -> DataFrame:
 STATS_PROBE_ISIN_MAX = 256
 
 
+def _df_stats(index: InvertedIndex, terms: list[str]) -> dict[str, int]:
+    """Term → df for ``terms``, with an opportunistic per-index memo.
+
+    A frozen index's statistics never change, so terms already fetched
+    (and terms known to be out-of-vocabulary) answer from the driver-
+    held memo and only the genuinely new terms cost a filtered read —
+    repeat searches over a warm index skip the stats job entirely (the
+    resident posture's df lookup, acquired lazily instead of up
+    front).  Live incremental views (``meta["live_deltas"]``: appends
+    move df under the reader) bypass the memo, the same honesty rule
+    ``make_env_resident`` applies."""
+    if index.meta.get("live_deltas"):
+        return {r["term"]: r["df"] for r in
+                _stats_probe(index.terms, terms)
+                .select("term", "df").collect()}
+    memo: dict = index.meta.setdefault("_df_memo", {})
+    absent: set = index.meta.setdefault("_df_memo_absent", set())
+    missing = [t for t in terms if t not in memo and t not in absent]
+    if missing:
+        fetched = {r["term"]: r["df"] for r in
+                   _stats_probe(index.terms, missing)
+                   .select("term", "df").collect()}
+        memo.update(fetched)
+        absent.update(t for t in missing if t not in fetched)
+    return {t: memo[t] for t in terms if t in memo}
+
+
 def _stats_probe(terms: DataFrame, query_terms: list[str]) -> DataFrame:
     """Filtered view of the terms table restricted to ``query_terms`` —
     isin for small lists (pushes into a parquet scan), broadcast join
@@ -219,9 +246,7 @@ def embed_queries(spark: SparkSession, index: InvertedIndex,
             # request stats job disappears (operators/resident.py)
             stats = index.resident.df_of(all_terms)
         else:
-            stats = {r["term"]: r["df"] for r in
-                     _stats_probe(index.terms, all_terms)
-                     .select("term", "df").collect()}
+            stats = _df_stats(index, all_terms)
     n_docs, avgdl = float(index.meta["n_docs"]), index.meta["avgdl"]
     rows = []
     for qid, toks in enumerate(tokenized):
@@ -500,9 +525,7 @@ def choose_plan(index: InvertedIndex, queries: list[str],
     if index.resident is not None:
         stats = index.resident.df_of(sorted(q_count))
     else:
-        stats = {r["term"]: r["df"] for r in
-                 _stats_probe(index.terms, sorted(q_count))
-                 .select("term", "df").collect()}
+        stats = _df_stats(index, sorted(q_count))
     exact_rows = sum(stats[t] * q for t, q in q_count.items()
                      if t in stats)
     impact_rows = (len(stats) * p

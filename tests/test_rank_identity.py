@@ -249,3 +249,32 @@ def test_stats_probe_join_path_identity(spark, built, monkeypatch):
                     for r in search(spark, idx, qs, k=5,
                                     hydrate=False).collect())
     assert base == joined
+
+
+def test_df_stats_memo_identity_and_live_bypass(spark, built):
+    """Repeat searches answer term stats from the per-index memo (r6)
+    with identical results, and a live-delta view bypasses the memo."""
+    import garamond_jl_spark.operators.query as Q
+    idx = built[0]
+    qs = query_set(seed=3, n=6)
+    first = sorted((r["query_id"], r["doc_id"], r["rank"])
+                   for r in search(spark, idx, qs, k=5,
+                                   hydrate=False).collect())
+    assert idx.meta.get("_df_memo")          # memo populated
+    again = sorted((r["query_id"], r["doc_id"], r["rank"])
+                   for r in search(spark, idx, qs, k=5,
+                                   hydrate=False).collect())
+    assert first == again
+    # a live view must not consult the frozen memo
+    live_meta = dict(idx.meta)
+    live_meta["live_deltas"] = True
+    from garamond_jl_spark.operators.build import InvertedIndex
+    live = InvertedIndex(docs=idx.docs, terms=idx.terms,
+                         postings=idx.postings, meta=live_meta,
+                         tokenizer=idx.tokenizer)
+    live_rows = sorted((r["query_id"], r["doc_id"], r["rank"])
+                       for r in search(spark, live, qs, k=5,
+                                       hydrate=False).collect())
+    assert live_rows == first                # same frozen stats today,
+    # but fetched through the probe, not the memo (no new memo object)
+    assert live_meta.get("_df_memo") is idx.meta.get("_df_memo")
